@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.{QueryModule, Tbl}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core: aggregation, joins, set ops, sorts, limits, ranking.
+  *
+  * Covers SURVEY.md §2.6 A3 (top-K per key — reference
+  * `predict_path.py:60-66`), §2.8 J1 (`predict_path.py:78` union),
+  * J2 (extension-mandated star-schema joins), J3/J4 (sorts/limits),
+  * §2.5 W2 (`predict_path.py:66` IN-list).
+  *
+  * All money/metric aggregates run on exactly-scaled integers (Tbl.cents)
+  * so the DuckDB oracle hash-matches bit-for-bit; every output carries a
+  * total order.
+  */
+object RelationalOps extends QueryModule {
+
+  /** TPC-H Q1-style pricing summary — the canonical "A1-class" batch
+    * aggregation (sliding-window variant lives in WindowOps). */
+  private def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val disc100 = (lit(100) - Tbl.cents($"l_discount")) // 1 - disc, in 1e-2
+    val tax100  = (lit(100) + Tbl.cents($"l_tax"))      // 1 + tax, in 1e-2
+    Tbl.lineitem(s, d)
+      .where($"l_shipdate" <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(Tbl.cents($"l_quantity")).as("qty_c"),
+        sum(Tbl.cents($"l_extendedprice")).as("price_c"),
+        sum(Tbl.cents($"l_extendedprice") * disc100).as("disc_price_c4"),
+        sum(Tbl.cents($"l_extendedprice") * disc100 * tax100).as("charge_c6"),
+        sum(Tbl.cents($"l_discount")).as("disc_c"),
+        count(lit(1)).as("count_order"))
+      .select(
+        $"l_returnflag", $"l_linestatus",
+        round($"qty_c" / 100.0, 2).as("sum_qty"),
+        round($"price_c" / 100.0, 2).as("sum_base_price"),
+        round($"disc_price_c4" / 10000.0, 4).as("sum_disc_price"),
+        round($"charge_c6" / 1000000.0, 6).as("sum_charge"),
+        round($"qty_c" / 100.0 / $"count_order", 6).as("avg_qty"),
+        round($"price_c" / 100.0 / $"count_order", 6).as("avg_price"),
+        round($"disc_c" / 100.0 / $"count_order", 6).as("avg_disc"),
+        $"count_order")
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(CAST(round(l_quantity*100) AS BIGINT))/100.0, 2) AS sum_qty,
+      |  round(sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0, 2) AS sum_base_price,
+      |  round(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT)))/10000.0, 4) AS sum_disc_price,
+      |  round(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))*(100+CAST(round(l_tax*100) AS BIGINT)))/1000000.0, 6) AS sum_charge,
+      |  round(sum(CAST(round(l_quantity*100) AS BIGINT))/100.0/count(*), 6) AS avg_qty,
+      |  round(sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0/count(*), 6) AS avg_price,
+      |  round(sum(CAST(round(l_discount*100) AS BIGINT))/100.0/count(*), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** 5-way star join (lineitem⋈orders⋈customer⋈nation⋈region), revenue per
+    * region/nation. Dims are broadcast — at 100 TB the only shuffle is the
+    * lineitem⋈orders equi-join on orderkey. */
+  private def starRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = Tbl.cents($"l_extendedprice") * (lit(100) - Tbl.cents($"l_discount"))
+    Tbl.lineitem(s, d)
+      .join(Tbl.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tbl.customer(s, d)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tbl.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tbl.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum(rev).as("rev_c4"),
+           countDistinct($"o_orderkey").as("n_orders"),
+           count(lit(1)).as("n_lines"))
+      .select($"r_name", $"n_name",
+              round($"rev_c4" / 10000.0, 4).as("revenue"),
+              $"n_orders", $"n_lines")
+      .orderBy($"r_name", $"n_name")
+  }
+
+  private val starRevenueSql =
+    """SELECT r_name, n_name,
+      |  round(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT)))/10000.0, 4) AS revenue,
+      |  count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** Left-semi join: customers having at least one order above a price. */
+  private def semiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = Tbl.orders(s, d).where($"o_totalprice" > 100000.0)
+    Tbl.customer(s, d)
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  private val semiJoinSql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join: customers with no orders at all. */
+  private def antiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.customer(s, d)
+      .join(Tbl.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+      .orderBy($"c_custkey")
+  }
+
+  private val antiJoinSql =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** A3: latest-3-events-per-key via ranking window — the reference's
+    * "last 3 positions per vessel" (`predict_path.py:60-66`), with an
+    * event_id tiebreaker for determinism (SURVEY.md §7.4.3). */
+  private def top3PerKey(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tbl.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3)
+      .select($"user_id", $"rn", $"event_id",
+              unix_micros($"ts".cast("timestamp")).as("ts_us"), $"value")
+      .orderBy($"user_id", $"rn")
+  }
+
+  private val top3PerKeySql =
+    """SELECT user_id, rn, event_id, epoch_us(ts) AS ts_us, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |                               ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+
+  /** J1: union of two event slices (reference `predict_path.py:78`),
+    * deduplicated then re-aggregated. */
+  private def unionMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tbl.events(s, d)
+    val clicks    = ev.where($"event_type" === "click")
+    val purchases = ev.where($"event_type" === "purchase")
+    clicks.unionByName(purchases)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum(Tbl.cents($"value")).as("v_c"))
+      .select($"user_id", $"n", round($"v_c" / 100.0, 2).as("sum_value"))
+      .orderBy($"user_id")
+  }
+
+  private val unionMergeSql =
+    """SELECT user_id, count(*) AS n,
+      |  round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click'
+      |      UNION ALL
+      |      SELECT * FROM events WHERE event_type = 'purchase')
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** J3/J4: global sort + limit with full tiebreakers. */
+  private def sortLimit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_quantity")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      .limit(50)
+  }
+
+  private val sortLimitSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+      |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 50""".stripMargin
+
+  /** W2: IN-list predicate (`predict_path.py:66`). */
+  private def inFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .where($"event_type".isin("purchase", "signup"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  private val inFilterSql =
+    """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM events WHERE event_type IN ('purchase','signup')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "j2_star_revenue"    -> (starRevenue _),
+    "j2_semi_join"       -> (semiJoin _),
+    "j2_anti_join"       -> (antiJoin _),
+    "a3_top3_per_key"    -> (top3PerKey _),
+    "j1_union_merge"     -> (unionMerge _),
+    "j3_sort_limit"      -> (sortLimit _),
+    "w2_in_filter"       -> (inFilter _))
+
+  override val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "j2_star_revenue"    -> starRevenueSql,
+    "j2_semi_join"       -> semiJoinSql,
+    "j2_anti_join"       -> antiJoinSql,
+    "a3_top3_per_key"    -> top3PerKeySql,
+    "j1_union_merge"     -> unionMergeSql,
+    "j3_sort_limit"      -> sortLimitSql,
+    "w2_in_filter"       -> inFilterSql)
+}
