@@ -12,7 +12,8 @@ import graft.operators._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    RelationalOps)
+    RelationalOps,
+    AisOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,331 @@
+package graft.operators
+
+import graft.{QueryModule, Tbl}
+import graft.functions.GeoFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's AIS scalar / projection / filter surface (SURVEY.md
+  * §2.3-2.5) embodied on the `events` table per the FIXTURES.md stand-in
+  * mapping (user_id≈mmsi, ts≈timestamp_utc, value≈speed_over_ground).
+  *
+  * Oracle SQL strings are built from the same fragments as the Column
+  * expressions so the arithmetic is op-for-op identical in DuckDB.
+  */
+object AisOps extends QueryModule {
+
+  // ---- SQL mirrors of GeoFunctions (op-for-op identical) ----
+  private def radS(x: String) = s"($x * pi() / 180.0)"
+  private def degS(x: String) = s"($x * 180.0 / pi())"
+  private val lonS = "(100.0 + (user_id % 30) + (event_id % 100) / 100.0)"
+  private val latS = "((event_id % 30) + (user_id % 100) / 100.0)"
+  private val e2S  = "((1.0/298.257223563) * (2.0 - 1.0/298.257223563))"
+  private def nS(lat: String) =
+    s"(6378137.0 / sqrt(1.0 - $e2S * sin(${radS(lat)}) * sin(${radS(lat)})))"
+  private def ecefXS(lon: String, lat: String) =
+    s"((${nS(lat)} + 124.0) * cos(${radS(lat)}) * cos(${radS(lon)}))"
+  private def ecefYS(lon: String, lat: String) =
+    s"((${nS(lat)} + 124.0) * cos(${radS(lat)}) * sin(${radS(lon)}))"
+
+  /** F1: build WKT text from the integer grid, parse it back with the
+    * reference's strip-letters regex (`preprocess.py:46-48`) — P4/P5/P6
+    * (withColumn/getItem/drop) exercised en route. */
+  private def wktParse(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lonI = ($"user_id" % 30 + 100).cast("string")
+    val latI = ($"event_id" % 30).cast("string")
+    Tbl.events(s, d)
+      .withColumn("wkt", concat(lit("POINT ("), lonI, lit(" "), latI, lit(")")))
+      .withColumn("coords", wktToCoords($"wkt"))
+      .withColumn("lon", $"coords".getItem(0))
+      .withColumn("lat", $"coords".getItem(1))
+      .drop("coords")
+      .select($"event_id", $"wkt", $"lon", $"lat")
+      .orderBy($"event_id")
+  }
+
+  private val wktParseSql =
+    """SELECT event_id, wkt,
+      |  CAST(string_split(trim(regexp_replace(wkt, '[a-zA-Z()]', '', 'g')), ' ')[1] AS DOUBLE) AS lon,
+      |  CAST(string_split(trim(regexp_replace(wkt, '[a-zA-Z()]', '', 'g')), ' ')[2] AS DOUBLE) AS lat
+      |FROM (SELECT event_id,
+      |        concat('POINT (', CAST(user_id % 30 + 100 AS VARCHAR), ' ',
+      |               CAST(event_id % 30 AS VARCHAR), ')') AS wkt
+      |      FROM events) ORDER BY event_id""".stripMargin
+
+  /** F2: geodetic→ECEF on the fractional grid; cm rounding bounds the
+    * (observed-zero) libm sin/cos cross-engine drift. */
+  private def ecef(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .withColumn("lon", lonOf($"user_id", $"event_id"))
+      .withColumn("lat", latOf($"user_id", $"event_id"))
+      .select($"event_id", $"lon", $"lat",
+              round(ecefX($"lon", $"lat"), 2).as("cartesian_x"),
+              round(ecefY($"lon", $"lat"), 2).as("cartesian_y"))
+      .orderBy($"event_id")
+  }
+
+  private val ecefSql =
+    s"""SELECT event_id, lon, lat,
+       |  round(${ecefXS("lon", "lat")}, 2) AS cartesian_x,
+       |  round(${ecefYS("lon", "lat")}, 2) AS cartesian_y
+       |FROM (SELECT event_id, $lonS AS lon, $latS AS lat FROM events)
+       |ORDER BY event_id""".stripMargin
+
+  /** F3: AIS rate-of-turn decode (README.md:78) on `value`. */
+  private def rotDecodeQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .select($"event_id", $"value",
+              round(rotDecode($"value"), 6).as("rot_deg_min"))
+      .orderBy($"event_id")
+  }
+
+  private val rotDecodeSql =
+    """SELECT event_id, value,
+      |  round((value / 4.733) * (value / 4.733), 6) AS rot_deg_min
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** F4: inverse-affine raster transform to pixel coords (quarter-degree
+    * grid anchored at lon0=100, latMax=30). */
+  private def affinePixel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .withColumn("lon", lonOf($"user_id", $"event_id"))
+      .withColumn("lat", latOf($"user_id", $"event_id"))
+      .select($"event_id", $"lon", $"lat",
+              pixelCol($"lon", 100.0, 0.25).as("px_col"),
+              pixelRow($"lat", 30.0, 0.25).as("px_row"))
+      .orderBy($"event_id")
+  }
+
+  private val affinePixelSql =
+    s"""SELECT event_id, lon, lat,
+       |  CAST(floor((lon - 100.0) / 0.25) AS BIGINT) AS px_col,
+       |  CAST(floor((30.0 - lat) / 0.25) AS BIGINT) AS px_row
+       |FROM (SELECT event_id, $lonS AS lon, $latS AS lat FROM events)
+       |ORDER BY event_id""".stripMargin
+
+  /** F5: haversine distance between consecutive positions per key. */
+  private def haversineQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tbl.events(s, d)
+      .withColumn("lon", lonOf($"user_id", $"event_id"))
+      .withColumn("lat", latOf($"user_id", $"event_id"))
+      .withColumn("plon", lag($"lon", 1).over(w))
+      .withColumn("plat", lag($"lat", 1).over(w))
+      .where($"plon".isNotNull)
+      .select($"user_id", $"event_id",
+              round(haversineKm($"plon", $"plat", $"lon", $"lat"), 3).as("dist_km"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val haversineSql = {
+    val dLat = s"(${radS("(lat - plat)")} / 2.0)"
+    val dLon = s"(${radS("(lon - plon)")} / 2.0)"
+    val a = s"(sin($dLat) * sin($dLat) + cos(${radS("plat")}) * cos(${radS("lat")}) * sin($dLon) * sin($dLon))"
+    s"""SELECT user_id, event_id,
+       |  round(12742.0 * asin(sqrt($a)), 3) AS dist_km
+       |FROM (SELECT user_id, event_id, lon, lat,
+       |        lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon,
+       |        lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat
+       |      FROM (SELECT user_id, event_id, ts, $lonS AS lon, $latS AS lat FROM events))
+       |WHERE plon IS NOT NULL ORDER BY user_id, event_id""".stripMargin
+  }
+
+  /** F6: path angle of the segment into each position (README.md:48). */
+  private def pathAngle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tbl.events(s, d)
+      .withColumn("lon", lonOf($"user_id", $"event_id"))
+      .withColumn("lat", latOf($"user_id", $"event_id"))
+      .withColumn("plon", lag($"lon", 1).over(w))
+      .withColumn("plat", lag($"lat", 1).over(w))
+      .where($"plon".isNotNull)
+      .select($"user_id", $"event_id",
+              round(pathAngleDeg($"lon" - $"plon", $"lat" - $"plat"), 6).as("angle_deg"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val pathAngleSql =
+    s"""SELECT user_id, event_id,
+       |  round(${degS("atan2(lat - plat, lon - plon)")}, 6) AS angle_deg
+       |FROM (SELECT user_id, event_id, lon, lat,
+       |        lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon,
+       |        lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat
+       |      FROM (SELECT user_id, event_id, ts, $lonS AS lon, $latS AS lat FROM events))
+       |WHERE plon IS NOT NULL ORDER BY user_id, event_id""".stripMargin
+
+  /** W1: conjunctive geo bounding-box filter (`preprocess.py:54`) — the
+    * South China Sea box, on the synthetic grid. */
+  private def bboxFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .withColumn("lon", lonOf($"user_id", $"event_id"))
+      .withColumn("lat", latOf($"user_id", $"event_id"))
+      .where($"lat" > 7.0 && $"lat" < 23.0 && $"lon" > 105.0 && $"lon" < 123.0)
+      .select($"event_id", $"user_id", $"lon", $"lat")
+      .orderBy($"event_id")
+  }
+
+  private val bboxFilterSql =
+    s"""SELECT event_id, user_id, lon, lat
+       |FROM (SELECT event_id, user_id, $lonS AS lon, $latS AS lat FROM events)
+       |WHERE lat > 7.0 AND lat < 23.0 AND lon > 105.0 AND lon < 123.0
+       |ORDER BY event_id""".stripMargin
+
+  /** W5: SOG outlier repair (README.md:50) — a sudden speed jump is
+    * replaced by the previous reading per key. */
+  private def sogRepair(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tbl.events(s, d)
+      .withColumn("prev", lag($"value", 1).over(w))
+      .select($"user_id", $"event_id", $"value",
+              when($"prev".isNotNull && $"value" > $"prev" * 3.0 + 10.0, $"prev")
+                .otherwise($"value").as("repaired"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val sogRepairSql =
+    """SELECT user_id, event_id, value,
+      |  CASE WHEN prev IS NOT NULL AND value > prev * 3.0 + 10.0
+      |       THEN prev ELSE value END AS repaired
+      |FROM (SELECT user_id, event_id, value,
+      |        lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |      FROM events) ORDER BY user_id, event_id""".stripMargin
+
+  /** P1: binary↔string cast round-trip (`preprocess.py:42`). */
+  private def castRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .select($"event_id",
+              decode(encode($"props", "UTF-8"), "UTF-8").as("rt"),
+              length(encode($"props", "UTF-8")).as("nbytes"))
+      .orderBy($"event_id")
+  }
+
+  private val castRoundtripSql =
+    """SELECT event_id, decode(encode(props)) AS rt,
+      |  octet_length(encode(props)) AS nbytes
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** P2: from_json against a declared schema + get_json_object
+    * (`preprocess.py:43`, `predict_path.py:36`). */
+  private def jsonExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .select($"event_id",
+              from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+                .getField("k").as("k"),
+              get_json_object($"props", "$.k").as("k_str"))
+      .orderBy($"event_id")
+  }
+
+  private val jsonExtractSql =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  json_extract_string(props, '$.k') AS k_str
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** P7+P2+P3: to_json(struct(*)) envelope → from_json(schema) →
+    * nested-field projection — the reference's Kafka value round trip
+    * (`preprocess.py:43-44,68`). */
+  private def jsonEnvelope(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .withColumn("envelope",
+        to_json(struct($"event_id", $"event_type", $"user_id")))
+      .withColumn("message",
+        from_json($"envelope", org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, event_type STRING, user_id BIGINT")))
+      .select($"message.event_id".as("event_id"), $"envelope",
+              $"message.event_type".as("event_type"),
+              $"message.user_id".as("user_id"))
+      .orderBy($"event_id")
+  }
+
+  private val jsonEnvelopeSql =
+    """SELECT event_id,
+      |  to_json(struct_pack(event_id := event_id, event_type := event_type,
+      |                      user_id := user_id)) AS envelope,
+      |  event_type, user_id
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** P8: timestamp format + parse round trip with the reference's
+    * quoted-Z pattern (`preprocess.py:64-65`). */
+  private def timestampParse(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .withColumn("ts_str", date_format($"ts", "yyyy-MM-dd HH:mm:ss'Z'"))
+      .select($"event_id", $"ts_str",
+              unix_micros(to_timestamp($"ts_str", "yyyy-MM-dd HH:mm:ss'Z'"))
+                .as("parsed_us"))
+      .orderBy($"event_id")
+  }
+
+  private val timestampParseSql =
+    """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%SZ') AS ts_str,
+      |  epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%SZ'),
+      |                    '%Y-%m-%d %H:%M:%SZ')) AS parsed_us
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** T7: dead-reckoning projection 60 s ahead from speed + course. */
+  private def deadReckon(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cog = ($"event_id" % 360).cast("double")
+    Tbl.events(s, d)
+      .withColumn("lon", lonOf($"user_id", $"event_id"))
+      .withColumn("lat", latOf($"user_id", $"event_id"))
+      .select($"event_id", $"value".as("sog_kn"),
+              round(deadReckonLon($"lon", $"lat", $"value", cog, lit(60.0)), 6)
+                .as("pred_lon"),
+              round(deadReckonLat($"lat", $"value", cog, lit(60.0)), 6)
+                .as("pred_lat"))
+      .orderBy($"event_id")
+  }
+
+  private val deadReckonSql = {
+    val dist = "(value * 1852.0 / 3600.0 * 60.0)"
+    val cog  = "(event_id % 360)"
+    s"""SELECT event_id, value AS sog_kn,
+       |  round(lon + $dist * sin(${radS(cog)}) / (111320.0 * cos(${radS("lat")})), 6) AS pred_lon,
+       |  round(lat + $dist * cos(${radS(cog)}) / 111320.0, 6) AS pred_lat
+       |FROM (SELECT event_id, value, $lonS AS lon, $latS AS lat FROM events)
+       |ORDER BY event_id""".stripMargin
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_wkt_parse"       -> (wktParse _),
+    "f2_ecef"            -> (ecef _),
+    "f3_rot_decode"      -> (rotDecodeQ _),
+    "f4_affine_pixel"    -> (affinePixel _),
+    "f5_haversine"       -> (haversineQ _),
+    "f6_path_angle"      -> (pathAngle _),
+    "w1_bbox_filter"     -> (bboxFilter _),
+    "w5_sog_repair"      -> (sogRepair _),
+    "p1_cast_roundtrip"  -> (castRoundtrip _),
+    "p2_json_extract"    -> (jsonExtract _),
+    "p7_json_envelope"   -> (jsonEnvelope _),
+    "p8_timestamp_parse" -> (timestampParse _),
+    "t7_dead_reckoning"  -> (deadReckon _))
+
+  override val oracles: Map[String, String] = Map(
+    "f1_wkt_parse"       -> wktParseSql,
+    "f2_ecef"            -> ecefSql,
+    "f3_rot_decode"      -> rotDecodeSql,
+    "f4_affine_pixel"    -> affinePixelSql,
+    "f5_haversine"       -> haversineSql,
+    "f6_path_angle"      -> pathAngleSql,
+    "w1_bbox_filter"     -> bboxFilterSql,
+    "w5_sog_repair"      -> sogRepairSql,
+    "p1_cast_roundtrip"  -> castRoundtripSql,
+    "p2_json_extract"    -> jsonExtractSql,
+    "p7_json_envelope"   -> jsonEnvelopeSql,
+    "p8_timestamp_parse" -> timestampParseSql,
+    "t7_dead_reckoning"  -> deadReckonSql)
+}
