@@ -14,7 +14,10 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     RelationalOps,
     AisOps,
-    WindowOps)
+    WindowOps,
+    TextOps,
+    DedupOps,
+    SimilarityOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,267 @@
+package graft.operators
+
+import graft.{QueryModule, Tbl}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication surface for the LLM-training-data mandate: exact
+  * (hash-group), MinHash+LSH banding, SimHash, and n-gram Jaccard — all
+  * over `documents`.
+  *
+  * 100 TB design notes:
+  *  - Exact dedup groups on a 128-bit content hash, never on the raw
+  *    text — the shuffle carries 16 bytes + doc_id per row.
+  *  - MinHash/LSH finds candidates via an equi-join on (band, bandHash)
+  *    — the classic O(n·bands) bucket join, no quadratic comparison.
+  *  - n-gram Jaccard uses the explode→join-on-gram→count formulation
+  *    (|A∩B| from a shared-gram count aggregate), not array scans.
+  *  - SimHash is a pure per-row fold over the word array (no shuffle),
+  *    with integer bit-vote sums — exact in any evaluation order.
+  *
+  * Hash portability: minhash values are md5 hex strings (salted per hash
+  * function), ordered lexicographically — identical in the DuckDB oracle,
+  * no engine-specific hash functions anywhere.
+  */
+object DedupOps extends QueryModule {
+
+  private def norm(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** Distinct word 3-shingles, staged through a `words` attribute: the
+    * split/regex normalization must be a materialized column BEFORE the
+    * shingle lambda touches it — `element_at(<split-expr>, i)` inside a
+    * higher-order function re-evaluates the split per element (HOFs run
+    * interpreted, outside codegen CSE), which measured 8× slower at
+    * sf0.1. CollapseProject keeps the boundary because `words` is
+    * referenced many times and isn't cheap. */
+  private def withShingles(df: DataFrame): DataFrame = {
+    val w = col("words")
+    val sh = when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ",
+          element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array(concat_ws(" ", w)))
+    df.withColumn("words", split(norm(col("text")), " "))
+      .withColumn("sh", sh)
+  }
+  private val shinglesSql = {
+    val words = s"string_split($normSql, ' ')"
+    s"""CASE WHEN len($words) >= 3 THEN
+       |  list_distinct([$words[i] || ' ' || $words[i+1] || ' ' || $words[i+2]
+       |                 for i in generate_series(1, len($words) - 2)])
+       |ELSE [$normSql] END""".stripMargin
+  }
+
+  /** Exact dedup: md5-of-content grouping; keeper = min doc_id. */
+  private def exactDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.documents(s, d)
+      .groupBy(md5($"text").as("content_hash"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy($"keeper")
+  }
+
+  private val exactDedupSql =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin
+
+  /** Key dedup (dropDuplicates-at-scale, made deterministic): one keeper
+    * per (lang, source) — min_by instead of Spark's arbitrary-row
+    * dropDuplicates. */
+  private def keyDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.documents(s, d)
+      .groupBy($"lang", $"source")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_in_group"))
+      .orderBy($"lang", $"source")
+  }
+
+  private val keyDedupSql =
+    """SELECT lang, source, min(doc_id) AS keeper, count(*) AS n_in_group
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  private val NumHashes = 12
+  private val NumBands = 6 // 6 bands × 2 rows: ~30× fewer candidate pairs
+                           // than 12×1 on low-entropy corpora (measured:
+                           // 377 vs 10,948 pairs/band at sf0.1)
+
+  /** MinHash signature h ∈ [0, NumHashes): min over shingles of salted
+    * md5 — a hex string; lexicographic min is engine-portable. */
+  private def minhash(sh: Column, h: Int): Column =
+    array_min(transform(sh, x => md5(concat(lit(s"$h:"), x))))
+  private def minhashSql(h: Int) =
+    s"list_min(list_transform(sh, x -> md5('$h:' || x)))"
+
+  /** MinHash + LSH near-dup candidates: 12 minhashes banded 2-per-band
+    * (band hash = md5 of the concatenated pair); docs sharing any band
+    * bucket become a candidate pair and are then verified with exact
+    * Jaccard on their shingle sets. */
+  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = withShingles(Tbl.documents(s, d))
+      .select($"doc_id", $"sh")
+    val sigs = docs.select(($"doc_id" +:
+      (0 until NumHashes).map(h => minhash($"sh", h).as(s"mh_$h"))): _*)
+    // explode_outer, not explode: InferFiltersFromGenerate would infer
+    // size(...)>0 from an inner explode and push the ENTIRE generator
+    // expression into a scan-level Filter, re-evaluating the minhash /
+    // shingle pipeline once more per row (measured 2x). Arrays here are
+    // never null/empty, so outer ≡ inner.
+    val bands = sigs.select($"doc_id",
+      explode_outer(array((0 until NumBands).map(b =>
+        struct(lit(b).as("band"),
+               md5(concat(col(s"mh_${2 * b}"), col(s"mh_${2 * b + 1}"))).as("bh"))): _*)).as("b"))
+      .select($"doc_id", $"b.band", $"b.bh")
+    val pairs = bands.as("l")
+      .join(bands.as("r"),
+            $"l.band" === $"r.band" && $"l.bh" === $"r.bh" &&
+            $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("a"), $"r.doc_id".as("b"))
+      .distinct()
+    val withSets = pairs
+      .join(docs.select($"doc_id".as("a"), $"sh".as("sha")), "a")
+      .join(docs.select($"doc_id".as("b"), $"sh".as("shb")), "b")
+    val inter = size(filter($"sha", x => array_contains($"shb", x)))
+    withSets
+      .select($"a", $"b",
+              round(inter.cast("double") /
+                    (size($"sha") + size($"shb") - inter), 6).as("jaccard"))
+      .where($"jaccard" >= 0.05)
+      .orderBy($"a", $"b")
+  }
+
+  private val minhashLshSql = {
+    val mhCols = (0 until NumHashes).map(h => s"${minhashSql(h)} AS mh_$h").mkString(",\n    ")
+    val bandStructs = (0 until NumBands)
+      .map(b => s"{'band': $b, 'bh': md5(mh_${2 * b} || mh_${2 * b + 1})}").mkString(", ")
+    s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |sigs AS (SELECT doc_id,
+       |    $mhCols
+       |  FROM docs),
+       |bands AS (
+       |  SELECT doc_id, u.band AS band, u.bh AS bh
+       |  FROM sigs, LATERAL unnest([$bandStructs]) t(u)),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
+       |SELECT a, b,
+       |  round(CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS DOUBLE)
+       |        / (len(da.sh) + len(db.sh)
+       |           - len(list_filter(da.sh, x -> list_contains(db.sh, x)))), 6) AS jaccard
+       |FROM pairs JOIN docs da ON da.doc_id = a JOIN docs db ON db.doc_id = b
+       |WHERE round(CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS DOUBLE)
+       |        / (len(da.sh) + len(db.sh)
+       |           - len(list_filter(da.sh, x -> list_contains(db.sh, x)))), 6) >= 0.05
+       |ORDER BY a, b""".stripMargin
+  }
+
+  private val SimhashBits = 32
+  private val HexDigits = "0123456789abcdef"
+
+  /** 32-bit SimHash over word occurrences: per bit, every word votes
+    * ±1 by the corresponding md5 bit; bit set iff the vote sum is
+    * positive. Pure integer fold per row — exact in any order, and
+    * shuffle-free. The md5 hex of each word is staged ONCE into an
+    * array attribute; the 32 per-bit folds then only do substr/strpos
+    * arithmetic (dialect-mirrored, identical integer ops). */
+  private def voteSpark(i: Int): String = {
+    val hexPos = i / 4 + 1
+    val shift = 1 << (i % 4)
+    s"aggregate(hx, CAST(0 AS BIGINT), (acc, h) -> acc + ((CAST(instr('$HexDigits', substr(h, $hexPos, 1)) AS BIGINT) - 1) div $shift) % 2 * 2 - 1)"
+  }
+  private def voteDuck(i: Int): String = {
+    val hexPos = i / 4 + 1
+    val shift = 1 << (i % 4)
+    s"list_sum([((strpos('$HexDigits', substr(h, $hexPos, 1)) - 1) // $shift) % 2 * 2 - 1 for h in hx])"
+  }
+
+  private def simhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val voteCols = (0 until SimhashBits).map(i => s"${voteSpark(i)} AS v_$i")
+    val hashSum = (0 until SimhashBits)
+      .map(i => s"CASE WHEN v_$i > 0 THEN ${1L << i}L ELSE 0L END")
+      .mkString(" + ")
+    Tbl.documents(s, d)
+      .select($"doc_id", split(norm($"text"), " ").as("words"))
+      .select($"doc_id", transform($"words", w => md5(w)).as("hx"))
+      .selectExpr(("doc_id" +: voteCols): _*)
+      .selectExpr("doc_id", s"$hashSum AS simhash")
+      .orderBy($"doc_id")
+  }
+
+  private val simhashSql = {
+    val voteCols = (0 until SimhashBits).map(i => s"${voteDuck(i)} AS v_$i").mkString(",\n    ")
+    val hashSum = (0 until SimhashBits)
+      .map(i => s"CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, $hashSum AS simhash
+       |FROM (SELECT doc_id, $voteCols
+       |      FROM (SELECT doc_id, list_transform(string_split($normSql, ' '), w -> md5(w)) AS hx
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** n-gram (word-trigram) Jaccard similarity via the scalable
+    * explode→join-on-gram→count formulation, blocked by language:
+    * |A∩B| comes from a per-pair shared-gram count, |A∪B| from the
+    * per-doc distinct-gram counts — no quadratic array scans. Trigrams
+    * (not bigrams) keep per-gram document frequency low, which bounds
+    * the pair blow-up of the gram join on low-entropy corpora. */
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docGrams = withShingles(Tbl.documents(s, d))
+      .select($"doc_id", $"lang", $"sh".as("g"))
+    val counts = docGrams.select($"doc_id", size($"g").as("ng"))
+    val exploded = docGrams.select($"doc_id", $"lang", explode_outer($"g").as("gram"))
+    val shared = exploded.as("l")
+      .join(exploded.as("r"),
+            $"l.lang" === $"r.lang" && $"l.gram" === $"r.gram" &&
+            $"l.doc_id" < $"r.doc_id")
+      .groupBy($"l.doc_id".as("a"), $"r.doc_id".as("b"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(counts.select($"doc_id".as("a"), $"ng".as("na")), "a")
+      .join(counts.select($"doc_id".as("b"), $"ng".as("nb")), "b")
+      .select($"a", $"b",
+              round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 6)
+                .as("jaccard"))
+      .where($"jaccard" >= 0.05)
+      .orderBy($"a", $"b")
+  }
+
+  private val ngramJaccardSql = {
+    s"""WITH dg AS (
+       |  SELECT doc_id, lang, $shinglesSql AS g
+       |  FROM documents),
+       |counts AS (SELECT doc_id, len(g) AS ng FROM dg),
+       |ex AS (SELECT doc_id, lang, unnest(g) AS gram FROM dg),
+       |shared AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+       |  FROM ex l JOIN ex r
+       |    ON l.lang = r.lang AND l.gram = r.gram AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b,
+       |  round(CAST(inter AS DOUBLE) / (ca.ng + cb.ng - inter), 6) AS jaccard
+       |FROM shared JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
+       |WHERE round(CAST(inter AS DOUBLE) / (ca.ng + cb.ng - inter), 6) >= 0.05
+       |ORDER BY a, b""".stripMargin
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact"         -> (exactDedup _),
+    "dd_key_dedup"     -> (keyDedup _),
+    "dd_minhash_lsh"   -> (minhashLsh _),
+    "dd_simhash"       -> (simhash _),
+    "dd_ngram_jaccard" -> (ngramJaccard _))
+
+  override val oracles: Map[String, String] = Map(
+    "dd_exact"         -> exactDedupSql,
+    "dd_key_dedup"     -> keyDedupSql,
+    "dd_minhash_lsh"   -> minhashLshSql,
+    "dd_simhash"       -> simhashSql,
+    "dd_ngram_jaccard" -> ngramJaccardSql)
+}
