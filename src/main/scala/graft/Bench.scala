@@ -13,7 +13,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // streaming queries leave memory-sink tables behind; drop them so
+      // driver heap doesn't degrade later queries
+      spark.catalog.clearCache()
+      spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

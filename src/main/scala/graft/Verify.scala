@@ -21,6 +21,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop memory-sink tables left by streaming queries
+      spark.catalog.clearCache()
+      spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -107,9 +107,11 @@ object WindowOps extends QueryModule {
 
   /** A5: gap-fill linear interpolation (`README.md:46`, Mao et al. 2016):
     * synthesize a point every 60 s inside any per-key gap > 60 s, value
-    * linearly interpolated. Batch twin of the streaming state-timeout
-    * version (StreamingOps); `sequence`+`explode` keeps it fully
-    * distributed — no driver loop, no state. */
+    * linearly interpolated. Gaps ≥ 1 h are session breaks and are NOT
+    * interpolated (unbounded gaps would synthesize 63M rows from 100k
+    * events on this dataset — and arbitrarily many at 100 TB). Batch
+    * twin of the streaming stateful version (graft.streaming);
+    * `sequence`+`explode` keeps it fully distributed — no driver loop. */
   private def gapFill(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"t_us")
@@ -118,7 +120,8 @@ object WindowOps extends QueryModule {
       .select($"user_id", unix_micros($"ts").as("t_us"), $"value")
       .withColumn("p_us", lag($"t_us", 1).over(w))
       .withColumn("p_v", lag($"value", 1).over(w))
-      .where($"p_us".isNotNull && ($"t_us" - $"p_us") > stepUs)
+      .where($"p_us".isNotNull && ($"t_us" - $"p_us") > stepUs &&
+             ($"t_us" - $"p_us") < 3600000000L)
       .withColumn("gap_us", $"t_us" - $"p_us")
       .withColumn("k", explode(sequence(lit(1L), expr(s"(gap_us - 1) div $stepUs"))))
       .select($"user_id",
@@ -137,7 +140,8 @@ object WindowOps extends QueryModule {
       |           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS p_us,
       |           lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS p_v
       |    FROM events)
-      |  WHERE p_us IS NOT NULL AND t_us - p_us > 60000000),
+      |  WHERE p_us IS NOT NULL AND t_us - p_us > 60000000
+      |    AND t_us - p_us < 3600000000),
       |  LATERAL unnest(generate_series(1, (gap_us - 1) // 60000000)) t(k)
       |ORDER BY user_id, syn_ts_us""".stripMargin
 

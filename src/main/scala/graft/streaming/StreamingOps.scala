@@ -1,0 +1,295 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.{QueryModule, Tbl}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.1/2.2/2.6/2.7), run to
+  * completion so the driver's DuckDB oracle can check it: each query
+  * reads the events parquet AS A STREAM (file source), applies the
+  * streaming operator under `Trigger.AvailableNow`, lands in a memory
+  * sink, and returns the final table — proving the streaming path
+  * computes exactly what the batch oracle computes.
+  *
+  * Covered: file stream source (S1-ish), memory sink (K6-class),
+  * checkpointing (K7), watermark (A2), sliding window agg (A1), update /
+  * append / complete output modes (T4), AvailableNow trigger (T2-class),
+  * flatMapGroupsWithState keyed state (T1 rebuilt), streaming dedup
+  * (J5), stream-static broadcast join, foreachBatch (K5), and the
+  * flagship AIS preprocess pipeline (§3.1) both batch and streaming.
+  */
+object StreamingOps extends QueryModule {
+
+  /** Raw parquet schema of events (ts is TIMESTAMP(NANOS), which Spark
+    * reads as long under the legacy flag Tbl.events also sets). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** events.parquet as a bounded stream with a proper event-time col.
+    * The file stream source wants a directory, so the single parquet
+    * file is exposed through a temp dir symlink. */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("events_stream")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+                             java.nio.file.Paths.get(s"$d/events.parquet"))
+    s.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DF to completion into a memory sink, return the
+    * resulting table. AvailableNow + a fresh checkpoint dir per run. */
+  private def runToTable(s: SparkSession, df: DataFrame, name: String,
+                         mode: OutputMode): DataFrame = {
+    // checkpoint checksums add ~1s fixed cost per query on local FS;
+    // irrelevant for throwaway AvailableNow checkpoints
+    s.conf.set("spark.sql.streaming.checkpointFileChecksum.enabled", "false")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation",
+              Files.createTempDirectory(s"ckpt_$name").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.stop()
+    s.table(name)
+  }
+
+  /** A1+A2 streaming: watermarked sliding-window kinematic smoothing in
+    * update mode — the ⚠ intent of `preprocess.py:78-88`. Single
+    * AvailableNow batch ⇒ the update stream emits every window exactly
+    * once, so the batch oracle (same as a1_sliding_window) applies. */
+  private def streamWindowAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "2 minutes", "1 minute"), $"user_id")
+      .agg(sum(Tbl.cents($"value")).as("v_c"),
+           count(lit(1)).as("n"),
+           max_by($"value", $"ts").as("last_value"))
+    runToTable(s, agg, "s_window_agg", OutputMode.Update())
+      .select(unix_micros($"window.start").as("ws_us"),
+              unix_micros($"window.end").as("we_us"),
+              $"user_id",
+              round($"v_c" / 100.0 / $"n", 6).as("moving_avg"),
+              $"last_value", $"n")
+      .orderBy($"ws_us", $"user_id")
+  }
+
+  /** T1 rebuilt: flatMapGroupsWithState "latest 3 per vessel". Output
+    * matches the batch ranking query a3_top3_per_key exactly. */
+  private def streamLast3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import StatefulOps._
+    val typed = eventStream(s, d)
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id", $"value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        last3PerKey _)
+    runToTable(s, typed.toDF(), "s_last3", OutputMode.Update())
+      .select($"user_id", $"rn", $"event_id", $"ts_us", $"value")
+      .orderBy($"user_id", $"rn")
+  }
+
+  /** A5 streaming: keyed gap-fill interpolation via state; same oracle
+    * as the batch twin a5_gap_fill. */
+  private def streamGapFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import StatefulOps._
+    val typed = eventStream(s, d)
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id", $"value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        gapFill _)
+    runToTable(s, typed.toDF(), "s_gap_fill", OutputMode.Update())
+      .select($"user_id", $"syn_ts_us", $"syn_value")
+      .orderBy($"user_id", $"syn_ts_us")
+  }
+
+  /** J5 streaming: stateful dropDuplicates over the stream. */
+  private def streamDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dd = eventStream(s, d)
+      .select($"user_id", $"event_type")
+      .dropDuplicates("user_id", "event_type")
+    runToTable(s, dd, "s_dedup", OutputMode.Append())
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** T4 complete mode: running per-type counts. */
+  private def streamCompleteCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = eventStream(s, d)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(Tbl.cents($"value")).as("v_c"))
+    runToTable(s, agg, "s_complete", OutputMode.Complete())
+      .select($"event_type", $"n", round($"v_c" / 100.0, 2).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  /** Stream-static broadcast join: streaming events enriched with the
+    * static customer dim — at 100 TB the dim is broadcast per batch, the
+    * stream never shuffles. */
+  private def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = broadcast(Tbl.customer(s, d)
+      .select($"c_custkey", $"c_mktsegment"))
+    val joined = eventStream(s, d)
+      .join(cust, $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(Tbl.cents($"value")).as("v_c"))
+    runToTable(s, joined, "s_static_join", OutputMode.Complete())
+      .select($"c_mktsegment", $"n", round($"v_c" / 100.0, 2).as("sum_value"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** K5 foreachBatch: per-micro-batch arbitrary batch logic — here the
+    * per-batch aggregate is appended to a parquet dir (the reference
+    * appends CSV inside foreachBatch, `predict_path.py:71`), then read
+    * back. Single batch ⇒ equals the global aggregate. */
+  private def foreachBatchAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val outDir = Files.createTempDirectory("febatch").toString
+    val q = eventStream(s, d)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+              Files.createTempDirectory("ckpt_febatch").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    q.stop()
+    s.read.parquet(outDir).orderBy($"event_type")
+  }
+
+  /** Flagship §3.1 end to end, streaming: events → synthetic AIS JSON
+    * envelope (the Kafka wire shape) → the full preprocess pipeline
+    * (P1,P2,P3,W4,F1,P5,W1,F2,F3,P6,P8) → rounded features. */
+  private def streamAisPreprocess(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val envelope = eventStream(s, d).select(
+      to_json(struct(
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss'Z'").as("timestamp_utc"),
+        $"user_id".cast("int").as("mmsi"),
+        concat(lit("POINT ("),
+               (lit(100.0) + ($"user_id" % 30) + ($"event_id" % 100) / 100.0),
+               lit(" "),
+               (($"event_id" % 30) + ($"user_id" % 100) / 100.0),
+               lit(")")).as("position"),
+        $"value".as("speed_over_ground"),
+        ($"event_id" % 360).cast("double").as("course_over_ground"),
+        $"value".as("rate_of_turn"),
+        lit(1).as("message_type"))).as("value"))
+    val features = AisPipeline.preprocess(envelope)
+    runToTable(s, features, "s_ais_preprocess", OutputMode.Append())
+      .select($"mmsi", $"timestamp_utc", $"speed_over_ground",
+              round($"rate_of_turn", 6).as("rate_of_turn"),
+              $"longitude", $"latitude",
+              round($"cartesian_x", 2).as("cartesian_x"),
+              round($"cartesian_y", 2).as("cartesian_y"))
+      .orderBy($"mmsi", $"timestamp_utc", $"longitude", $"latitude",
+               $"speed_over_ground")
+  }
+
+  // ---- oracles ----
+
+  private val windowAggSql =
+    """SELECT (epoch_us(ts) // 60000000 - k) * 60000000 AS ws_us,
+      |       (epoch_us(ts) // 60000000 - k) * 60000000 + 120000000 AS we_us,
+      |       user_id,
+      |       round(sum(CAST(round(value*100) AS BIGINT))/100.0/count(*), 6) AS moving_avg,
+      |       arg_max(value, epoch_us(ts)) AS last_value,
+      |       count(*) AS n
+      |FROM events, (VALUES (0),(1)) offs(k)
+      |GROUP BY 1, 2, 3 ORDER BY ws_us, user_id""".stripMargin
+
+  private val last3Sql =
+    """SELECT user_id, rn, event_id, epoch_us(ts) AS ts_us, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |                               ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+
+  private val gapFillSql =
+    """SELECT user_id, p_us + k * 60000000 AS syn_ts_us,
+      |  round(p_v + (value - p_v) * ((k * 60000000.0) / gap_us), 6) AS syn_value
+      |FROM (
+      |  SELECT *, t_us - p_us AS gap_us FROM (
+      |    SELECT user_id, epoch_us(ts) AS t_us, value,
+      |           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS p_us,
+      |           lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS p_v
+      |    FROM events)
+      |  WHERE p_us IS NOT NULL AND t_us - p_us > 60000000
+      |    AND t_us - p_us < 3600000000),
+      |  LATERAL unnest(generate_series(1, (gap_us - 1) // 60000000)) t(k)
+      |ORDER BY user_id, syn_ts_us""".stripMargin
+
+  private val dedupSql =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  private val completeSql =
+    """SELECT event_type, count(*) AS n,
+      |  round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val staticJoinSql =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private val foreachBatchSql =
+    """SELECT event_type, count(*) AS n FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val aisPreprocessSql = {
+    val lon = "(100.0 + (user_id % 30) + (event_id % 100) / 100.0)"
+    val lat = "((event_id % 30) + (user_id % 100) / 100.0)"
+    val e2 = "((1.0/298.257223563) * (2.0 - 1.0/298.257223563))"
+    def rad(x: String) = s"($x * pi() / 180.0)"
+    def n(latS: String) =
+      s"(6378137.0 / sqrt(1.0 - $e2 * sin(${rad(latS)}) * sin(${rad(latS)})))"
+    s"""SELECT CAST(user_id AS INT) AS mmsi,
+       |  strptime(strftime(ts, '%Y-%m-%d %H:%M:%SZ'), '%Y-%m-%d %H:%M:%SZ') AS timestamp_utc,
+       |  value AS speed_over_ground,
+       |  round((value / 4.733) * (value / 4.733), 6) AS rate_of_turn,
+       |  lon AS longitude, lat AS latitude,
+       |  round((${n("lat")} + 124.0) * cos(${rad("lat")}) * cos(${rad("lon")}), 2) AS cartesian_x,
+       |  round((${n("lat")} + 124.0) * cos(${rad("lat")}) * sin(${rad("lon")}), 2) AS cartesian_y
+       |FROM (SELECT user_id, ts, value, event_id, $lon AS lon, $lat AS lat FROM events)
+       |WHERE lat > 7 AND lat < 23 AND lon > 105 AND lon < 123
+       |ORDER BY mmsi, timestamp_utc, longitude, latitude, speed_over_ground""".stripMargin
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_stream_window_agg"  -> (streamWindowAgg _),
+    "s2_stream_last3"       -> (streamLast3 _),
+    "s3_stream_gap_fill"    -> (streamGapFill _),
+    "s4_stream_dedup"       -> (streamDedup _),
+    "s5_stream_complete"    -> (streamCompleteCounts _),
+    "s6_stream_static_join" -> (streamStaticJoin _),
+    "s7_foreach_batch"      -> (foreachBatchAgg _),
+    "s8_ais_preprocess"     -> (streamAisPreprocess _))
+
+  override val oracles: Map[String, String] = Map(
+    "s1_stream_window_agg"  -> windowAggSql,
+    "s2_stream_last3"       -> last3Sql,
+    "s3_stream_gap_fill"    -> gapFillSql,
+    "s4_stream_dedup"       -> dedupSql,
+    "s5_stream_complete"    -> completeSql,
+    "s6_stream_static_join" -> staticJoinSql,
+    "s7_foreach_batch"      -> foreachBatchSql,
+    "s8_ais_preprocess"     -> aisPreprocessSql)
+}
