@@ -1,0 +1,202 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import graft.{QueryModule, Tbl}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column surface for the LLM-training-data mandate: media as
+  * opaque `binary` content + a typed metadata struct, with decode /
+  * feature-extract / resize / frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the actual pixel/sample
+  * decode is STUBBED (see [[MediaCodec.decodeImage]]) behind a
+  * deterministic fake; everything Spark-side is real and tested: the
+  * binary+struct schema, the per-partition batch processing
+  * (`mapPartitions` — the JVM analog of `mapInPandas` batches), the
+  * frame windowing, and the metadata arithmetic.
+  *
+  * 100 TB posture: content bytes never shuffle — every stage is a
+  * per-row/per-partition map; only ids + features leave the scan stage.
+  * Verification: features are md5/length/int arithmetic over the same
+  * bytes in DuckDB — no codec in the oracle either. DuckDB's md5 /
+  * substring are VARCHAR-only, so the oracle states them over `text`;
+  * that is byte-identical because md5 hashes the UTF-8 bytes either way
+  * and the payloads are pure ASCII (verified at every SF), so char
+  * offsets equal byte offsets.
+  */
+object MultimodalOps extends QueryModule {
+
+  /** Typed metadata carried beside the opaque content bytes. */
+  final case class MediaMeta(width: Int, height: Int, channels: Int,
+                             format: String)
+  final case class MediaRow(media_id: Long, kind: String,
+                            content: Array[Byte], width: Int, height: Int,
+                            channels: Int, format: String)
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                                 content_md5: String, dec_width: Int,
+                                 dec_height: Int)
+
+  /** The codec boundary. A real deployment plugs libjpeg/ffmpeg here;
+    * this container has none, so decode is a STUB with a deterministic
+    * fake implementation (content length → fake dimensions). The
+    * signature — bytes in, (pixels-ish, dims) out, called per row inside
+    * a partition batch — is the real contract. */
+  object MediaCodec {
+    /** STUB — deterministic fake decode: no codec libs in this
+      * environment. Fake dims derive from byte length exactly as the
+      * SQL oracle mirrors them. */
+    def decodeImage(content: Array[Byte]): (Int, Int) = {
+      // ??? <- real codec goes here; deterministic fake below
+      val n = content.length
+      (n % 640, n % 480)
+    }
+
+    def md5Hex(content: Array[Byte]): String =
+      MessageDigest.getInstance("MD5").digest(content)
+        .map("%02x".format(_)).mkString
+  }
+
+  /** Media table synthesized deterministically from `documents`: content
+    * = UTF-8 bytes of text (an opaque payload as far as the pipeline is
+    * concerned), kind/format/dims derived from doc_id/n_chars. */
+  private def media(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.documents(s, d).select(
+      $"doc_id".as("media_id"),
+      when($"doc_id" % 3 === 0, "image")
+        .when($"doc_id" % 3 === 1, "audio").otherwise("video").as("kind"),
+      encode($"text", "UTF-8").as("content"),
+      ($"n_chars" % 640).cast("int").as("width"),
+      ($"n_chars" % 480).cast("int").as("height"),
+      lit(3).as("channels"),
+      when($"doc_id" % 3 === 0, "png")
+        .when($"doc_id" % 3 === 1, "wav").otherwise("mp4").as("format"))
+  }
+
+  /** Ingest: binary + typed metadata, content fingerprinted — pure
+    * column expressions, no codec needed. */
+  private def mmIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d)
+      .select($"media_id", $"kind",
+              length($"content").as("n_bytes"),
+              md5($"content").as("content_md5"),
+              $"width", $"height", $"channels", $"format")
+      .orderBy($"media_id")
+  }
+
+  private val mmIngestSql =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  CAST(n_chars % 640 AS INT) AS width,
+      |  CAST(n_chars % 480 AS INT) AS height,
+      |  3 AS channels,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Decode + feature-extract via `mapPartitions` — the mapInPandas
+    * batch shape: one JVM call per partition iterating its rows, codec
+    * invoked per row, only small features returned. */
+  private def mmDecodeFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (dw, dh) = MediaCodec.decodeImage(r.content)
+          MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
+                        MediaCodec.md5Hex(r.content), dw, dh)
+        }
+      }
+      .toDF()
+      .orderBy($"media_id")
+  }
+
+  private val mmDecodeFeaturesSql =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  CAST(octet_length(encode(text)) % 640 AS INT) AS dec_width,
+      |  CAST(octet_length(encode(text)) % 480 AS INT) AS dec_height
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Resize plan: metadata arithmetic (half-size, aspect preserved) plus
+    * a byte-level downsample of the payload (every other... the first
+    * half window here — substring on binary), all portable. */
+  private def mmResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d)
+      .select($"media_id",
+              $"width", $"height",
+              ($"width" / 2).cast("int").as("out_width"),
+              ($"height" / 2).cast("int").as("out_height"),
+              length($"content").as("n_bytes"),
+              length(expr("substring(content, 1, octet_length(content) div 2)"))
+                .as("n_bytes_out"),
+              md5(expr("substring(content, 1, octet_length(content) div 2)"))
+                .as("out_md5"))
+      .orderBy($"media_id")
+  }
+
+  private val mmResizeSql =
+    """SELECT doc_id AS media_id,
+      |  CAST(n_chars % 640 AS INT) AS width,
+      |  CAST(n_chars % 480 AS INT) AS height,
+      |  CAST((n_chars % 640) // 2 AS INT) AS out_width,
+      |  CAST((n_chars % 480) // 2 AS INT) AS out_height,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  length(substring(text, 1, length(text) // 2)) AS n_bytes_out,
+      |  md5(substring(text, 1, length(text) // 2)) AS out_md5
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Frame sampling: treat video payloads as fixed-size frame windows
+    * (64 B), keep every 4th frame, fingerprint each — the windowing /
+    * explode plumbing of real frame extraction. */
+  private def mmFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frameLen = 64
+    val stride = 4
+    media(s, d)
+      .where($"kind" === "video")
+      .withColumn("n_frames",
+        expr(s"octet_length(content) div $frameLen").cast("int"))
+      .withColumn("frame_idx",
+        explode_outer(sequence(lit(0),
+          greatest(expr(s"(octet_length(content) div $frameLen) - 1"), lit(0)),
+          lit(stride))))
+      .select($"media_id", $"n_frames", $"frame_idx",
+              md5(expr(s"substring(content, frame_idx * $frameLen + 1, $frameLen)"))
+                .as("frame_md5"))
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  private val mmFrameSampleSql =
+    """SELECT media_id, n_frames, frame_idx,
+      |  md5(substring(content, frame_idx * 64 + 1, 64)) AS frame_md5
+      |FROM (
+      |  SELECT doc_id AS media_id, text AS content,
+      |    CAST(length(text) // 64 AS INT) AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |  LATERAL unnest(generate_series(0,
+      |    greatest(length(content) // 64 - 1, 0), 4)) t(frame_idx)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_ingest"          -> (mmIngest _),
+    "mm_decode_features" -> (mmDecodeFeatures _),
+    "mm_resize"          -> (mmResize _),
+    "mm_frame_sample"    -> (mmFrameSample _))
+
+  override val oracles: Map[String, String] = Map(
+    "mm_ingest"          -> mmIngestSql,
+    "mm_decode_features" -> mmDecodeFeaturesSql,
+    "mm_resize"          -> mmResizeSql,
+    "mm_frame_sample"    -> mmFrameSampleSql)
+}
