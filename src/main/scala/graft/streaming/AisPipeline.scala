@@ -77,8 +77,11 @@ object AisPipeline {
       .withColumn("cartesian_y", ecefY(col("longitude"), col("latitude")))
       .withColumn("rate_of_turn", rotDecode(col("rate_of_turn")))  // F3
       .drop("coords", "position", "message_type")           // P6
+      // try_to_timestamp, not to_timestamp: the reference runs Spark 3.1
+      // (ANSI off) where a pattern miss yields null; Spark 4's ANSI
+      // default would throw. Null-on-miss is the contract (§1.2).
       .withColumn("timestamp_utc",
-        to_timestamp(col("timestamp_utc"), "yyyy-MM-dd HH:mm:ss'Z'")) // P8
+        try_to_timestamp(col("timestamp_utc"), lit("yyyy-MM-dd HH:mm:ss'Z'"))) // P8
     parsed
   }
 

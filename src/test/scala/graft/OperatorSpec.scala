@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-cutting operator invariants over the sf0.001 fixture — the
+  * oracle-differential harness (tools/check.py) is the exhaustive gate;
+  * these specs pin the structural properties it can't express. */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+  private val d = "/root/testdata/sf0.001"
+
+  test("every registered query has either an oracle or a doc'd rows-only check") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"orphan oracles: ${o -- q}")
+    val rowsOnly = q -- o
+    // only the sketch-based op is exempt from SQL oracling
+    assert(rowsOnly == Set("x_approx_distinct"), s"unexpected rows-only: $rowsOnly")
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("a3 top-3: at most 3 rows per key, ranks contiguous from 1") {
+    val df = SparkEntry.queries("a3_top3_per_key")(spark, d)
+    val byKey = df.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), max($"rn").as("maxrn"), min($"rn").as("minrn"))
+    assert(byKey.where($"n" > 3 || $"maxrn" =!= $"n" || $"minrn" =!= 1).count() == 0)
+  }
+
+  test("dd_exact: keeper count sums to table size") {
+    val df = SparkEntry.queries("dd_exact")(spark, d)
+    val total = df.agg(sum($"n_copies")).collect().head.getLong(0)
+    assert(total == Tbl.documents(spark, d).count())
+  }
+
+  test("dd_minhash_lsh: pairs are ordered and jaccard-bounded") {
+    val df = SparkEntry.queries("dd_minhash_lsh")(spark, d)
+    assert(df.where($"a" >= $"b").count() == 0)
+    assert(df.where($"jaccard" < 0.0 || $"jaccard" > 1.0).count() == 0)
+  }
+
+  test("dd_simhash: hashes are 32-bit non-negative") {
+    val df = SparkEntry.queries("dd_simhash")(spark, d)
+    assert(df.where($"simhash" < 0L || $"simhash" > ((1L << 32) - 1)).count() == 0)
+  }
+
+  test("sim_topk_brute: k rows per query, cosine within [-1,1], rank-ordered") {
+    val df = SparkEntry.queries("sim_topk_brute")(spark, d)
+    val perQ = df.groupBy($"q_id").agg(count(lit(1)).as("n"))
+    assert(perQ.where($"n" > 5).count() == 0)
+    assert(df.where(abs($"cosine") > 1.000001).count() == 0)
+    // within a query, rank order must follow cosine desc
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"q_id").orderBy($"rk")
+    val bad = df.withColumn("prev", lag($"cosine", 1).over(w))
+      .where($"prev".isNotNull && $"prev" < $"cosine")
+    assert(bad.count() == 0)
+  }
+
+  test("sim_lsh_ann results are a subset of brute-force candidates' scores") {
+    val brute = SparkEntry.queries("sim_topk_brute")(spark, d)
+      .select($"q_id", $"vec_id", $"cosine")
+    val ann = SparkEntry.queries("sim_lsh_ann")(spark, d)
+      .select($"q_id", $"vec_id", $"cosine")
+    // ANN cosine values must agree exactly with brute-force where both rank
+    val joined = ann.join(brute, Seq("q_id", "vec_id"), "inner")
+    assert(joined.where(brute("cosine") =!= ann("cosine")).count() == 0)
+  }
+
+  test("a5 gap fill: synthetic points strictly inside (60s, 1h) gaps") {
+    val syn = SparkEntry.queries("a5_gap_fill")(spark, d)
+    val ev = Tbl.events(spark, d)
+      .select($"user_id", unix_micros($"ts").as("t_us"))
+    // no synthetic point may coincide with a real event
+    val clash = syn.join(ev, syn("user_id") === ev("user_id") &&
+                             syn("syn_ts_us") === ev("t_us"))
+    assert(clash.count() == 0)
+  }
+
+  test("x_rollup_revenue: grand total equals sum of leaf rows") {
+    val df = SparkEntry.queries("x_rollup_revenue")(spark, d).cache()
+    val grand = df.where($"region" === "(all)" && $"nation" === "(all)")
+      .select($"revenue").collect().head.getDouble(0)
+    val leaves = df.where($"region" =!= "(all)" && $"nation" =!= "(all)")
+      .agg(round(sum($"revenue"), 4)).collect().head.getDouble(0)
+    assert(math.abs(grand - leaves) < 0.01)
+    df.unpersist()
+  }
+
+  test("mm_decode_features: mapPartitions md5 equals SQL md5") {
+    val mp = SparkEntry.queries("mm_decode_features")(spark, d)
+      .select($"media_id", $"content_md5")
+    val sql = SparkEntry.queries("mm_ingest")(spark, d)
+      .select($"media_id", $"content_md5".as("sql_md5"))
+    val bad = mp.join(sql, "media_id").where($"content_md5" =!= $"sql_md5")
+    assert(bad.count() == 0)
+  }
+}

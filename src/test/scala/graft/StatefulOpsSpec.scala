@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming.StatefulOps._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Keyed state handlers: pure-function unit tests plus a genuine
+  * MULTI-batch MemoryStream e2e — the cross-batch state semantics that
+  * the AvailableNow single-batch oracle runs can't exercise. */
+class StatefulOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, tsS: Long, user: Long, v: Double) =
+    Ev(id, tsS * 1000000L, user, v)
+
+  test("last3PerKey e2e: state carries across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = input.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        last3PerKey _)
+    val q = out.writeStream.format("memory").queryName("t_last3")
+      .outputMode("update").start()
+    try {
+      input.addData(ev(1, 100, 7, 1.0), ev(2, 200, 7, 2.0))
+      q.processAllAvailable()
+      var rows = spark.table("t_last3").as[Ranked].collect()
+      assert(rows.map(_.event_id).toSet == Set(1L, 2L))
+
+      // batch 2: two newer events -> event 1 must fall out of the top-3
+      input.addData(ev(3, 300, 7, 3.0), ev(4, 400, 7, 4.0))
+      q.processAllAvailable()
+      rows = spark.table("t_last3").as[Ranked].collect()
+      val lastBatch = rows.groupBy(_.event_id).keySet
+      assert(lastBatch.contains(4L) && lastBatch.contains(3L))
+      val latest = rows.filter(_.rn == 1).map(_.event_id).max
+      assert(latest == 4L)
+      // the final ranking emitted in batch 2 is exactly {4,3,2}
+      val batch2 = rows.filter(r => r.rn <= 3).groupBy(_.event_id)
+      assert(!batch2.contains(5L))
+    } finally q.stop()
+  }
+
+  test("last3PerKey: merge keeps ts-desc order with event_id tiebreak") {
+    val st = new FakeState[Top3State]
+    val out = last3PerKey(9L,
+      Iterator(ev(10, 100, 9, 1.0), ev(12, 100, 9, 3.0), ev(11, 300, 9, 2.0),
+               ev(13, 200, 9, 4.0)),
+      st).toList
+    assert(out.map(_.event_id) == List(11L, 13L, 12L)) // ts desc, id desc
+    assert(out.map(_.rn) == List(1, 2, 3))
+    assert(st.updated.get.rows.length == 3)
+  }
+
+  test("gapFill: interpolates inside 60s..1h gaps only, across batches") {
+    val st = new FakeState[LastSeen]
+    // batch 1: single event seeds state, no output
+    assert(gapFill(5L, Iterator(ev(1, 0, 5, 0.0)), st).isEmpty)
+    assert(st.updated.get == LastSeen(0L, 0.0))
+    // batch 2: 180s later -> synthetic points at +60s, +120s
+    val out = gapFill(5L, Iterator(ev(2, 180, 5, 18.0)), st).toList
+    assert(out.map(_.syn_ts_us) == List(60000000L, 120000000L))
+    assert(out.map(_.syn_value) == List(6.0, 12.0)) // exact lerp
+    // batch 3: 2h later -> session break, nothing synthesized
+    assert(gapFill(5L, Iterator(ev(3, 180 + 7200, 5, 99.0)), st).isEmpty)
+    assert(st.updated.get.value == 99.0)
+  }
+
+  test("gapFill: exact 60s gap synthesizes nothing") {
+    val st = new FakeState[LastSeen]
+    gapFill(1L, Iterator(ev(1, 0, 1, 1.0)), st)
+    assert(gapFill(1L, Iterator(ev(2, 60, 1, 2.0)), st).isEmpty)
+  }
+
+  /** Minimal GroupState stub for pure-function tests. */
+  private class FakeState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
+    var updated: Option[S] = None
+    override def exists: Boolean = updated.isDefined
+    override def get: S = updated.get
+    override def getOption: Option[S] = updated
+    override def update(s: S): Unit = updated = Some(s)
+    override def remove(): Unit = updated = None
+    override def hasTimedOut: Boolean = false
+    override def setTimeoutDuration(d: Long): Unit = ()
+    override def setTimeoutDuration(d: String): Unit = ()
+    override def setTimeoutTimestamp(t: Long): Unit = ()
+    override def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
+    override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+    override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
+    override def getCurrentWatermarkMs(): Long = 0L
+    override def getCurrentProcessingTimeMs(): Long = 0L
+  }
+}
