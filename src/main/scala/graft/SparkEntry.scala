@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.sources.SourceOps
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,6 +21,7 @@ object SparkEntry {
     DedupOps,
     SimilarityOps,
     MultimodalOps,
+    SourceOps,
     StreamingOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

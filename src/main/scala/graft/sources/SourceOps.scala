@@ -1,0 +1,81 @@
+package graft.sources
+
+import graft.{QueryModule, Tbl}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source-side surface (SURVEY.md §2.1): the reference's pipe-delimited
+  * headerless CSV replay (S3, `server.py:47-49`), its fixed-width frame
+  * padding (F8, `server.py:55` — 900-byte ljust frames), and the
+  * in-memory seed relation (S4, `predict_path.py:47-51`).
+  *
+  * The CSV wire format is exercised in-memory (serialize → frame →
+  * unframe → `from_csv` parse) so the round trip is oracle-checkable
+  * without filesystem side effects; the file-based CSV source/sink pair
+  * is covered by the streaming CSV sink query (s9) and unit tests.
+  */
+object SourceOps extends QueryModule {
+
+  private val FrameLen = 200 // the reference uses 900 for its 17-col rows
+
+  /** S3+F8: rows → pipe-CSV line → fixed-width frame → strip → parse
+    * back via from_csv against a declared schema. Integer/string fields
+    * only (double→text formatting differs across engines; the reference
+    * wire carries text anyway). */
+  private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("v_c", LongType)))
+    Tbl.events(s, d)
+      .select(rpad(concat_ws("|",
+        $"event_id", $"user_id", $"event_type", Tbl.cents($"value")),
+        FrameLen, " ").as("frame"))
+      .select(length($"frame").as("frame_len"),
+              from_csv(rtrim($"frame"), schema,
+                       Map("sep" -> "|")).as("m"))
+      .select($"m.event_id", $"m.user_id", $"m.event_type", $"m.v_c",
+              $"frame_len")
+      .orderBy($"event_id")
+  }
+
+  private val csvRoundtripSql =
+    s"""SELECT event_id, user_id, event_type,
+       |  CAST(round(value*100) AS BIGINT) AS v_c, $FrameLen AS frame_len
+       |FROM events ORDER BY event_id""".stripMargin
+
+  /** S4+J1+W3: the sentinel seed relation unioned with the per-key
+    * latest reading — the reference's state bootstrap (sentinel mmsi=-1,
+    * `predict_path.py:47-53`) and its `where mmsi > -4` truncation
+    * predicate (`predict_path.py:67`). */
+  private def seedUnion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seed = s.createDataFrame(Seq((-1L, 0L, 0.0)))
+      .toDF("user_id", "ts_us", "value")
+    val latest = Tbl.events(s, d)
+      .groupBy($"user_id")
+      .agg(max(unix_micros($"ts")).as("ts_us"),
+           max_by($"value", unix_micros($"ts")).as("value"))
+    seed.unionByName(latest)
+      .where($"user_id" > -4)
+      .orderBy($"user_id")
+  }
+
+  private val seedUnionSql =
+    """SELECT * FROM (
+      |  SELECT -1 AS user_id, 0 AS ts_us, 0.0 AS value
+      |  UNION ALL
+      |  SELECT user_id, max(epoch_us(ts)) AS ts_us,
+      |         arg_max(value, epoch_us(ts)) AS value
+      |  FROM events GROUP BY user_id)
+      |WHERE user_id > -4 ORDER BY user_id""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_roundtrip" -> (csvRoundtrip _),
+    "src_seed_union"    -> (seedUnion _))
+
+  override val oracles: Map[String, String] = Map(
+    "src_csv_roundtrip" -> csvRoundtripSql,
+    "src_seed_union"    -> seedUnionSql)
+}

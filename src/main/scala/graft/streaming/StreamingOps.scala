@@ -203,6 +203,34 @@ object StreamingOps extends QueryModule {
                $"speed_over_ground")
   }
 
+  /** K3/K4: streaming CSV sink (the reference's predict_path output,
+    * `predict_path.py:71,95`) — append the stream as headerless CSV,
+    * read it back with a declared schema, aggregate. */
+  private def streamCsvSink(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val outDir = Files.createTempDirectory("csv_sink").toString
+    val q = eventStream(s, d)
+      .select($"user_id", $"event_type")
+      .writeStream.format("csv")
+      .option("path", outDir)
+      .option("checkpointLocation",
+              Files.createTempDirectory("ckpt_csv").toString)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.stop()
+    s.read.schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType))))
+      .csv(outDir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  private val csvSinkSql =
+    """SELECT user_id, event_type, count(*) AS n FROM events
+      |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
+
   // ---- oracles ----
 
   private val windowAggSql =
@@ -281,7 +309,8 @@ object StreamingOps extends QueryModule {
     "s5_stream_complete"    -> (streamCompleteCounts _),
     "s6_stream_static_join" -> (streamStaticJoin _),
     "s7_foreach_batch"      -> (foreachBatchAgg _),
-    "s8_ais_preprocess"     -> (streamAisPreprocess _))
+    "s8_ais_preprocess"     -> (streamAisPreprocess _),
+    "s9_stream_csv_sink"    -> (streamCsvSink _))
 
   override val oracles: Map[String, String] = Map(
     "s1_stream_window_agg"  -> windowAggSql,
@@ -291,5 +320,6 @@ object StreamingOps extends QueryModule {
     "s5_stream_complete"    -> completeSql,
     "s6_stream_static_join" -> staticJoinSql,
     "s7_foreach_batch"      -> foreachBatchSql,
-    "s8_ais_preprocess"     -> aisPreprocessSql)
+    "s8_ais_preprocess"     -> aisPreprocessSql,
+    "s9_stream_csv_sink"    -> csvSinkSql)
 }
