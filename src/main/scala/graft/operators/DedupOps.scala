@@ -101,8 +101,12 @@ object DedupOps extends QueryModule {
     * Jaccard on their shingle sets. */
   private def minhashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // persisted: referenced by both sides of the band self-join AND both
+    // jaccard-verify join-backs — without it the shingle+minhash pipeline
+    // is recomputed 4x (it's ids + small string arrays: ~MBs/1M docs)
     val docs = withShingles(Tbl.documents(s, d))
       .select($"doc_id", $"sh")
+      .persist()
     val sigs = docs.select(($"doc_id" +:
       (0 until NumHashes).map(h => minhash($"sh", h).as(s"mh_$h"))): _*)
     // explode_outer, not explode: InferFiltersFromGenerate would infer
