@@ -21,6 +21,7 @@ object SparkEntry {
     DedupOps,
     SimilarityOps,
     MultimodalOps,
+    ScaleOps,
     SourceOps,
     StreamingOps)
 

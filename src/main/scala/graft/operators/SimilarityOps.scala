@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps extends QueryModule {
 
-  /** Sequential-fold dot product of two float vectors, in double. */
+  /** Sequential-fold dot product of two float vectors, in double —
+    * as a native codegen expression (graft.plans.DotProductFloat): the
+    * `aggregate(zip_with(...))` HOF formulation is semantically equal
+    * but runs interpreted and breaks whole-stage codegen. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-              lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.DotProductFloat.dotF(a, b)
   private def dotSql(a: String, b: String): String =
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in generate_series(1, len($a))])"
 
@@ -113,6 +115,58 @@ object SimilarityOps extends QueryModule {
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   }
 
+  private val NumCentroids = 16
+
+  /** IVF-style ANN: every vector is assigned to its nearest of 16 fixed
+    * centroids (the first 16 corpus vectors — deterministic, no k-means
+    * RNG); queries probe only their own cell (nprobe=1). The inverted
+    * list is just a groupable int column — at 100 TB the cell assignment
+    * is a broadcast map pass and search is an equi-join on cell id. */
+  private def ivfAnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tbl.embeddings(s, d)
+    val cents = emb.where($"vec_id" < NumCentroids)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy(round(dot($"embedding", $"c_emb"), 6).desc, $"c_id")
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("rka", row_number().over(wAssign))
+      .where($"rka" === 1)
+      .select($"vec_id", $"embedding", $"c_id".as("cell"))
+    val queries = assigned.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"cell", $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    assigned.as("c")
+      .join(broadcast(queries).as("q"), Seq("cell"))
+      .where($"c.vec_id" =!= $"q.q_id")
+      .select($"q_id", $"cell", $"c.vec_id".as("vec_id"),
+              round(dot($"q_emb", $"c.embedding"), 6).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val ivfAnnSql = {
+    s"""WITH assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.vec_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${dotSql("e.embedding", "c.embedding")}, 6) DESC,
+       |                 c.vec_id) AS rka
+       |    FROM embeddings e, embeddings c WHERE c.vec_id < $NumCentroids)
+       |  WHERE rka = 1)
+       |SELECT q_id, cell, vec_id, cosine, rk FROM (
+       |  SELECT q.vec_id AS q_id, c.cell AS cell, c.vec_id AS vec_id,
+       |    round(${dotSql("q.embedding", "c.embedding")}, 6) AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |                       ORDER BY round(${dotSql("q.embedding", "c.embedding")}, 6) DESC,
+       |                                c.vec_id) AS rk
+       |  FROM assigned c JOIN assigned q ON c.cell = q.cell
+       |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by class label: the
     * embedding leg of the dedup mandate. */
   private def embeddingNeardup(s: SparkSession, d: String): DataFrame = {
@@ -137,10 +191,12 @@ object SimilarityOps extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute"   -> (topkBrute _),
     "sim_lsh_ann"      -> (lshAnn _),
+    "sim_ivf_ann"      -> (ivfAnn _),
     "sim_emb_neardup"  -> (embeddingNeardup _))
 
   override val oracles: Map[String, String] = Map(
     "sim_topk_brute"   -> topkBruteSql,
     "sim_lsh_ann"      -> lshAnnSql,
+    "sim_ivf_ann"      -> ivfAnnSql,
     "sim_emb_neardup"  -> embeddingNeardupSql)
 }
