@@ -107,8 +107,10 @@ object DedupOps extends QueryModule {
     val docs = withShingles(Tbl.documents(s, d))
       .select($"doc_id", $"sh")
       .persist()
+    // sigs persisted too: both sides of the band self-join reference it
     val sigs = docs.select(($"doc_id" +:
       (0 until NumHashes).map(h => minhash($"sh", h).as(s"mh_$h"))): _*)
+      .persist()
     // explode_outer, not explode: InferFiltersFromGenerate would infer
     // size(...)>0 from an inner explode and push the ENTIRE generator
     // expression into a scan-level Filter, re-evaluating the minhash /
@@ -217,8 +219,11 @@ object DedupOps extends QueryModule {
     * the pair blow-up of the gram join on low-entropy corpora. */
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // persisted: both self-join sides + both count join-backs derive
+    // from this (4 references)
     val docGrams = withShingles(Tbl.documents(s, d))
       .select($"doc_id", $"lang", $"sh".as("g"))
+      .persist()
     val counts = docGrams.select($"doc_id", size($"g").as("ng"))
     val exploded = docGrams.select($"doc_id", $"lang", explode_outer($"g").as("gram"))
     val shared = exploded.as("l")
