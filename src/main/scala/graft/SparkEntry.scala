@@ -17,6 +17,7 @@ object SparkEntry {
     RelationalOps,
     AisOps,
     WindowOps,
+    AnalyticsOps,
     TextOps,
     DedupOps,
     SimilarityOps,

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{QueryModule, Tbl}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended analytics surface: pivot, GROUPING SETS (via the engine's
+  * SQL API path), exact interpolated percentiles, and batch
+  * sessionization (the streaming `session_window` twin lives in
+  * StreamingOps.s10).
+  */
+object AnalyticsOps extends QueryModule {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: per-user event-type counts as columns. Pivot values are
+    * declared explicitly — at 100 TB you never want the extra
+    * distinct-scan Spark runs to infer them. */
+  private def pivotCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .groupBy($"user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy($"user_id")
+  }
+
+  private val pivotCountsSql = {
+    val cols = EventTypes.map(t =>
+      s"""sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS "$t"""")
+      .mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** GROUPING SETS through the SQL front door (`spark.sql`) — the
+    * engine's full SQL surface is part of the contract, not just the
+    * DataFrame DSL. */
+  private def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tbl.events(s, d).createOrReplaceTempView("ev_gs")
+    s.sql(
+      """SELECT coalesce(event_type, '(all)') AS etype,
+        |       CAST(coalesce(user_id % 10, -1) AS BIGINT) AS user_mod,
+        |       count(*) AS n,
+        |       sum(CAST(round(value*100) AS BIGINT)) AS v_c
+        |FROM ev_gs
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        |ORDER BY etype, user_mod""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT coalesce(event_type, '(all)') AS etype,
+      |       CAST(coalesce(user_id % 10, -1) AS BIGINT) AS user_mod,
+      |       count(*) AS n,
+      |       sum(CAST(round(value*100) AS BIGINT)) AS v_c
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+      |ORDER BY etype, user_mod""".stripMargin
+
+  /** Exact percentiles (linear interpolation) over exact cents — the
+    * deterministic twin of the sketch-based x_approx_distinct. */
+  private def percentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .groupBy($"event_type")
+      .agg(percentile(Tbl.cents($"value"), lit(0.5)).as("p50_c"),
+           percentile(Tbl.cents($"value"), lit(0.95)).as("p95_c"))
+      .select($"event_type",
+              round($"p50_c" / 100.0, 4).as("p50"),
+              round($"p95_c" / 100.0, 4).as("p95"))
+      .orderBy($"event_type")
+  }
+
+  private val percentilesSql =
+    """SELECT event_type,
+      |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.5) / 100.0, 4) AS p50,
+      |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.95) / 100.0, 4) AS p95
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Batch sessionization: 1-hour-gap sessions per user via the
+    * lag→flag→cumsum pattern; start/end/µs arithmetic matches the
+    * streaming `session_window` convention (end = last event + gap). */
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 3600000000L
+    val w = Window.partitionBy($"user_id").orderBy($"t_us")
+    Tbl.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("t_us"), Tbl.cents($"value").as("v_c"))
+      .withColumn("new_s",
+        when(lag($"t_us", 1).over(w).isNull ||
+             $"t_us" - lag($"t_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(
+        Window.partitionBy($"user_id").orderBy($"t_us")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"t_us").as("ws_us"),
+           (max($"t_us") + gapUs).as("we_us"),
+           count(lit(1)).as("n"),
+           sum($"v_c").as("v_c"))
+      .select($"user_id", $"ws_us", $"we_us", $"n",
+              round($"v_c" / 100.0, 2).as("sum_value"))
+      .orderBy($"user_id", $"ws_us")
+  }
+
+  private val sessionizeSql =
+    """SELECT user_id, min(t_us) AS ws_us, max(t_us) + 3600000000 AS we_us,
+      |       count(*) AS n,
+      |  round(sum(v_c) / 100.0, 2) AS sum_value
+      |FROM (
+      |  SELECT user_id, t_us, v_c,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us) AS sid
+      |  FROM (
+      |    SELECT user_id, epoch_us(ts) AS t_us,
+      |           CAST(round(value*100) AS BIGINT) AS v_c,
+      |           CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 3600000000
+      |                THEN 1 ELSE 0 END AS new_s
+      |    FROM events))
+      |GROUP BY user_id, sid ORDER BY user_id, ws_us""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pivot"         -> (pivotCounts _),
+    "x_grouping_sets" -> (groupingSets _),
+    "x_percentiles"   -> (percentiles _),
+    "x_sessionize"    -> (sessionize _))
+
+  override val oracles: Map[String, String] = Map(
+    "x_pivot"         -> pivotCountsSql,
+    "x_grouping_sets" -> groupingSetsSql,
+    "x_percentiles"   -> percentilesSql,
+    "x_sessionize"    -> sessionizeSql)
+}

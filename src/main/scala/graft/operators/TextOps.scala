@@ -168,13 +168,51 @@ object TextOps extends QueryModule {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** TF-IDF: term frequency × inverse document frequency, top-3 terms
+    * per document — the classic explode→aggregate→join shape; df and N
+    * are exact counts, idf = ln(N/df) rounded once at the end. */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ex = Tbl.documents(s, d)
+      .select($"doc_id", split(norm($"text"), " ").as("words"))
+      .select($"doc_id", explode_outer($"words").as("word"))
+    val tf = ex.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val dfreq = ex.groupBy($"word").agg(countDistinct($"doc_id").as("df"))
+    val n = Tbl.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "word").crossJoin(broadcast(n))
+      .select($"doc_id", $"word",
+              round($"tf" * log(($"n_docs" * 1.0) / $"df"), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"word")
+    scored.withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3)
+      .orderBy($"doc_id", $"rn")
+  }
+
+  private val tfidfSql = {
+    val words = s"string_split($normSql, ' ')"
+    s"""WITH ex AS (SELECT doc_id, unnest($words) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM ex GROUP BY 1, 2),
+       |dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT doc_id, word, tfidf, rn FROM (
+       |  SELECT doc_id, word,
+       |    round(tf * ln((n_docs * 1.0) / df), 6) AS tfidf,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY round(tf * ln((n_docs * 1.0) / df), 6) DESC, word) AS rn
+       |  FROM tf JOIN dfreq USING (word), n)
+       |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_tfidf"         -> (tfidf _),
     "tx_token_stats"   -> (tokenStats _),
     "tx_quality_score" -> (qualityScore _),
     "tx_lang_id"       -> (langId _),
     "tx_fingerprint"   -> (fingerprint _))
 
   override val oracles: Map[String, String] = Map(
+    "tx_tfidf"         -> tfidfSql,
     "tx_token_stats"   -> tokenStatsSql,
     "tx_quality_score" -> qualityScoreSql,
     "tx_lang_id"       -> langIdSql,
