@@ -88,12 +88,16 @@ object DedupOps extends QueryModule {
                            // than 12×1 on low-entropy corpora (measured:
                            // 377 vs 10,948 pairs/band at sf0.1)
 
-  /** MinHash signature h ∈ [0, NumHashes): min over shingles of salted
-    * md5 — a hex string; lexicographic min is engine-portable. */
-  private def minhash(sh: Column, h: Int): Column =
-    array_min(transform(sh, x => md5(concat(lit(s"$h:"), x))))
+  /** MinHash signature h ∈ [0, NumHashes): min over shingles of the h-th
+    * 5-hex-char window of a per-shingle 64-char digest (md5(x)‖md5('s:'x)).
+    * Non-overlapping windows of independent digest bits give 12
+    * independent 20-bit hash functions from TWO md5 calls per shingle
+    * instead of twelve (measured 2.5× on the whole query at sf0.1);
+    * lexicographic min over fixed-width lowercase hex is engine-portable. */
+  private def minhash(hxs: Column, h: Int): Column =
+    array_min(transform(hxs, x => substring(x, 1 + 5 * h, 5)))
   private def minhashSql(h: Int) =
-    s"list_min(list_transform(sh, x -> md5('$h:' || x)))"
+    s"list_min(list_transform(hxs, x -> substr(x, ${1 + 5 * h}, 5)))"
 
   /** MinHash + LSH near-dup candidates: 12 minhashes banded 2-per-band
     * (band hash = md5 of the concatenated pair); docs sharing any band
@@ -107,9 +111,13 @@ object DedupOps extends QueryModule {
     val docs = withShingles(Tbl.documents(s, d))
       .select($"doc_id", $"sh")
       .persist()
-    // sigs persisted too: both sides of the band self-join reference it
-    val sigs = docs.select(($"doc_id" +:
-      (0 until NumHashes).map(h => minhash($"sh", h).as(s"mh_$h"))): _*)
+    // the 64-char digest is staged ONCE per shingle; the 12 window mins
+    // then only slice it. sigs persisted: both band-join sides use it
+    val hxs = transform($"sh",
+      x => concat(md5(x), md5(concat(lit("s:"), x)))).as("hxs")
+    val sigs = docs.select($"doc_id", hxs)
+      .select(($"doc_id" +:
+        (0 until NumHashes).map(h => minhash($"hxs", h).as(s"mh_$h"))): _*)
       .persist()
     // explode_outer, not explode: InferFiltersFromGenerate would infer
     // size(...)>0 from an inner explode and push the ENTIRE generator
@@ -144,9 +152,12 @@ object DedupOps extends QueryModule {
     val bandStructs = (0 until NumBands)
       .map(b => s"{'band': $b, 'bh': md5(mh_${2 * b} || mh_${2 * b + 1})}").mkString(", ")
     s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |hx AS (SELECT doc_id,
+       |    list_transform(sh, x -> md5(x) || md5('s:' || x)) AS hxs
+       |  FROM docs),
        |sigs AS (SELECT doc_id,
        |    $mhCols
-       |  FROM docs),
+       |  FROM hx),
        |bands AS (
        |  SELECT doc_id, u.band AS band, u.bh AS bh
        |  FROM sigs, LATERAL unnest([$bandStructs]) t(u)),

@@ -203,6 +203,42 @@ object StreamingOps extends QueryModule {
                $"speed_over_ground")
   }
 
+  /** Streaming sessionization via `session_window` (1-hour gap) — the
+    * streaming twin of the batch lag→flag→cumsum query x_sessionize;
+    * both share the "session end = last event + gap" convention, so the
+    * same oracle applies. Complete mode (session windows don't support
+    * update; append would hold back sessions ending past the final
+    * watermark) ⇒ the last trigger's table is the full merged result. */
+  private def streamSession(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window($"ts", "1 hour"), $"user_id")
+      .agg(count(lit(1)).as("n"), sum(Tbl.cents($"value")).as("v_c"))
+    runToTable(s, agg, "s_session", OutputMode.Complete())
+      .select($"user_id",
+              unix_micros($"session_window.start").as("ws_us"),
+              unix_micros($"session_window.end").as("we_us"),
+              $"n", round($"v_c" / 100.0, 2).as("sum_value"))
+      .orderBy($"user_id", $"ws_us")
+  }
+
+  private val sessionSql =
+    """SELECT user_id, min(t_us) AS ws_us, max(t_us) + 3600000000 AS we_us,
+      |       count(*) AS n,
+      |  round(sum(v_c) / 100.0, 2) AS sum_value
+      |FROM (
+      |  SELECT user_id, t_us, v_c,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us) AS sid
+      |  FROM (
+      |    SELECT user_id, epoch_us(ts) AS t_us,
+      |           CAST(round(value*100) AS BIGINT) AS v_c,
+      |           CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 3600000000
+      |                THEN 1 ELSE 0 END AS new_s
+      |    FROM events))
+      |GROUP BY user_id, sid ORDER BY user_id, ws_us""".stripMargin
+
   /** K3/K4: streaming CSV sink (the reference's predict_path output,
     * `predict_path.py:71,95`) — append the stream as headerless CSV,
     * read it back with a declared schema, aggregate. */
@@ -310,7 +346,8 @@ object StreamingOps extends QueryModule {
     "s6_stream_static_join" -> (streamStaticJoin _),
     "s7_foreach_batch"      -> (foreachBatchAgg _),
     "s8_ais_preprocess"     -> (streamAisPreprocess _),
-    "s9_stream_csv_sink"    -> (streamCsvSink _))
+    "s9_stream_csv_sink"    -> (streamCsvSink _),
+    "s10_stream_session"    -> (streamSession _))
 
   override val oracles: Map[String, String] = Map(
     "s1_stream_window_agg"  -> windowAggSql,
@@ -321,5 +358,6 @@ object StreamingOps extends QueryModule {
     "s6_stream_static_join" -> staticJoinSql,
     "s7_foreach_batch"      -> foreachBatchSql,
     "s8_ais_preprocess"     -> aisPreprocessSql,
-    "s9_stream_csv_sink"    -> csvSinkSql)
+    "s9_stream_csv_sink"    -> csvSinkSql,
+    "s10_stream_session"    -> sessionSql)
 }
