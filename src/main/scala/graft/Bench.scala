@@ -8,11 +8,20 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", graft.Tbl.sparkLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer costs land here, not on
-    // whichever query the Map happens to order first
+    // whichever query the Map happens to order first. The streaming
+    // warmup matters most: the first StreamingQuery in a session pays
+    // ~2.5s of one-time machinery init (state store, commit log, sink
+    // classes, JIT) that otherwise lands on one measured query.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    try {
+      SparkEntry.queries("s5_stream_complete")(spark, "/root/testdata/sf0.001").count()
+      spark.catalog.clearCache()
+      spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -36,6 +36,27 @@ object Tbl {
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
+  /** Throwaway scratch dir (stream checkpoints, temp sinks): prefer the
+    * tmpfs at /dev/shm over the disk-backed /tmp — state-store commits
+    * and checkpoint fsyncs are pure overhead for AvailableNow runs. */
+  def scratchDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft_scratch"); d.mkdirs(); d.toPath
+    } else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
+
+  /** Shuffle/spill dir for the local[n] sessions (`spark.local.dir`):
+    * tmpfs when present — local-mode shuffle files are ephemeral by
+    * construction, so there is nothing durable to lose. */
+  def sparkLocalDir: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft_local"); d.mkdirs(); d.getAbsolutePath
+    } else System.getProperty("java.io.tmpdir")
+  }
+
   /** Exact integer representation of a 2-decimal double (money/metric). */
   def cents(c: Column): Column = round(c * 100).cast("long")
 

@@ -36,7 +36,7 @@ object StreamingOps extends QueryModule {
     * file is exposed through a temp dir symlink. */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val dir = Files.createTempDirectory("events_stream")
+    val dir = java.nio.file.Paths.get(Tbl.scratchDir("events_stream"))
     Files.createSymbolicLink(dir.resolve("events.parquet"),
                              java.nio.file.Paths.get(s"$d/events.parquet"))
     s.readStream.schema(rawSchema).parquet(dir.toString)
@@ -53,7 +53,7 @@ object StreamingOps extends QueryModule {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode)
       .option("checkpointLocation",
-              Files.createTempDirectory(s"ckpt_$name").toString)
+              Tbl.scratchDir(s"ckpt_$name"))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     q.stop()
@@ -156,12 +156,12 @@ object StreamingOps extends QueryModule {
     * back. Single batch ⇒ equals the global aggregate. */
   private def foreachBatchAgg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val outDir = Files.createTempDirectory("febatch").toString
+    val outDir = Tbl.scratchDir("febatch")
     val q = eventStream(s, d)
       .writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation",
-              Files.createTempDirectory("ckpt_febatch").toString)
+              Tbl.scratchDir("ckpt_febatch"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.groupBy(col("event_type"))
@@ -244,13 +244,13 @@ object StreamingOps extends QueryModule {
     * read it back with a declared schema, aggregate. */
   private def streamCsvSink(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val outDir = Files.createTempDirectory("csv_sink").toString
+    val outDir = Tbl.scratchDir("csv_sink")
     val q = eventStream(s, d)
       .select($"user_id", $"event_type")
       .writeStream.format("csv")
       .option("path", outDir)
       .option("checkpointLocation",
-              Files.createTempDirectory("ckpt_csv").toString)
+              Tbl.scratchDir("ckpt_csv"))
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
