@@ -70,11 +70,75 @@ object ScaleOps extends QueryModule {
       |                               ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
 
+  /** Co-located join via bucketing: both sides written bucketed by the
+    * join key into the same bucket count, so the join needs NO shuffle —
+    * each task reads bucket i of both tables. At 100 TB this is the
+    * difference between re-shuffling the fact table per query and a
+    * one-time layout cost amortized over every downstream join
+    * (`PlanSpec` asserts the Exchange-free plan). */
+  private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nB = 8
+    def bucketed(df: DataFrame, table: String, key: String): DataFrame = {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      df.write.mode("overwrite")
+        .option("path", Tbl.scratchDir(s"bkt_$table"))
+        .bucketBy(nB, key).sortBy(key).saveAsTable(table)
+      s.table(table)
+    }
+    val ev = bucketed(
+      Tbl.events(s, d).select($"user_id", Tbl.cents($"value").as("v_c")),
+      "graft_ev_bkt", "user_id")
+    val cust = bucketed(
+      Tbl.customer(s, d).select($"c_custkey", $"c_nationkey"),
+      "graft_cust_bkt", "c_custkey")
+    ev.join(cust, $"user_id" === $"c_custkey")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"), sum($"v_c").as("v_c"))
+      .select($"c_nationkey", $"n", round($"v_c" / 100.0, 2).as("sum_value"))
+      .orderBy($"c_nationkey")
+  }
+
+  private val bucketedJoinSql =
+    """SELECT c_nationkey, count(*) AS n,
+      |  round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Partition pruning: events re-laid-out partitioned by event_type;
+    * the filtered read touches ONE directory — the scan's
+    * PartitionFilters prune the rest without opening a file. The 100 TB
+    * analogue: date/tenant partitioning turning full scans into
+    * single-partition reads (`PlanSpec` asserts the pruned scan). */
+  private def partitionPruning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = Tbl.scratchDir("events_parted")
+    Tbl.events(s, d)
+      .select($"event_id", $"user_id", $"event_type", Tbl.cents($"value").as("v_c"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    s.read.parquet(dir)
+      .where($"event_type" === "purchase")
+      .groupBy(($"user_id" % 97).as("cohort"))
+      .agg(count(lit(1)).as("n"), sum($"v_c").as("v_c"))
+      .select($"cohort", $"n", round($"v_c" / 100.0, 2).as("sum_value"))
+      .orderBy($"cohort")
+  }
+
+  private val partitionPruningSql =
+    """SELECT user_id % 97 AS cohort, count(*) AS n,
+      |  round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY cohort""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_salted_join"     -> (saltedJoin _),
-    "x_topk_aggregator" -> (topkAggregator _))
+    "x_salted_join"       -> (saltedJoin _),
+    "x_topk_aggregator"   -> (topkAggregator _),
+    "x_bucketed_join"     -> (bucketedJoin _),
+    "x_partition_pruning" -> (partitionPruning _))
 
   override val oracles: Map[String, String] = Map(
-    "x_salted_join"     -> saltedJoinSql,
-    "x_topk_aggregator" -> topkAggregatorSql)
+    "x_salted_join"       -> saltedJoinSql,
+    "x_topk_aggregator"   -> topkAggregatorSql,
+    "x_bucketed_join"     -> bucketedJoinSql,
+    "x_partition_pruning" -> partitionPruningSql)
 }

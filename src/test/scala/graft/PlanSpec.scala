@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+
+/** Physical-plan regression tests: the 100 TB posture is a property of
+  * the PLAN, not the result — a query can hash-match the oracle while
+  * silently full-scanning or re-shuffling. These specs pin the plan
+  * shapes the scale design depends on, so an innocent refactor that,
+  * say, breaks predicate pushdown fails CI instead of shipping a 100×
+  * regression that no correctness check can see.
+  */
+class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  private val d = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan = {
+    val p = df.queryExecution.executedPlan
+    p.execute() // materialize AQE so final plan shapes are visible
+    p
+  }
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    collectWithSubqueries(p) { case s: FileSourceScanExec => s }
+
+  test("filter pushdown: w2 IN-list reaches the parquet scan as PushedFilters") {
+    val p = executed(SparkEntry.queries("w2_in_filter")(spark, d))
+    val pushed = scans(p).flatMap(_.dataFilters).mkString(";")
+    assert(pushed.nonEmpty, s"no data filters at scan:\n$p")
+  }
+
+  test("column pruning: q1 reads only the lineitem columns it needs") {
+    val p = executed(SparkEntry.queries("q1_pricing_summary")(spark, d))
+    val readCols = scans(p).map(_.schema.fieldNames.toSet).reduce(_ ++ _)
+    // 16-column lineitem; the pricing summary needs 7
+    assert(readCols.size <= 7, s"scan reads too many columns: $readCols")
+  }
+
+  test("broadcast join: star-schema dims broadcast, fact never shuffles for the join") {
+    val p = executed(SparkEntry.queries("j2_star_revenue")(spark, d))
+    val bhj = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected BroadcastHashJoin in:\n$p")
+  }
+
+  test("bucketed join: co-located layout leaves zero shuffle before the join") {
+    // force the join path (not broadcast) to prove bucketing removes the Exchange
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = executed(SparkEntry.queries("x_bucketed_join")(spark, d))
+      // post-join agg/sort shuffles are expected; below the JOIN there must be none
+      val joins = collectWithSubqueries(p) {
+        case j: org.apache.spark.sql.execution.joins.ShuffledJoin => j
+      }
+      assert(joins.nonEmpty, s"expected a shuffled-family join in:\n$p")
+      val shufflesUnderJoin = joins.flatMap(j => collect(j) {
+        case e: ShuffleExchangeLike => e
+      })
+      assert(shufflesUnderJoin.isEmpty, s"bucketed join still shuffles its inputs:\n$p")
+      assert(scans(p).forall(_.bucketedScan), "scan did not use bucketed layout")
+    }
+  }
+
+  test("partition pruning: event_type filter prunes to one partition dir") {
+    val p = executed(SparkEntry.queries("x_partition_pruning")(spark, d))
+    val s = scans(p)
+    assert(s.exists(_.partitionFilters.nonEmpty), s"no partition filters:\n$p")
+    // pruned scan must carry no event_type data filter (it's layout, not compute)
+    assert(s.forall(!_.dataFilters.exists(_.toString.contains("event_type"))))
+  }
+
+  test("whole-stage codegen: flagship q1 aggregation runs inside generated code") {
+    val p = executed(SparkEntry.queries("q1_pricing_summary")(spark, d))
+    val ws = collectWithSubqueries(p) { case w: WholeStageCodegenExec => w }
+    assert(ws.nonEmpty, s"no WholeStageCodegen spans in:\n$p")
+  }
+
+  test("partial aggregation: q1 combines map-side before the exchange") {
+    val p = executed(SparkEntry.queries("q1_pricing_summary")(spark, d))
+    val aggModes = collectWithSubqueries(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        a.aggregateExpressions.map(_.mode.toString)
+    }.flatten
+    assert(aggModes.contains("Partial") && aggModes.contains("Final"),
+           s"expected Partial+Final agg, got $aggModes")
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
