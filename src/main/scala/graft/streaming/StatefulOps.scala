@@ -2,7 +2,8 @@ package graft.streaming
 
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Keyed cross-batch state done right (SURVEY.md §7.4.4): the reference
   * keeps "last 3 positions per vessel" in a driver-resident global temp
@@ -79,5 +80,36 @@ object StatefulOps {
     }
     st.update(prev.get)
     out.result().iterator
+  }
+
+  /** Running per-key totals emitted per event. */
+  final case class RunRow(user_id: Long, event_id: Long, ts_us: Long,
+                          run_n: Long, run_sum_c: Long)
+
+  /** State for [[RunningTotals]]: event count + exact cents sum so far. */
+  final case class RunState(n: Long, sum_c: Long)
+
+  /** `transformWithState` flavor of keyed state (the Spark 4 successor
+    * to flatMapGroupsWithState: typed state handles, TTL, timers,
+    * RocksDB-only). Functionally a running (count, sum) per key — the
+    * state API differs, the determinism discipline doesn't: rows are
+    * folded in (ts, event_id) order and sums are exact cents. */
+  final class RunningTotals extends StatefulProcessor[Long, Ev, RunRow] {
+    @transient private var state: ValueState[RunState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunState](
+        "run", Encoders.product[RunState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timers: TimerValues): Iterator[RunRow] = {
+      var st = Option(state.get()).getOrElse(RunState(0L, 0L))
+      val out = rows.toList.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        st = RunState(st.n + 1, st.sum_c + Math.round(e.value * 100))
+        RunRow(key, e.event_id, e.ts_us, st.n, st.sum_c)
+      }
+      state.update(st)
+      out.iterator
+    }
   }
 }

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import graft.{QueryModule, Tbl}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, TimeMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2.1/2.2/2.6/2.7), run to
@@ -223,6 +223,42 @@ object StreamingOps extends QueryModule {
       .orderBy($"user_id", $"ws_us")
   }
 
+  /** transformWithState (Spark 4 arbitrary-state API): running per-user
+    * (count, sum) via a ValueState handle over RocksDB — the modern twin
+    * of s2/s3's flatMapGroupsWithState. Single AvailableNow batch ⇒
+    * output equals the batch cumulative window (the oracle). */
+  private def streamRunningTotals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import StatefulOps._
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val typed = eventStream(s, d)
+        .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id", $"value")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningTotals,
+          TimeMode.None(), OutputMode.Update())
+      runToTable(s, typed.toDF(), "s_running_totals", OutputMode.Update())
+        .select($"user_id", $"event_id", $"ts_us", $"run_n",
+                round($"run_sum_c" / 100.0, 2).as("run_sum"))
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    } finally prevProvider match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private val runningTotalsSql =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  count(*) OVER w AS run_n,
+      |  round(sum(CAST(round(value*100) AS BIGINT)) OVER w / 100.0, 2) AS run_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts_us, event_id""".stripMargin
+
   private val sessionSql =
     """SELECT user_id, min(t_us) AS ws_us, max(t_us) + 3600000000 AS we_us,
       |       count(*) AS n,
@@ -347,7 +383,8 @@ object StreamingOps extends QueryModule {
     "s7_foreach_batch"      -> (foreachBatchAgg _),
     "s8_ais_preprocess"     -> (streamAisPreprocess _),
     "s9_stream_csv_sink"    -> (streamCsvSink _),
-    "s10_stream_session"    -> (streamSession _))
+    "s10_stream_session"    -> (streamSession _),
+    "s11_stream_tws"        -> (streamRunningTotals _))
 
   override val oracles: Map[String, String] = Map(
     "s1_stream_window_agg"  -> windowAggSql,
@@ -359,5 +396,6 @@ object StreamingOps extends QueryModule {
     "s7_foreach_batch"      -> foreachBatchSql,
     "s8_ais_preprocess"     -> aisPreprocessSql,
     "s9_stream_csv_sink"    -> csvSinkSql,
-    "s10_stream_session"    -> sessionSql)
+    "s10_stream_session"    -> sessionSql,
+    "s11_stream_tws"        -> runningTotalsSql)
 }

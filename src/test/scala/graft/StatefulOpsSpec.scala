@@ -42,6 +42,40 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState e2e: ValueState accumulates across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Ev]
+    val out = input.toDS()
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotals,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+    val q = out.writeStream.format("memory").queryName("t_tws")
+      .outputMode("update")
+      .option("checkpointLocation", Tbl.scratchDir("ckpt_tws"))
+      .start()
+    try {
+      input.addData(ev(1, 100, 7, 1.5), ev(2, 200, 7, 2.25))
+      q.processAllAvailable()
+      val b1 = spark.table("t_tws").as[RunRow].collect().sortBy(_.event_id)
+      assert(b1.map(r => (r.run_n, r.run_sum_c)).toList == List((1L, 150L), (2L, 375L)))
+
+      // batch 2: totals continue from persisted state, not from zero
+      input.addData(ev(3, 300, 7, 0.25))
+      q.processAllAvailable()
+      val b2 = spark.table("t_tws").as[RunRow].collect().filter(_.event_id == 3L)
+      assert(b2.map(r => (r.run_n, r.run_sum_c)).toList == List((3L, 400L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("last3PerKey: merge keeps ts-desc order with event_id tiebreak") {
     val st = new FakeState[Top3State]
     val out = last3PerKey(9L,
