@@ -259,6 +259,39 @@ object StreamingOps extends QueryModule {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, ts_us, event_id""".stripMargin
 
+  /** Stream-stream interval join: clicks ⋈ purchases per user where the
+    * purchase lands within 10 minutes after the click. Watermarks on
+    * BOTH sides bound the join state — at 100 TB/day this is what keeps
+    * the state store finite: a click older than the purchase watermark
+    * minus the interval can never match again and is evicted. Inner
+    * joins emit eagerly, so one AvailableNow batch yields the full
+    * batch-join result (the oracle). */
+  private def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clicks = eventStream(s, d).where($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = eventStream(s, d).where($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      $"c_user" === $"p_user" &&
+      $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 10 MINUTES"))
+    runToTable(s, joined, "s_ss_join", OutputMode.Append())
+      .select($"c_user".as("user_id"), $"click_id", $"purchase_id",
+              (unix_micros($"p_ts") - unix_micros($"c_ts")).as("lag_us"))
+      .orderBy($"user_id", $"click_id", $"purchase_id")
+  }
+
+  private val streamStreamJoinSql =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   private val sessionSql =
     """SELECT user_id, min(t_us) AS ws_us, max(t_us) + 3600000000 AS we_us,
       |       count(*) AS n,
@@ -384,7 +417,8 @@ object StreamingOps extends QueryModule {
     "s8_ais_preprocess"     -> (streamAisPreprocess _),
     "s9_stream_csv_sink"    -> (streamCsvSink _),
     "s10_stream_session"    -> (streamSession _),
-    "s11_stream_tws"        -> (streamRunningTotals _))
+    "s11_stream_tws"        -> (streamRunningTotals _),
+    "s12_stream_stream_join" -> (streamStreamJoin _))
 
   override val oracles: Map[String, String] = Map(
     "s1_stream_window_agg"  -> windowAggSql,
@@ -397,5 +431,6 @@ object StreamingOps extends QueryModule {
     "s8_ais_preprocess"     -> aisPreprocessSql,
     "s9_stream_csv_sink"    -> csvSinkSql,
     "s10_stream_session"    -> sessionSql,
-    "s11_stream_tws"        -> runningTotalsSql)
+    "s11_stream_tws"        -> runningTotalsSql,
+    "s12_stream_stream_join" -> streamStreamJoinSql)
 }
