@@ -44,8 +44,22 @@ object Tbl {
     val base = if (shm.isDirectory && shm.canWrite) {
       val d = new java.io.File(shm, "graft_scratch"); d.mkdirs(); d.toPath
     } else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.createTempDirectory(base, prefix).toString
+    val dir = java.nio.file.Files.createTempDirectory(base, prefix)
+    scratchCreated.add(dir.toFile)
+    dir.toString
   }
+
+  // RAM-backed scratch must not outlive the JVM: without the sweep,
+  // repeated runs grow /dev/shm monotonically until tmpfs is exhausted
+  private val scratchCreated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    scratchCreated.forEach { f =>
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      try rm(f) catch { case _: Throwable => }
+    }))
 
   /** Shuffle/spill dir for the local[n] sessions (`spark.local.dir`):
     * tmpfs when present — local-mode shuffle files are ephemeral by

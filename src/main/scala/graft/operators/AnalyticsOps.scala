@@ -106,20 +106,7 @@ object AnalyticsOps extends QueryModule {
   }
 
   private val sessionizeSql =
-    """SELECT user_id, min(t_us) AS ws_us, max(t_us) + 3600000000 AS we_us,
-      |       count(*) AS n,
-      |  round(sum(v_c) / 100.0, 2) AS sum_value
-      |FROM (
-      |  SELECT user_id, t_us, v_c,
-      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us) AS sid
-      |  FROM (
-      |    SELECT user_id, epoch_us(ts) AS t_us,
-      |           CAST(round(value*100) AS BIGINT) AS v_c,
-      |           CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-      |                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 3600000000
-      |                THEN 1 ELSE 0 END AS new_s
-      |    FROM events))
-      |GROUP BY user_id, sid ORDER BY user_id, ws_us""".stripMargin
+    graft.Oracles.sessionize
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pivot"         -> (pivotCounts _),

@@ -133,15 +133,12 @@ object RelationalOps extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .where($"rn" <= 3)
       .select($"user_id", $"rn", $"event_id",
-              unix_micros($"ts".cast("timestamp")).as("ts_us"), $"value")
+              unix_micros($"ts").as("ts_us"), $"value")
       .orderBy($"user_id", $"rn")
   }
 
   private val top3PerKeySql =
-    """SELECT user_id, rn, event_id, epoch_us(ts) AS ts_us, value FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY user_id
-      |                               ORDER BY ts DESC, event_id DESC) AS rn
-      |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+    graft.Oracles.top3PerKey
 
   /** J1: union of two event slices (reference `predict_path.py:78`),
     * deduplicated then re-aggregated. */

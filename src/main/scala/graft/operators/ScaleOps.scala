@@ -40,10 +40,7 @@ object ScaleOps extends QueryModule {
   }
 
   private val saltedJoinSql =
-    """SELECT c_mktsegment, count(*) AS n,
-      |  round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value
-      |FROM events JOIN customer ON user_id = c_custkey
-      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    graft.Oracles.eventsBySegment
 
   /** A3 via the typed Aggregator (bounded top-K buffer, map-side
     * combine) — same total order and oracle as the window-rank twin. */
@@ -65,10 +62,7 @@ object ScaleOps extends QueryModule {
   }
 
   private val topkAggregatorSql =
-    """SELECT user_id, rn, event_id, epoch_us(ts) AS ts_us, value FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY user_id
-      |                               ORDER BY ts DESC, event_id DESC) AS rn
-      |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+    graft.Oracles.top3PerKey
 
   /** Co-located join via bucketing: both sides written bucketed by the
     * join key into the same bucket count, so the join needs NO shuffle —

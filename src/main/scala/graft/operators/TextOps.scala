@@ -19,12 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps extends QueryModule {
 
-  /** Normalized text: lowercase, punctuation stripped, whitespace
-    * collapsed — the canonical form for fingerprints/shingles. */
-  private def norm(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
-  private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+  import TextNorm.{norm, normSql}
 
   private val stop = Seq("the", "a", "of", "and", "in", "to", "is")
   private val stopSqlList = stop.map(w => s"'$w'").mkString("(", ",", ")")
@@ -59,20 +54,28 @@ object TextOps extends QueryModule {
   private def qualityScore(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val words = split(norm($"text"), " ")
-    val nW = size(words).cast("long")
+    val nW = size(words).cast("long") // split('') = [''] so always >= 1
     val nStop = size(filter(words, w => w.isInCollection(stop))).cast("long")
-    val len = length($"text").cast("long")
+    // len floored at 1: an empty document must score 0, not throw —
+    // Column `/` is double division, and ANSI casts Infinity/NaN to
+    // long as an error (numerators are 0 when len is 0, so 0/1 = 0)
+    val len = greatest(length($"text").cast("long"), lit(1L))
     val nPunct = (length($"text") - length(regexp_replace($"text", "[^A-Za-z0-9 ]", ""))).cast("long")
     val nDigit = (length($"text") - length(regexp_replace($"text", "[0-9]", ""))).cast("long")
     val nLetters = length(regexp_replace(norm($"text"), " ", "")).cast("long")
+    // every division floored PER TERM before the composite sum — the
+    // oracle's `//` floors each term, and a single truncation of the
+    // double sum is off by one whenever the terms' fractional parts
+    // don't cancel (all terms non-negative, so trunc ≡ floor)
     Tbl.documents(s, d)
       .select($"doc_id", nW.as("n_words"),
               ((nStop * 1000000L) / nW).cast("long").as("stopword_ppm"),
               ((nPunct * 1000000L) / len).cast("long").as("punct_ppm"),
               ((nDigit * 1000000L) / len).cast("long").as("digit_ppm"),
               ((nLetters * 1000000L) / nW).cast("long").as("avg_wlen_um"),
-              (((nStop * 300000L) / nW) + lit(300000L) - ((nPunct * 300000L) / len) +
-               least((nW * 400000L) / 100L, lit(400000L))).cast("long").as("quality_ppm"))
+              (((nStop * 300000L) / nW).cast("long") + lit(300000L) -
+               ((nPunct * 300000L) / len).cast("long") +
+               least(((nW * 400000L) / 100L).cast("long"), lit(400000L))).as("quality_ppm"))
       .orderBy($"doc_id")
   }
 
@@ -83,12 +86,13 @@ object TextOps extends QueryModule {
     val nPunct = s"(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))"
     val nDigit = s"(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
     val nLetters = s"length(replace($normSql, ' ', ''))"
+    val len = "greatest(length(text), 1)"
     s"""SELECT doc_id, CAST($nW AS BIGINT) AS n_words,
        |  CAST($nStop * 1000000 // $nW AS BIGINT) AS stopword_ppm,
-       |  CAST($nPunct * 1000000 // length(text) AS BIGINT) AS punct_ppm,
-       |  CAST($nDigit * 1000000 // length(text) AS BIGINT) AS digit_ppm,
+       |  CAST($nPunct * 1000000 // $len AS BIGINT) AS punct_ppm,
+       |  CAST($nDigit * 1000000 // $len AS BIGINT) AS digit_ppm,
        |  CAST($nLetters * 1000000 // $nW AS BIGINT) AS avg_wlen_um,
-       |  CAST($nStop * 300000 // $nW + 300000 - $nPunct * 300000 // length(text)
+       |  CAST($nStop * 300000 // $nW + 300000 - $nPunct * 300000 // $len
        |       + least($nW * 400000 // 100, 400000) AS BIGINT) AS quality_ppm
        |FROM documents ORDER BY doc_id""".stripMargin
   }

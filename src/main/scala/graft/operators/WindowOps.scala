@@ -49,14 +49,7 @@ object WindowOps extends QueryModule {
     * floor(t/60s)·60s and that minus 60s — Spark's `TimeWindowing`
     * expansion spelled out in ANSI SQL. */
   private val slidingWindowSql =
-    """SELECT (epoch_us(ts) // 60000000 - k) * 60000000 AS ws_us,
-      |       (epoch_us(ts) // 60000000 - k) * 60000000 + 120000000 AS we_us,
-      |       user_id,
-      |       round(sum(CAST(round(value*100) AS BIGINT))/100.0/count(*), 6) AS moving_avg,
-      |       arg_max(value, epoch_us(ts)) AS last_value,
-      |       count(*) AS n
-      |FROM events, (VALUES (0),(1)) offs(k)
-      |GROUP BY 1, 2, 3 ORDER BY ws_us, user_id""".stripMargin
+    graft.Oracles.slidingWindow
 
   /** A4: rolling 3-row average per key (row frame) — the "series of
     * rolling window aggregate functions on the kinematic features"
@@ -132,18 +125,7 @@ object WindowOps extends QueryModule {
   }
 
   private val gapFillSql =
-    """SELECT user_id, p_us + k * 60000000 AS syn_ts_us,
-      |  round(p_v + (value - p_v) * ((k * 60000000.0) / gap_us), 6) AS syn_value
-      |FROM (
-      |  SELECT *, t_us - p_us AS gap_us FROM (
-      |    SELECT user_id, epoch_us(ts) AS t_us, value,
-      |           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS p_us,
-      |           lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS p_v
-      |    FROM events)
-      |  WHERE p_us IS NOT NULL AND t_us - p_us > 60000000
-      |    AND t_us - p_us < 3600000000),
-      |  LATERAL unnest(generate_series(1, (gap_us - 1) // 60000000)) t(k)
-      |ORDER BY user_id, syn_ts_us""".stripMargin
+    graft.Oracles.gapFill
 
   /** Extension: ROLLUP over region→nation revenue (multi-level agg in one
     * shuffle — at 100 TB this replaces 3 separate groupBy passes). */

@@ -45,10 +45,13 @@ object StatefulOps {
   /** State: last seen event time/value for the key. */
   final case class LastSeen(ts_us: Long, value: Double)
 
-  /** Spark's round(col, 6): exact decimal HALF_UP on the double's binary
-    * value — replicated so state-emitted values hash-match the oracle. */
+  /** Spark's round(col, 6): HALF_UP on BigDecimal.valueOf(v) — i.e. on
+    * the double's SHORTEST DECIMAL representation, not its exact binary
+    * value (`RoundBase` uses valueOf; `new BigDecimal(0.1234565)` would
+    * round the 7th decimal differently). Replicated exactly so
+    * state-emitted values hash-match the batch twin and the oracle. */
   private def round6(v: Double): Double =
-    new JBigDecimal(v).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP).doubleValue()
 
   /** Per-batch gap-fill: for every >60 s (and <1 h — longer gaps are
     * session breaks) gap between consecutive events of a key, including
@@ -105,7 +108,11 @@ object StatefulOps {
                                  timers: TimerValues): Iterator[RunRow] = {
       var st = Option(state.get()).getOrElse(RunState(0L, 0L))
       val out = rows.toList.sortBy(e => (e.ts_us, e.event_id)).map { e =>
-        st = RunState(st.n + 1, st.sum_c + Math.round(e.value * 100))
+        // HALF_UP like Tbl.cents / the oracle's round() — Math.round is
+        // half-toward-+inf, which differs on negative half-cents
+        val cents = JBigDecimal.valueOf(e.value * 100)
+          .setScale(0, RoundingMode.HALF_UP).longValue()
+        st = RunState(st.n + 1, st.sum_c + cents)
         RunRow(key, e.event_id, e.ts_us, st.n, st.sum_c)
       }
       state.update(st)

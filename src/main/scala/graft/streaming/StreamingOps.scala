@@ -293,20 +293,7 @@ object StreamingOps extends QueryModule {
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
   private val sessionSql =
-    """SELECT user_id, min(t_us) AS ws_us, max(t_us) + 3600000000 AS we_us,
-      |       count(*) AS n,
-      |  round(sum(v_c) / 100.0, 2) AS sum_value
-      |FROM (
-      |  SELECT user_id, t_us, v_c,
-      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us) AS sid
-      |  FROM (
-      |    SELECT user_id, epoch_us(ts) AS t_us,
-      |           CAST(round(value*100) AS BIGINT) AS v_c,
-      |           CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-      |                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 3600000000
-      |                THEN 1 ELSE 0 END AS new_s
-      |    FROM events))
-      |GROUP BY user_id, sid ORDER BY user_id, ws_us""".stripMargin
+    graft.Oracles.sessionize
 
   /** K3/K4: streaming CSV sink (the reference's predict_path output,
     * `predict_path.py:71,95`) — append the stream as headerless CSV,
@@ -339,34 +326,13 @@ object StreamingOps extends QueryModule {
   // ---- oracles ----
 
   private val windowAggSql =
-    """SELECT (epoch_us(ts) // 60000000 - k) * 60000000 AS ws_us,
-      |       (epoch_us(ts) // 60000000 - k) * 60000000 + 120000000 AS we_us,
-      |       user_id,
-      |       round(sum(CAST(round(value*100) AS BIGINT))/100.0/count(*), 6) AS moving_avg,
-      |       arg_max(value, epoch_us(ts)) AS last_value,
-      |       count(*) AS n
-      |FROM events, (VALUES (0),(1)) offs(k)
-      |GROUP BY 1, 2, 3 ORDER BY ws_us, user_id""".stripMargin
+    graft.Oracles.slidingWindow
 
   private val last3Sql =
-    """SELECT user_id, rn, event_id, epoch_us(ts) AS ts_us, value FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY user_id
-      |                               ORDER BY ts DESC, event_id DESC) AS rn
-      |  FROM events) WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+    graft.Oracles.top3PerKey
 
   private val gapFillSql =
-    """SELECT user_id, p_us + k * 60000000 AS syn_ts_us,
-      |  round(p_v + (value - p_v) * ((k * 60000000.0) / gap_us), 6) AS syn_value
-      |FROM (
-      |  SELECT *, t_us - p_us AS gap_us FROM (
-      |    SELECT user_id, epoch_us(ts) AS t_us, value,
-      |           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS p_us,
-      |           lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS p_v
-      |    FROM events)
-      |  WHERE p_us IS NOT NULL AND t_us - p_us > 60000000
-      |    AND t_us - p_us < 3600000000),
-      |  LATERAL unnest(generate_series(1, (gap_us - 1) // 60000000)) t(k)
-      |ORDER BY user_id, syn_ts_us""".stripMargin
+    graft.Oracles.gapFill
 
   private val dedupSql =
     """SELECT DISTINCT user_id, event_type FROM events
@@ -378,10 +344,7 @@ object StreamingOps extends QueryModule {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   private val staticJoinSql =
-    """SELECT c_mktsegment, count(*) AS n,
-      |  round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value
-      |FROM events JOIN customer ON user_id = c_custkey
-      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    graft.Oracles.eventsBySegment
 
   private val foreachBatchSql =
     """SELECT event_type, count(*) AS n FROM events
