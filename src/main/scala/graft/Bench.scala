@@ -22,20 +22,29 @@ object Bench {
       spark.catalog.clearCache()
       spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
     } catch { case _: Throwable => }
+    // min of 2 timed runs per query: the host occasionally steals
+    // 10-20s from exactly one query per pass (confirmed NOT JVM — zero
+    // Full GCs, max safepoint 73ms while a query lost 15s), so a
+    // single-shot total is dominated by where that stall lands. Caches
+    // and sink tables are cleared between runs, so run 2 re-executes
+    // the full plan — only JIT/page-cache warmth carries over.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // streaming queries leave memory-sink tables behind; drop them so
-      // driver heap doesn't degrade later queries
-      spark.catalog.clearCache()
-      spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+      val dt = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val t = (System.nanoTime() - t0) / 1e9
+        // streaming queries leave memory-sink tables behind; drop them
+        // so driver heap doesn't degrade later queries
+        spark.catalog.clearCache()
+        spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+        t
+      }.min
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"stat":"min"}""")
     spark.stop()
   }
 }

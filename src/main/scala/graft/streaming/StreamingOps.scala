@@ -39,7 +39,14 @@ object StreamingOps extends QueryModule {
     val dir = java.nio.file.Paths.get(Tbl.scratchDir("events_stream"))
     Files.createSymbolicLink(dir.resolve("events.parquet"),
                              java.nio.file.Paths.get(s"$d/events.parquet"))
-    s.readStream.schema(rawSchema).parquet(dir.toString)
+    // one micro-batch NO MATTER how many files land in the dir: the
+    // update-mode memory-sink queries (s2/s3) re-emit refreshed state
+    // per batch, so their "output = final state" contract needs a
+    // single batch — made explicit here rather than relying on the
+    // directory happening to hold one file
+    s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -50,6 +57,12 @@ object StreamingOps extends QueryModule {
     // checkpoint checksums add ~1s fixed cost per query on local FS;
     // irrelevant for throwaway AvailableNow checkpoints
     s.conf.set("spark.sql.streaming.checkpointFileChecksum.enabled", "false")
+    // stopped queries leave their state-store providers loaded; the
+    // 60s background maintenance pass then snapshots/cleans ALL of
+    // them, stealing seconds from whatever runs next — measured as
+    // roaming multi-second stalls that grew with every streaming query
+    // added. Throwaway checkpoints never benefit from snapshots.
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode)
       .option("checkpointLocation",
@@ -57,6 +70,9 @@ object StreamingOps extends QueryModule {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     q.stop()
+    // release this run's provider instances (maps/RocksDB handles) now
+    // instead of leaving them for the maintenance pass to walk
+    org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
     s.table(name)
   }
 
