@@ -284,6 +284,19 @@ object StreamingOps extends QueryModule {
     * batch-join result (the oracle). */
   private def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // state partition count is a per-stream sizing decision (4 store
+    // instances per partition here, each paying load+commit per batch —
+    // including the zero-input watermark-advance batch): size it to the
+    // join's state volume, not the session-wide shuffle default.
+    // Measured 2x end-to-end at this state size (~40k rows).
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try streamStreamJoinInner(s, d)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def streamStreamJoinInner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val clicks = eventStream(s, d).where($"event_type" === "click")
       .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("c_ts"))
       .withWatermark("c_ts", "10 minutes")
