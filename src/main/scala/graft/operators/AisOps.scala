@@ -274,28 +274,44 @@ object AisOps extends QueryModule {
       |                    '%Y-%m-%d %H:%M:%SZ')) AS parsed_us
       |FROM events ORDER BY event_id""".stripMargin
 
-  /** T7: dead-reckoning projection 60 s ahead from speed + course. */
+  /** T7: dead-reckoning projection 60 s ahead from speed + course.
+    *
+    * Determinism: `round(·,6)` straight over libm trig amplified by
+    * `/(111320·cos lat)` lands on rounding boundaries the JVM and DuckDB
+    * resolve to different last digits (round-1 hash FAIL). Fix: round the
+    * three trig outputs to 7 decimals FIRST — a 1-ulp libm drift against a
+    * 1e-7 boundary is a ~1e-9 event — after which every remaining op is
+    * IEEE +,*,/ on bit-identical doubles in both engines, and the result
+    * is emitted as floored integer micro-degrees (no float in the hash). */
   private def deadReckon(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cog = ($"event_id" % 360).cast("double")
     Tbl.events(s, d)
       .withColumn("lon", lonOf($"user_id", $"event_id"))
       .withColumn("lat", latOf($"user_id", $"event_id"))
+      .withColumn("dist_m", $"value" * 1852.0 / 3600.0 * 60.0)
+      .withColumn("sin_c", round(sin(rad(cog)), 7))
+      .withColumn("cos_c", round(cos(rad(cog)), 7))
+      .withColumn("cos_lat", round(cos(rad($"lat")), 7))
       .select($"event_id", $"value".as("sog_kn"),
-              round(deadReckonLon($"lon", $"lat", $"value", cog, lit(60.0)), 6)
-                .as("pred_lon"),
-              round(deadReckonLat($"lat", $"value", cog, lit(60.0)), 6)
-                .as("pred_lat"))
+              floor(($"lon" + $"dist_m" * $"sin_c" / (lit(111320.0) * $"cos_lat"))
+                      * 1000000.0).cast("long").as("pred_lon_udeg"),
+              floor(($"lat" + $"dist_m" * $"cos_c" / 111320.0) * 1000000.0)
+                .cast("long").as("pred_lat_udeg"))
       .orderBy($"event_id")
   }
 
   private val deadReckonSql = {
-    val dist = "(value * 1852.0 / 3600.0 * 60.0)"
-    val cog  = "(event_id % 360)"
+    val cog = "(event_id % 360)"
     s"""SELECT event_id, value AS sog_kn,
-       |  round(lon + $dist * sin(${radS(cog)}) / (111320.0 * cos(${radS("lat")})), 6) AS pred_lon,
-       |  round(lat + $dist * cos(${radS(cog)}) / 111320.0, 6) AS pred_lat
-       |FROM (SELECT event_id, value, $lonS AS lon, $latS AS lat FROM events)
+       |  CAST(floor((lon + dist_m * sin_c / (111320.0 * cos_lat)) * 1000000.0) AS BIGINT) AS pred_lon_udeg,
+       |  CAST(floor((lat + dist_m * cos_c / 111320.0) * 1000000.0) AS BIGINT) AS pred_lat_udeg
+       |FROM (SELECT event_id, value, lon, lat,
+       |        (value * 1852.0 / 3600.0 * 60.0) AS dist_m,
+       |        round(sin(${radS(cog)}), 7) AS sin_c,
+       |        round(cos(${radS(cog)}), 7) AS cos_c,
+       |        round(cos(${radS("lat")}), 7) AS cos_lat
+       |      FROM (SELECT event_id, value, $lonS AS lon, $latS AS lat FROM events))
        |ORDER BY event_id""".stripMargin
   }
 

@@ -27,9 +27,11 @@ object AnalyticsOps extends QueryModule {
       .orderBy($"user_id")
   }
 
+  // count(*) FILTER is BIGINT in DuckDB; sum(CASE…) would be HUGEINT and
+  // fail the driver's dtype-exact hash compare against Spark's LongType.
   private val pivotCountsSql = {
     val cols = EventTypes.map(t =>
-      s"""sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS "$t"""")
+      s"""count(*) FILTER (WHERE event_type = '$t') AS "$t"""")
       .mkString(",\n  ")
     s"""SELECT user_id,
        |  $cols
@@ -51,11 +53,12 @@ object AnalyticsOps extends QueryModule {
         |ORDER BY etype, user_mod""".stripMargin)
   }
 
+  // Outer CAST: DuckDB types sum(BIGINT) as HUGEINT; Spark as BIGINT.
   private val groupingSetsSql =
     """SELECT coalesce(event_type, '(all)') AS etype,
       |       CAST(coalesce(user_id % 10, -1) AS BIGINT) AS user_mod,
       |       count(*) AS n,
-      |       sum(CAST(round(value*100) AS BIGINT)) AS v_c
+      |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v_c
       |FROM events
       |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
       |ORDER BY etype, user_mod""".stripMargin

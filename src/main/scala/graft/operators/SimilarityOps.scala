@@ -68,21 +68,32 @@ object SimilarityOps extends QueryModule {
 
   private val NumPlanes = 8
 
+  /** The first `n` corpus vectors, collected once at the driver (n×64
+    * floats — constant-sized regardless of corpus scale, the legitimate
+    * driver-side step of any LSH/IVF index build). Folding them into the
+    * plan as literals makes bucket/cell assignment a per-row projection:
+    * no crossJoin row blow-up, no Exchange below the bucket column. */
+  private def constVectors(s: SparkSession, d: String, n: Int): Seq[(Int, Array[Float])] = {
+    import s.implicits._
+    Tbl.embeddings(s, d).where($"vec_id" < n)
+      .select($"vec_id".cast("int"), $"embedding")
+      .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
+  }
+
   /** Hyperplane-LSH bucket id: bit j = sign(v · plane_j), planes = the
-    * first 8 corpus vectors (fixed, deterministic). */
+    * first 8 corpus vectors (fixed, deterministic) as literal arrays. */
+  private def bucketCol(planes: Seq[(Int, Array[Float])]): Column =
+    planes.map { case (j, p) =>
+      when(dot(col("embedding"), typedLit(p)) > 0.0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
   private def lshAnn(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val emb = Tbl.embeddings(s, d)
-    val planes = emb.where($"vec_id" < NumPlanes)
-      .select($"vec_id".as("p_id"), $"embedding".as("p_emb"))
-    // bucket every vector: 8 broadcast-joined sign bits → int key
-    val bucketed = emb.crossJoin(broadcast(planes))
-      .select($"vec_id", $"embedding", $"p_id",
-              when(dot($"embedding", $"p_emb") > 0.0,
-                   expr("1 << CAST(p_id AS INT)")).otherwise(lit(0)).as("bit"))
-      .groupBy($"vec_id")
-      .agg(sum($"bit").as("bucket"), first($"embedding").as("embedding"))
+    val bucketed = emb.select($"vec_id", $"embedding",
+                              bucketCol(constVectors(s, d, NumPlanes)).as("bucket"))
     val queries = bucketed.where($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"bucket", $"embedding".as("q_emb"))
     val scored = bucketed.as("c")
@@ -96,11 +107,14 @@ object SimilarityOps extends QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
+  // CAST: DuckDB types the integer sum as HUGEINT; Spark's bucket is BIGINT.
+  private val bucketExprSql =
+    s"""(SELECT CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.embedding")} > 0.0
+       |                 THEN 1 << p.vec_id ELSE 0 END) AS BIGINT)
+       |  FROM embeddings p WHERE p.vec_id < $NumPlanes)""".stripMargin
+
   private val lshAnnSql = {
-    val bucketExpr =
-      s"""(SELECT sum(CASE WHEN ${dotSql("e.embedding", "p.embedding")} > 0.0
-         |                 THEN 1 << p.vec_id ELSE 0 END)
-         |  FROM embeddings p WHERE p.vec_id < $NumPlanes)""".stripMargin
+    val bucketExpr = bucketExprSql
     s"""WITH bucketed AS (
        |  SELECT e.vec_id, e.embedding, $bucketExpr AS bucket
        |  FROM embeddings e)
@@ -117,6 +131,17 @@ object SimilarityOps extends QueryModule {
 
   private val NumCentroids = 16
 
+  /** Nearest-centroid cell id as a single per-row projection: argmax of
+    * 16 literal-centroid dot products via `array_min` over
+    * `(-rounded_dot, c_id)` structs (lexicographic struct ordering =
+    * max dot, ties to the smallest id — same order the oracle's
+    * row_number uses). No crossJoin blow-up, no Exchange. */
+  private def cellCol(cents: Seq[(Int, Array[Float])]): Column =
+    array_min(array(cents.map { case (i, c) =>
+      struct((-round(dot(col("embedding"), typedLit(c)), 6)).as("nd"),
+             lit(i.toLong).as("c_id"))
+    }: _*)).getField("c_id")
+
   /** IVF-style ANN: every vector is assigned to its nearest of 16 fixed
     * centroids (the first 16 corpus vectors — deterministic, no k-means
     * RNG); queries probe only their own cell (nprobe=1). The inverted
@@ -126,14 +151,8 @@ object SimilarityOps extends QueryModule {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val emb = Tbl.embeddings(s, d)
-    val cents = emb.where($"vec_id" < NumCentroids)
-      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy(round(dot($"embedding", $"c_emb"), 6).desc, $"c_id")
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("rka", row_number().over(wAssign))
-      .where($"rka" === 1)
-      .select($"vec_id", $"embedding", $"c_id".as("cell"))
+    val assigned = emb.select($"vec_id", $"embedding",
+                              cellCol(constVectors(s, d, NumCentroids)).as("cell"))
     val queries = assigned.where($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"cell", $"embedding".as("q_emb"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
@@ -167,25 +186,36 @@ object SimilarityOps extends QueryModule {
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by class label: the
-    * embedding leg of the dedup mandate. */
+  private val NeardupMinCosine = 0.3
+
+  /** Embedding-cosine near-dup pairs, blocked by the hyperplane-LSH
+    * bucket (the same `bucketCol` the ANN path uses): candidates are
+    * same-bucket pairs only — sub-quadratic blocking that scales with
+    * bucket size, not corpus² (a label/class block would be quadratic
+    * within each label at 100 TB) — then verified with exact cosine,
+    * the same candidate-verify shape as `dd_minhash_lsh`. */
   private def embeddingNeardup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val emb = Tbl.embeddings(s, d).select($"vec_id", $"label", $"embedding")
+    val emb = Tbl.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+              bucketCol(constVectors(s, d, NumPlanes)).as("bucket"))
     emb.as("l")
-      .join(emb.as("r"), $"l.label" === $"r.label" && $"l.vec_id" < $"r.vec_id")
-      .select($"l.vec_id".as("a"), $"r.vec_id".as("b"), $"l.label".as("label"),
+      .join(emb.as("r"), $"l.bucket" === $"r.bucket" && $"l.vec_id" < $"r.vec_id")
+      .select($"l.vec_id".as("a"), $"r.vec_id".as("b"), $"l.bucket".as("bucket"),
               round(dot($"l.embedding", $"r.embedding"), 6).as("cosine"))
-      .where($"cosine" >= 0.6)
+      .where($"cosine" >= NeardupMinCosine)
       .orderBy($"a", $"b")
   }
 
   private val embeddingNeardupSql =
-    s"""SELECT l.vec_id AS a, r.vec_id AS b, l.label AS label,
+    s"""WITH bucketed AS (
+       |  SELECT e.vec_id, e.embedding, $bucketExprSql AS bucket
+       |  FROM embeddings e)
+       |SELECT l.vec_id AS a, r.vec_id AS b, l.bucket AS bucket,
        |  round(${dotSql("l.embedding", "r.embedding")}, 6) AS cosine
-       |FROM embeddings l JOIN embeddings r
-       |  ON l.label = r.label AND l.vec_id < r.vec_id
-       |WHERE round(${dotSql("l.embedding", "r.embedding")}, 6) >= 0.6
+       |FROM bucketed l JOIN bucketed r
+       |  ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |WHERE round(${dotSql("l.embedding", "r.embedding")}, 6) >= $NeardupMinCosine
        |ORDER BY a, b""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -209,17 +209,29 @@ object WindowOps extends QueryModule {
       |ORDER BY user_id, event_id""".stripMargin
 
   /** Extension: approximate distinct (HyperLogLog++) per event_type —
-    * sketch-based cardinality for the 100 TB path. No SQL oracle (DuckDB's
-    * approx sketch differs); driver records the rows-only check, and the
-    * exact twin is oracled in w2_in_filter. */
+    * sketch-based cardinality for the 100 TB path. Sketches differ per
+    * engine, so the oracled output is the exact distinct count plus a
+    * boolean asserting the sketch landed within 5× its configured 1% rsd;
+    * DuckDB states the exact count and literal TRUE. */
   private def approxDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tbl.events(s, d)
       .groupBy($"event_type")
-      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"),
-           count(lit(1)).as("n"))
+      .agg(count_distinct($"user_id").as("exact_users"),
+           count(lit(1)).as("n"),
+           approx_count_distinct($"user_id", 0.01).as("approx"))
+      .select($"event_type", $"exact_users", $"n",
+              (abs($"approx" - $"exact_users") <=
+                 $"exact_users".cast("double") * 0.05).as("approx_ok"))
       .orderBy($"event_type")
   }
+
+  private val approxDistinctSql =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS exact_users,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  TRUE AS approx_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_sliding_window"  -> (slidingWindow _),
@@ -238,5 +250,6 @@ object WindowOps extends QueryModule {
     "a5_gap_fill"        -> gapFillSql,
     "x_rollup_revenue"   -> rollupRevenueSql,
     "x_cube_orders"      -> cubeOrdersSql,
-    "a6_analytics_suite" -> analyticsSuiteSql)
+    "a6_analytics_suite" -> analyticsSuiteSql,
+    "x_approx_distinct"  -> approxDistinctSql)
 }

@@ -13,9 +13,9 @@ class OperatorSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"orphan oracles: ${o -- q}")
-    val rowsOnly = q -- o
-    // only the sketch-based op is exempt from SQL oracling
-    assert(rowsOnly == Set("x_approx_distinct"), s"unexpected rows-only: $rowsOnly")
+    // every query is oracled — the sketch-based op emits exact-count +
+    // bounded-error boolean so even it is SQL-expressible
+    assert((q -- o).isEmpty, s"unexpected rows-only: ${q -- o}")
   }
 
   test("entry returns rows (driver smoke contract)") {

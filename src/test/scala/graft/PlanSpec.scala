@@ -84,6 +84,35 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
            s"expected Partial+Final agg, got $aggModes")
   }
 
+  test("ANN assignment is a projection: no shuffle below the corpus side of the bucket join") {
+    // bucket/cell ids come from literal plane/centroid vectors — a per-row
+    // map, so the corpus reaches its equi-join unshuffled (the round-1
+    // crossJoin×8/×16 + groupBy/window formulation exchanged the corpus).
+    for (q <- Seq("sim_lsh_ann", "sim_ivf_ann")) {
+      val p = executed(SparkEntry.queries(q)(spark, d))
+      val bhj = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"$q: expected broadcast bucket join in:\n$p")
+      val streamedShuffles = bhj.flatMap { j =>
+        val streamed = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+          case _                                                  => j.right
+        }
+        collect(streamed) { case e: ShuffleExchangeLike => e }
+      }
+      assert(streamedShuffles.isEmpty,
+             s"$q: corpus side shuffles before the bucket join:\n$p")
+    }
+  }
+
+  test("embedding near-dup is bucket-blocked: equi-join only, no all-pairs product") {
+    val p = executed(SparkEntry.queries("sim_emb_neardup")(spark, d))
+    val nested = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nested.isEmpty, s"near-dup pair join is not an equi-join:\n$p")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -5,8 +5,11 @@ Usage: python3 tools/check.py [sfDir] [outDir] [query ...]
 
 Reads each parquet result dumped by `graft.Verify` under outDir, runs the
 matching SQL from outDir/oracle_sql.json in DuckDB against the base tables
-in sfDir, sorts columns by name (mirroring the driver), and compares values
-exactly. Prints per-query PASS/FAIL plus the first few diffs.
+in sfDir, sorts columns by name (mirroring the driver), and compares
+dtype-exactly: a DuckDB HUGEINT/float column against a Spark int64 column
+is a FAIL even when the values coerce equal (the driver hash-compares, so
+the local gate must be at least as strict — round-1 shipped 4 hash FAILs
+as local PASSes through pandas' silent dtype coercion).
 """
 import json, sys, glob, os
 import duckdb
@@ -26,10 +29,10 @@ def main():
     names = sorted(set(oracle) | {d for d in os.listdir(out)
                                   if os.path.isdir(os.path.join(out, d))})
     for name in names:
+        if only and name not in only:
+            continue
         if not os.path.isdir(os.path.join(out, name)):
             results[name] = "MISSING-OUTPUT"
-            continue
-        if only and name not in only:
             continue
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
@@ -52,14 +55,37 @@ def main():
         if len(got) != len(exp):
             results[name] = f"ROWS got={len(got)} exp={len(exp)}"
             continue
-        # exact value compare, row order as produced
+        # dtype-kind-exact: HUGEINT→float/object vs int64 must FAIL, like
+        # the driver's value-format hash would; int32 vs int64 is fine
+        # (round-1 evidence: rk int32 vs BIGINT oracle hash-passed).
+        def kind(d):
+            k = d.kind if hasattr(d, "kind") else "O"
+            return "i" if k in "iu" else k
+        dt = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
+              if kind(got[c].dtype) != kind(exp[c].dtype)]
+        if dt:
+            results[name] = "DTYPE " + "; ".join(
+                f"{c}: got={g} exp={e}" for c, g, e in dt[:3])
+            continue
         diffs = []
         for c in got.columns:
             g, e = got[c], exp[c]
-            try:
+            if str(g.dtype) == "object":
+                # exact python-value compare incl. type (no str coercion)
+                def veq(a, b):
+                    if a is None or b is None:
+                        return a is None and b is None
+                    if type(a) is not type(b):
+                        return False
+                    try:
+                        r = a == b
+                        return bool(r.all()) if hasattr(r, "all") else bool(r)
+                    except Exception:
+                        return repr(a) == repr(b)
+                neq = [not veq(a, b) for a, b in zip(g, e)]
+                neq = __import__("pandas").Series(neq, index=g.index)
+            else:
                 neq = ~((g == e) | (g.isna() & e.isna()))
-            except Exception:
-                neq = g.astype(str) != e.astype(str)
             if neq.any():
                 i = int(neq.idxmax())
                 diffs.append(f"{c}[row {i}]: got={g[i]!r} exp={e[i]!r} (n={int(neq.sum())})")
