@@ -8,6 +8,19 @@ package graft
   */
 object Oracles {
 
+  // ---- shared SQL fragments (op-for-op twins of GeoFunctions) ----
+  def radS(x: String): String = s"($x * pi() / 180.0)"
+  /** Deterministic lon/lat grid over events (FIXTURES.md §B). */
+  val lonS = "(100.0 + (user_id % 30) + (event_id % 100) / 100.0)"
+  val latS = "((event_id % 30) + (user_id % 100) / 100.0)"
+  private val e2S = "((1.0/298.257223563) * (2.0 - 1.0/298.257223563))"
+  private def nS(lat: String) =
+    s"(6378137.0 / sqrt(1.0 - $e2S * sin(${radS(lat)}) * sin(${radS(lat)})))"
+  def ecefXS(lon: String, lat: String): String =
+    s"((${nS(lat)} + 124.0) * cos(${radS(lat)}) * cos(${radS(lon)}))"
+  def ecefYS(lon: String, lat: String): String =
+    s"((${nS(lat)} + 124.0) * cos(${radS(lat)}) * sin(${radS(lon)}))"
+
   /** Latest-3-per-key ranking (a3_top3_per_key / s2_stream_last3 /
     * x_topk_aggregator). */
   val top3PerKey: String =
@@ -33,16 +46,32 @@ object Oracles {
       |ORDER BY user_id, syn_ts_us""".stripMargin
 
   /** 2min/1min sliding window kinematics — each event lands in exactly 2
-    * windows (a1_sliding_window / s1_stream_window_agg). */
+    * windows (a1_sliding_window / s1_stream_window_agg). Full reference
+    * 7-agg shape (`preprocess.py:80-86`): 3 moving averages + 4
+    * event-time-latest columns (the reference's `last()` rebuilt as
+    * arg_max for determinism). Averages run on exactly-summable values
+    * (cents / integer degrees / integer micro-rot) so sum order can't
+    * perturb the hash. */
   val slidingWindow: String =
-    """SELECT (epoch_us(ts) // 60000000 - k) * 60000000 AS ws_us,
-      |       (epoch_us(ts) // 60000000 - k) * 60000000 + 120000000 AS we_us,
-      |       user_id,
-      |       round(sum(CAST(round(value*100) AS BIGINT))/100.0/count(*), 6) AS moving_avg,
-      |       arg_max(value, epoch_us(ts)) AS last_value,
-      |       count(*) AS n
-      |FROM events, (VALUES (0),(1)) offs(k)
-      |GROUP BY 1, 2, 3 ORDER BY ws_us, user_id""".stripMargin
+    s"""SELECT (epoch_us(ts) // 60000000 - k) * 60000000 AS ws_us,
+       |       (epoch_us(ts) // 60000000 - k) * 60000000 + 120000000 AS we_us,
+       |       user_id,
+       |       round(sum(CAST(round(value*100) AS BIGINT))/100.0/count(*), 6) AS moving_avg,
+       |       round(sum(cog)/count(*), 6) AS moving_avg_cog,
+       |       round(sum(CAST(round(((value/4.733)*(value/4.733))*1000000.0) AS BIGINT))/1000000.0/count(*), 6) AS moving_avg_rot,
+       |       arg_max(value, epoch_us(ts)) AS last_value,
+       |       arg_max(lon, epoch_us(ts)) AS last_lon,
+       |       arg_max(lat, epoch_us(ts)) AS last_lat,
+       |       arg_max(lx, epoch_us(ts)) AS last_x,
+       |       arg_max(ly, epoch_us(ts)) AS last_y,
+       |       count(*) AS n
+       |FROM (SELECT g.*,
+       |        CAST(event_id % 360 AS DOUBLE) AS cog,
+       |        round(${ecefXS("lon", "lat")}, 2) AS lx,
+       |        round(${ecefYS("lon", "lat")}, 2) AS ly
+       |      FROM (SELECT *, $lonS AS lon, $latS AS lat FROM events) g),
+       |     (VALUES (0),(1)) offs(k)
+       |GROUP BY 1, 2, 3 ORDER BY ws_us, user_id""".stripMargin
 
   /** 1-hour-gap sessionization, session end = last event + gap
     * (x_sessionize / s10_stream_session). */

@@ -15,18 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object AisOps extends QueryModule {
 
-  // ---- SQL mirrors of GeoFunctions (op-for-op identical) ----
-  private def radS(x: String) = s"($x * pi() / 180.0)"
+  // ---- SQL mirrors of GeoFunctions (op-for-op identical), shared
+  // with the sliding-window oracle via graft.Oracles ----
+  private def radS(x: String) = graft.Oracles.radS(x)
   private def degS(x: String) = s"($x * 180.0 / pi())"
-  private val lonS = "(100.0 + (user_id % 30) + (event_id % 100) / 100.0)"
-  private val latS = "((event_id % 30) + (user_id % 100) / 100.0)"
-  private val e2S  = "((1.0/298.257223563) * (2.0 - 1.0/298.257223563))"
-  private def nS(lat: String) =
-    s"(6378137.0 / sqrt(1.0 - $e2S * sin(${radS(lat)}) * sin(${radS(lat)})))"
-  private def ecefXS(lon: String, lat: String) =
-    s"((${nS(lat)} + 124.0) * cos(${radS(lat)}) * cos(${radS(lon)}))"
-  private def ecefYS(lon: String, lat: String) =
-    s"((${nS(lat)} + 124.0) * cos(${radS(lat)}) * sin(${radS(lon)}))"
+  private val lonS = graft.Oracles.lonS
+  private val latS = graft.Oracles.latS
+  private def ecefXS(lon: String, lat: String) = graft.Oracles.ecefXS(lon, lat)
+  private def ecefYS(lon: String, lat: String) = graft.Oracles.ecefYS(lon, lat)
 
   /** F1: build WKT text from the integer grid, parse it back with the
     * reference's strip-letters regex (`preprocess.py:46-48`) — P4/P5/P6

@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{QueryModule, Tbl}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.GeoFunctions.{ecefX, ecefY, latOf, lonOf, rotDecode}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,25 +25,56 @@ import org.apache.spark.sql.functions._
   */
 object WindowOps extends QueryModule {
 
+  /** Derived kinematic columns over the events stand-in (lon/lat grid,
+    * cog = event_id % 360, rot decoded from value): shared by the batch
+    * (a1) and streaming (s1) sliding-window embodiments. Averaged
+    * quantities are pre-scaled to exactly-summable values (cents /
+    * integer-valued degrees / micro-rot longs) so aggregation order
+    * can't perturb the oracle hash. */
+  private[graft] def withKinematics(df: DataFrame): DataFrame =
+    df.withColumn("lon", lonOf(col("user_id"), col("event_id")))
+      .withColumn("lat", latOf(col("user_id"), col("event_id")))
+      .withColumn("cog", (col("event_id") % 360).cast("double"))
+      .withColumn("rot_u", round(rotDecode(col("value")) * 1000000.0).cast("long"))
+      .withColumn("lx", round(ecefX(col("lon"), col("lat")), 2))
+      .withColumn("ly", round(ecefY(col("lon"), col("lat")), 2))
+
+  /** The reference's full 7-agg shape (`preprocess.py:80-86`): 3 moving
+    * averages + 4 `last()`-rebuilt-as-max_by columns. */
+  private[graft] val kinematicAggExprs: Seq[Column] = Seq(
+    sum(Tbl.cents(col("value"))).as("v_c"),
+    count(lit(1)).as("n"),
+    sum(col("cog")).as("cog_sum"),
+    sum(col("rot_u")).as("rot_u_sum"),
+    max_by(col("value"), col("ts")).as("last_value"),
+    max_by(col("lon"), col("ts")).as("last_lon"),
+    max_by(col("lat"), col("ts")).as("last_lat"),
+    max_by(col("lx"), col("ts")).as("last_x"),
+    max_by(col("ly"), col("ts")).as("last_y"))
+
+  /** Post-agg finish: window bounds to epoch micros, scaled sums back to
+    * rounded averages — the same column names the shared oracle emits. */
+  private[graft] def kinematicFinish(df: DataFrame): DataFrame =
+    df.select(
+      unix_micros(col("window.start")).as("ws_us"),
+      unix_micros(col("window.end")).as("we_us"),
+      col("user_id"),
+      round(col("v_c") / 100.0 / col("n"), 6).as("moving_avg"),
+      round(col("cog_sum") / col("n"), 6).as("moving_avg_cog"),
+      round(col("rot_u_sum") / 1000000.0 / col("n"), 6).as("moving_avg_rot"),
+      col("last_value"), col("last_lon"), col("last_lat"),
+      col("last_x"), col("last_y"), col("n"))
+      .orderBy(col("ws_us"), col("user_id"))
+
   /** A1: sliding 2-minute window, 1-minute slide, per key — the flagship
-    * kinematic smoothing agg (`preprocess.py:78-88`), batch embodiment.
-    * `moving_avg` ≈ avg(speed_over_ground); `last_value` ≈ last(lon) with
-    * a deterministic event-time ordering (max_by). */
+    * kinematic smoothing agg (`preprocess.py:78-88`), batch embodiment,
+    * full 7-agg shape. */
   private def slidingWindow(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tbl.events(s, d)
-      .groupBy(window($"ts", "2 minutes", "1 minute"), $"user_id")
-      .agg(
-        sum(Tbl.cents($"value")).as("v_c"),
-        count(lit(1)).as("n"),
-        max_by($"value", $"ts").as("last_value"))
-      .select(
-        unix_micros($"window.start").as("ws_us"),
-        unix_micros($"window.end").as("we_us"),
-        $"user_id",
-        round($"v_c" / 100.0 / $"n", 6).as("moving_avg"),
-        $"last_value", $"n")
-      .orderBy($"ws_us", $"user_id")
+    kinematicFinish(
+      withKinematics(Tbl.events(s, d))
+        .groupBy(window($"ts", "2 minutes", "1 minute"), $"user_id")
+        .agg(kinematicAggExprs.head, kinematicAggExprs.tail: _*))
   }
 
   /** Each event belongs to exactly width/slide = 2 windows: starts at

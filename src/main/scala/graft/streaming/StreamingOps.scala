@@ -76,30 +76,42 @@ object StreamingOps extends QueryModule {
     s.table(name)
   }
 
+  /** Stateful streams pay a per-(partition × store instance × batch)
+    * load+commit cost — including the zero-input watermark-advance batch
+    * — so the state partition count is a per-stream sizing decision:
+    * size it to the stream's state volume (here tens of thousands of
+    * keys ⇒ 8), not the session-wide shuffle default. Measured 2× end to
+    * end on the stream-stream join at ~40k state rows (commit 6d8d8dc);
+    * round 2 carries the same sizing to every stateful stream. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** A1+A2 streaming: watermarked sliding-window kinematic smoothing in
     * update mode — the ⚠ intent of `preprocess.py:78-88`. Single
     * AvailableNow batch ⇒ the update stream emits every window exactly
     * once, so the batch oracle (same as a1_sliding_window) applies. */
-  private def streamWindowAgg(s: SparkSession, d: String): DataFrame = {
+  private def streamWindowAgg(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s, 8) { streamWindowAggInner(s, d) }
+
+  private def streamWindowAggInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val agg = eventStream(s, d)
+    import graft.operators.WindowOps.{kinematicAggExprs, kinematicFinish, withKinematics}
+    val agg = withKinematics(eventStream(s, d))
       .withWatermark("ts", "5 minutes")
       .groupBy(window($"ts", "2 minutes", "1 minute"), $"user_id")
-      .agg(sum(Tbl.cents($"value")).as("v_c"),
-           count(lit(1)).as("n"),
-           max_by($"value", $"ts").as("last_value"))
-    runToTable(s, agg, "s_window_agg", OutputMode.Update())
-      .select(unix_micros($"window.start").as("ws_us"),
-              unix_micros($"window.end").as("we_us"),
-              $"user_id",
-              round($"v_c" / 100.0 / $"n", 6).as("moving_avg"),
-              $"last_value", $"n")
-      .orderBy($"ws_us", $"user_id")
+      .agg(kinematicAggExprs.head, kinematicAggExprs.tail: _*)
+    kinematicFinish(runToTable(s, agg, "s_window_agg", OutputMode.Update()))
   }
 
   /** T1 rebuilt: flatMapGroupsWithState "latest 3 per vessel". Output
     * matches the batch ranking query a3_top3_per_key exactly. */
-  private def streamLast3(s: SparkSession, d: String): DataFrame = {
+  private def streamLast3(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s, 8) { streamLast3Inner(s, d) }
+
+  private def streamLast3Inner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import StatefulOps._
     val typed = eventStream(s, d)
@@ -115,7 +127,10 @@ object StreamingOps extends QueryModule {
 
   /** A5 streaming: keyed gap-fill interpolation via state; same oracle
     * as the batch twin a5_gap_fill. */
-  private def streamGapFill(s: SparkSession, d: String): DataFrame = {
+  private def streamGapFill(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s, 8) { streamGapFillInner(s, d) }
+
+  private def streamGapFillInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import StatefulOps._
     val typed = eventStream(s, d)
@@ -130,7 +145,10 @@ object StreamingOps extends QueryModule {
   }
 
   /** J5 streaming: stateful dropDuplicates over the stream. */
-  private def streamDedup(s: SparkSession, d: String): DataFrame = {
+  private def streamDedup(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s, 8) { streamDedupInner(s, d) }
+
+  private def streamDedupInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dd = eventStream(s, d)
       .select($"user_id", $"event_type")
@@ -225,7 +243,10 @@ object StreamingOps extends QueryModule {
     * same oracle applies. Complete mode (session windows don't support
     * update; append would hold back sessions ending past the final
     * watermark) ⇒ the last trigger's table is the full merged result. */
-  private def streamSession(s: SparkSession, d: String): DataFrame = {
+  private def streamSession(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s, 8) { streamSessionInner(s, d) }
+
+  private def streamSessionInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val agg = eventStream(s, d)
       .withWatermark("ts", "0 seconds")
@@ -243,7 +264,10 @@ object StreamingOps extends QueryModule {
     * (count, sum) via a ValueState handle over RocksDB — the modern twin
     * of s2/s3's flatMapGroupsWithState. Single AvailableNow batch ⇒
     * output equals the batch cumulative window (the oracle). */
-  private def streamRunningTotals(s: SparkSession, d: String): DataFrame = {
+  private def streamRunningTotals(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s, 8) { streamRunningTotalsInner(s, d) }
+
+  private def streamRunningTotalsInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import StatefulOps._
     val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
@@ -282,18 +306,11 @@ object StreamingOps extends QueryModule {
     * minus the interval can never match again and is evicted. Inner
     * joins emit eagerly, so one AvailableNow batch yields the full
     * batch-join result (the oracle). */
-  private def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    // state partition count is a per-stream sizing decision (4 store
-    // instances per partition here, each paying load+commit per batch —
-    // including the zero-input watermark-advance batch): size it to the
-    // join's state volume, not the session-wide shuffle default.
-    // Measured 2x end-to-end at this state size (~40k rows).
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try streamStreamJoinInner(s, d)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
+  private def streamStreamJoin(s: SparkSession, d: String): DataFrame =
+    // 4 store instances per partition for a stream-stream join, each
+    // paying load+commit per batch — the sizing that motivated
+    // withStatePartitions.
+    withStatePartitions(s, 8) { streamStreamJoinInner(s, d) }
 
   private def streamStreamJoinInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
