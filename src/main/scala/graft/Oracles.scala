@@ -49,9 +49,10 @@ object Oracles {
     * windows (a1_sliding_window / s1_stream_window_agg). Full reference
     * 7-agg shape (`preprocess.py:80-86`): 3 moving averages + 4
     * event-time-latest columns (the reference's `last()` rebuilt as
-    * arg_max for determinism). Averages run on exactly-summable values
-    * (cents / integer degrees / integer micro-rot) so sum order can't
-    * perturb the hash. */
+    * arg_max for determinism, tie-broken on (epoch_us, event_id) encoded
+    * as one fixed-width string — arg_max has no struct-key overload).
+    * Averages run on exactly-summable values (cents / integer degrees /
+    * integer micro-rot) so sum order can't perturb the hash. */
   val slidingWindow: String =
     s"""SELECT (epoch_us(ts) // 60000000 - k) * 60000000 AS ws_us,
        |       (epoch_us(ts) // 60000000 - k) * 60000000 + 120000000 AS we_us,
@@ -59,11 +60,11 @@ object Oracles {
        |       round(sum(CAST(round(value*100) AS BIGINT))/100.0/count(*), 6) AS moving_avg,
        |       round(sum(cog)/count(*), 6) AS moving_avg_cog,
        |       round(sum(CAST(round(((value/4.733)*(value/4.733))*1000000.0) AS BIGINT))/1000000.0/count(*), 6) AS moving_avg_rot,
-       |       arg_max(value, epoch_us(ts)) AS last_value,
-       |       arg_max(lon, epoch_us(ts)) AS last_lon,
-       |       arg_max(lat, epoch_us(ts)) AS last_lat,
-       |       arg_max(lx, epoch_us(ts)) AS last_x,
-       |       arg_max(ly, epoch_us(ts)) AS last_y,
+       |       arg_max(value, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_value,
+       |       arg_max(lon, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_lon,
+       |       arg_max(lat, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_lat,
+       |       arg_max(lx, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_x,
+       |       arg_max(ly, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_y,
        |       count(*) AS n
        |FROM (SELECT g.*,
        |        CAST(event_id % 360 AS DOUBLE) AS cog,

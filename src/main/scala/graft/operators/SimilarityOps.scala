@@ -72,13 +72,19 @@ object SimilarityOps extends QueryModule {
     * floats — constant-sized regardless of corpus scale, the legitimate
     * driver-side step of any LSH/IVF index build). Folding them into the
     * plan as literals makes bucket/cell assignment a per-row projection:
-    * no crossJoin row blow-up, no Exchange below the bucket column. */
-  private def constVectors(s: SparkSession, d: String, n: Int): Seq[(Int, Array[Float])] = {
-    import s.implicits._
-    Tbl.embeddings(s, d).where($"vec_id" < n)
-      .select($"vec_id".cast("int"), $"embedding")
-      .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
-  }
+    * no crossJoin row blow-up, no Exchange below the bucket column.
+    * Memoized per (dataset dir, n): the same planes/centroids serve every
+    * query build in the session instead of re-running the collect job. */
+  private val vecCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Int, Array[Float])]]
+
+  private def constVectors(s: SparkSession, d: String, n: Int): Seq[(Int, Array[Float])] =
+    vecCache.getOrElseUpdate((d, n), {
+      import s.implicits._
+      Tbl.embeddings(s, d).where($"vec_id" < n)
+        .select($"vec_id".cast("int"), $"embedding")
+        .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
+    })
 
   /** Hyperplane-LSH bucket id: bit j = sign(v · plane_j), planes = the
     * first 8 corpus vectors (fixed, deterministic) as literal arrays. */
@@ -187,35 +193,76 @@ object SimilarityOps extends QueryModule {
   }
 
   private val NeardupMinCosine = 0.3
+  private val NeardupBands = 8      // b OR'd hash tables
+  private val NeardupRows = 6       // r hyperplanes per table
 
-  /** Embedding-cosine near-dup pairs, blocked by the hyperplane-LSH
-    * bucket (the same `bucketCol` the ANN path uses): candidates are
-    * same-bucket pairs only — sub-quadratic blocking that scales with
-    * bucket size, not corpus² (a label/class block would be quadratic
-    * within each label at 100 TB) — then verified with exact cosine,
-    * the same candidate-verify shape as `dd_minhash_lsh`. */
+  /** Per-band 6-bit signatures: band i hashes with planes
+    * [6i, 6i+6) (the first 48 corpus vectors), bit j within a band =
+    * sign(v · plane_{6i+j}). A pair is a candidate if it collides in ANY
+    * band — the banded candidate-OR shape `dd_minhash_lsh` uses. */
+  private def bandSignatures(planes: Seq[(Int, Array[Float])]): Column =
+    array((0 until NeardupBands).map { band =>
+      planes.slice(band * NeardupRows, (band + 1) * NeardupRows)
+        .zipWithIndex.map { case ((_, p), j) =>
+          when(dot(col("embedding"), typedLit(p)) > 0.0, lit(1L << j))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+    }: _*)
+
+  /** Embedding-cosine near-dup pairs via banded hyperplane LSH
+    * (b=8 tables × r=6 planes), then exact-cosine verify — the same
+    * candidate-verify shape as `dd_minhash_lsh`, sub-quadratic blocking
+    * that scales with bucket size, not corpus².
+    *
+    * Recall bound: a pair at cosine c collides per-band with
+    * p = (1 - acos(c)/π)^r, overall 1-(1-p)^b — at the near-dup regime
+    * this is ≈98% for c=0.9 and ≈99.99% for c=0.99; at this synthetic
+    * corpus's demo threshold c=0.3 (random-ish unit vectors — NO pair
+    * reaches 0.6) it is ≈31%, which the single 8-plane table of round 2
+    * put at ≈1.6%. The threshold is a corpus property, not an engine
+    * parameter; the banded structure is what ships to 100 TB. */
   private def embeddingNeardup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tbl.embeddings(s, d)
-      .select($"vec_id", $"embedding",
-              bucketCol(constVectors(s, d, NumPlanes)).as("bucket"))
-    emb.as("l")
-      .join(emb.as("r"), $"l.bucket" === $"r.bucket" && $"l.vec_id" < $"r.vec_id")
-      .select($"l.vec_id".as("a"), $"r.vec_id".as("b"), $"l.bucket".as("bucket"),
-              round(dot($"l.embedding", $"r.embedding"), 6).as("cosine"))
+    // narrow signature relation (vec_id, band, bkt): the 8× explode
+    // carries 3 longs per row, never the 64-float embedding
+    val sig = emb
+      .select($"vec_id",
+              posexplode(bandSignatures(
+                constVectors(s, d, NeardupBands * NeardupRows))).as(Seq("band", "bkt")))
+    val cand = sig.as("l")
+      .join(sig.as("r"),
+            $"l.band" === $"r.band" && $"l.bkt" === $"r.bkt" &&
+            $"l.vec_id" < $"r.vec_id")
+      .select($"l.vec_id".as("a"), $"r.vec_id".as("b"))
+      .distinct()
+    cand
+      .join(emb.select($"vec_id".as("a"), $"embedding".as("ea")), "a")
+      .join(emb.select($"vec_id".as("b"), $"embedding".as("eb")), "b")
+      .select($"a", $"b", round(dot($"ea", $"eb"), 6).as("cosine"))
       .where($"cosine" >= NeardupMinCosine)
       .orderBy($"a", $"b")
   }
 
   private val embeddingNeardupSql =
-    s"""WITH bucketed AS (
-       |  SELECT e.vec_id, e.embedding, $bucketExprSql AS bucket
-       |  FROM embeddings e)
-       |SELECT l.vec_id AS a, r.vec_id AS b, l.bucket AS bucket,
-       |  round(${dotSql("l.embedding", "r.embedding")}, 6) AS cosine
-       |FROM bucketed l JOIN bucketed r
-       |  ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-       |WHERE round(${dotSql("l.embedding", "r.embedding")}, 6) >= $NeardupMinCosine
+    s"""WITH sig AS (
+       |  SELECT e.vec_id, b.band,
+       |    (SELECT CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.embedding")} > 0.0
+       |                     THEN 1 << (p.vec_id % $NeardupRows) ELSE 0 END) AS BIGINT)
+       |     FROM embeddings p
+       |     WHERE p.vec_id >= b.band * $NeardupRows
+       |       AND p.vec_id < (b.band + 1) * $NeardupRows) AS bkt
+       |  FROM embeddings e,
+       |       (SELECT unnest(generate_series(0, ${NeardupBands - 1})) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM sig l JOIN sig r
+       |    ON l.band = r.band AND l.bkt = r.bkt AND l.vec_id < r.vec_id)
+       |SELECT c.a, c.b, round(${dotSql("ea.embedding", "eb.embedding")}, 6) AS cosine
+       |FROM cand c
+       |JOIN embeddings ea ON ea.vec_id = c.a
+       |JOIN embeddings eb ON eb.vec_id = c.b
+       |WHERE round(${dotSql("ea.embedding", "eb.embedding")}, 6) >= $NeardupMinCosine
        |ORDER BY a, b""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

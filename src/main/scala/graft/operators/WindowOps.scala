@@ -39,6 +39,13 @@ object WindowOps extends QueryModule {
       .withColumn("lx", round(ecefX(col("lon"), col("lat")), 2))
       .withColumn("ly", round(ecefY(col("lon"), col("lat")), 2))
 
+  /** Total order for the `last()` rebuild: (event time, event_id) as one
+    * fixed-width zero-padded string — deterministic even if two events of
+    * one key share a timestamp (DuckDB's arg_max can't take a struct key,
+    * so the composite is encoded the same way on both engines). */
+  private[graft] val lastTieKey: Column =
+    format_string("%020d|%012d", unix_micros(col("ts")), col("event_id"))
+
   /** The reference's full 7-agg shape (`preprocess.py:80-86`): 3 moving
     * averages + 4 `last()`-rebuilt-as-max_by columns. */
   private[graft] val kinematicAggExprs: Seq[Column] = Seq(
@@ -46,11 +53,11 @@ object WindowOps extends QueryModule {
     count(lit(1)).as("n"),
     sum(col("cog")).as("cog_sum"),
     sum(col("rot_u")).as("rot_u_sum"),
-    max_by(col("value"), col("ts")).as("last_value"),
-    max_by(col("lon"), col("ts")).as("last_lon"),
-    max_by(col("lat"), col("ts")).as("last_lat"),
-    max_by(col("lx"), col("ts")).as("last_x"),
-    max_by(col("ly"), col("ts")).as("last_y"))
+    max_by(col("value"), lastTieKey).as("last_value"),
+    max_by(col("lon"), lastTieKey).as("last_lon"),
+    max_by(col("lat"), lastTieKey).as("last_lat"),
+    max_by(col("lx"), lastTieKey).as("last_x"),
+    max_by(col("ly"), lastTieKey).as("last_y"))
 
   /** Post-agg finish: window bounds to epoch micros, scaled sums back to
     * rounded averages — the same column names the shared oracle emits. */

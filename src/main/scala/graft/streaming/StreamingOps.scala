@@ -79,13 +79,23 @@ object StreamingOps extends QueryModule {
   /** Stateful streams pay a per-(partition × store instance × batch)
     * load+commit cost — including the zero-input watermark-advance batch
     * — so the state partition count is a per-stream sizing decision:
-    * size it to the stream's state volume (here tens of thousands of
-    * keys ⇒ 8), not the session-wide shuffle default. Measured 2× end to
-    * end on the stream-stream join at ~40k state rows (commit 6d8d8dc);
-    * round 2 carries the same sizing to every stateful stream. */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    * size it to the stream's state volume, not the session-wide shuffle
+    * default. Measured 2× end to end on the stream-stream join at ~40k
+    * state rows (commit 6d8d8dc). The count is a deployment knob
+    * (`spark.graft.statePartitions` conf, or SPARK_GRAFT_STATE_PARTITIONS
+    * env), defaulting to 8 — right for the bench's tens-of-thousands of
+    * keys; a 100 TB stream raises it to match executor count × state
+    * volume. NOTE: streaming state partitioning is frozen into the
+    * checkpoint at first start — pick for the target scale, not the
+    * backfill. */
+  private def statePartitions(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.statePartitions")
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTITIONS"))
+      .map(_.toInt).getOrElse(8)
+
+  private def withStatePartitions[T](s: SparkSession)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s).toString)
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -94,7 +104,7 @@ object StreamingOps extends QueryModule {
     * AvailableNow batch ⇒ the update stream emits every window exactly
     * once, so the batch oracle (same as a1_sliding_window) applies. */
   private def streamWindowAgg(s: SparkSession, d: String): DataFrame =
-    withStatePartitions(s, 8) { streamWindowAggInner(s, d) }
+    withStatePartitions(s) { streamWindowAggInner(s, d) }
 
   private def streamWindowAggInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -109,7 +119,7 @@ object StreamingOps extends QueryModule {
   /** T1 rebuilt: flatMapGroupsWithState "latest 3 per vessel". Output
     * matches the batch ranking query a3_top3_per_key exactly. */
   private def streamLast3(s: SparkSession, d: String): DataFrame =
-    withStatePartitions(s, 8) { streamLast3Inner(s, d) }
+    withStatePartitions(s) { streamLast3Inner(s, d) }
 
   private def streamLast3Inner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -128,7 +138,7 @@ object StreamingOps extends QueryModule {
   /** A5 streaming: keyed gap-fill interpolation via state; same oracle
     * as the batch twin a5_gap_fill. */
   private def streamGapFill(s: SparkSession, d: String): DataFrame =
-    withStatePartitions(s, 8) { streamGapFillInner(s, d) }
+    withStatePartitions(s) { streamGapFillInner(s, d) }
 
   private def streamGapFillInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -146,7 +156,7 @@ object StreamingOps extends QueryModule {
 
   /** J5 streaming: stateful dropDuplicates over the stream. */
   private def streamDedup(s: SparkSession, d: String): DataFrame =
-    withStatePartitions(s, 8) { streamDedupInner(s, d) }
+    withStatePartitions(s) { streamDedupInner(s, d) }
 
   private def streamDedupInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -244,7 +254,7 @@ object StreamingOps extends QueryModule {
     * update; append would hold back sessions ending past the final
     * watermark) ⇒ the last trigger's table is the full merged result. */
   private def streamSession(s: SparkSession, d: String): DataFrame =
-    withStatePartitions(s, 8) { streamSessionInner(s, d) }
+    withStatePartitions(s) { streamSessionInner(s, d) }
 
   private def streamSessionInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -265,7 +275,7 @@ object StreamingOps extends QueryModule {
     * of s2/s3's flatMapGroupsWithState. Single AvailableNow batch ⇒
     * output equals the batch cumulative window (the oracle). */
   private def streamRunningTotals(s: SparkSession, d: String): DataFrame =
-    withStatePartitions(s, 8) { streamRunningTotalsInner(s, d) }
+    withStatePartitions(s) { streamRunningTotalsInner(s, d) }
 
   private def streamRunningTotalsInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -310,7 +320,7 @@ object StreamingOps extends QueryModule {
     // 4 store instances per partition for a stream-stream join, each
     // paying load+commit per batch — the sizing that motivated
     // withStatePartitions.
-    withStatePartitions(s, 8) { streamStreamJoinInner(s, d) }
+    withStatePartitions(s) { streamStreamJoinInner(s, d) }
 
   private def streamStreamJoinInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

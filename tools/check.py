@@ -71,11 +71,23 @@ def main():
         for c in got.columns:
             g, e = got[c], exp[c]
             if str(g.dtype) == "object":
-                # exact python-value compare incl. type (no str coercion)
+                # exact python-value compare incl. type (no str coercion);
+                # nulls via pd.isna (None/NaN/NaT all count — NaN != NaN
+                # would otherwise false-DIFF), numpy scalars normalized to
+                # python values (np.str_ vs str is not a real mismatch)
+                import pandas as pd, numpy as np
+                def isnull(x):
+                    r = pd.isna(x)
+                    return bool(r) if isinstance(r, (bool, np.bool_)) else False
                 def veq(a, b):
-                    if a is None or b is None:
-                        return a is None and b is None
-                    if type(a) is not type(b):
+                    if isnull(a) or isnull(b):
+                        return isnull(a) and isnull(b)
+                    if isinstance(a, np.generic):
+                        a = a.item()
+                    if isinstance(b, np.generic):
+                        b = b.item()
+                    if type(a) is not type(b) and not (
+                            isinstance(a, np.ndarray) or isinstance(b, np.ndarray)):
                         return False
                     try:
                         r = a == b
