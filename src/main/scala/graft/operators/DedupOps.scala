@@ -194,12 +194,23 @@ object DedupOps extends QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** A single gram shared by k docs contributes k² pairs to the gram
+    * self-join — one ubiquitous trigram on a low-entropy corpus (think
+    * boilerplate headers at 100 TB) is a quadratic blow-up. Grams with
+    * document frequency above this cap are excluded from the
+    * intersection estimate (making reported Jaccard a lower bound for
+    * pairs that share ubiquitous grams — the standard LSH-dedup
+    * trade-off); union sizes stay uncapped. Measured max df: 5 at
+    * sf0.01, 14 at sf0.1 — the cap is inert on the test corpora and
+    * exists to bound the worst case. */
+  private val GramDfCap = 50
+
   /** n-gram (word-trigram) Jaccard similarity via the scalable
     * explode→join-on-gram→count formulation, blocked by language:
     * |A∩B| comes from a per-pair shared-gram count, |A∪B| from the
     * per-doc distinct-gram counts — no quadratic array scans. Trigrams
-    * (not bigrams) keep per-gram document frequency low, which bounds
-    * the pair blow-up of the gram join on low-entropy corpora. */
+    * (not bigrams) keep per-gram document frequency low; the df cap
+    * bounds the pair blow-up on low-entropy corpora outright. */
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // persisted: both self-join sides + both count join-backs derive
@@ -209,8 +220,15 @@ object DedupOps extends QueryModule {
       .persist()
     val counts = docGrams.select($"doc_id", size($"g").as("ng"))
     val exploded = docGrams.select($"doc_id", $"lang", explode_outer($"g").as("gram"))
-    val shared = exploded.as("l")
-      .join(exploded.as("r"),
+    // high-df gram cap: df per (lang, gram), keep rare grams only; the
+    // df aggregate and the pair join shuffle on the same (lang, gram)
+    // key, so the extra pass reuses the exchange layout
+    val gramDf = exploded.groupBy($"lang", $"gram").agg(count(lit(1)).as("df"))
+    val kept = exploded
+      .join(gramDf.where($"df" <= GramDfCap), Seq("lang", "gram"))
+      .select($"doc_id", $"lang", $"gram")
+    val shared = kept.as("l")
+      .join(kept.as("r"),
             $"l.lang" === $"r.lang" && $"l.gram" === $"r.gram" &&
             $"l.doc_id" < $"r.doc_id")
       .groupBy($"l.doc_id".as("a"), $"r.doc_id".as("b"))
@@ -231,9 +249,13 @@ object DedupOps extends QueryModule {
        |  FROM documents),
        |counts AS (SELECT doc_id, len(g) AS ng FROM dg),
        |ex AS (SELECT doc_id, lang, unnest(g) AS gram FROM dg),
+       |gd AS (SELECT lang, gram, count(*) AS df FROM ex GROUP BY 1, 2),
+       |exk AS (SELECT ex.doc_id, ex.lang, ex.gram
+       |        FROM ex JOIN gd ON ex.lang = gd.lang AND ex.gram = gd.gram
+       |        WHERE gd.df <= $GramDfCap),
        |shared AS (
        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
-       |  FROM ex l JOIN ex r
+       |  FROM exk l JOIN exk r
        |    ON l.lang = r.lang AND l.gram = r.gram AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2)
        |SELECT a, b,

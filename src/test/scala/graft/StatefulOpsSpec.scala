@@ -2,7 +2,7 @@ package graft
 
 import graft.streaming.StatefulOps._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 
 /** Keyed state handlers: pure-function unit tests plus a genuine
   * MULTI-batch MemoryStream e2e — the cross-batch state semantics that
@@ -39,6 +39,36 @@ class StatefulOpsSpec extends SparkSpec {
       // the final ranking emitted in batch 2 is exactly {4,3,2}
       val batch2 = rows.filter(r => r.rn <= 3).groupBy(_.event_id)
       assert(!batch2.contains(5L))
+    } finally q.stop()
+  }
+
+  test("ProcessingTime trigger: last3 state persists across timed micro-batches") {
+    // the reference's production trigger is ProcessingTime 30s
+    // (`predict_path.py:95`); every oracle stream runs AvailableNow, so
+    // this is the one place the timed-trigger path is actually executed
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = input.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        last3PerKey _)
+    val q = out.writeStream.format("memory").queryName("t_pt")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      input.addData(ev(1, 100, 3, 1.0))
+      q.processAllAvailable()
+      input.addData(ev(2, 200, 3, 2.0), ev(3, 300, 3, 3.0), ev(4, 400, 3, 4.0))
+      q.processAllAvailable()
+      // two non-empty micro-batches actually ran under the timed trigger
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+      // batch 2's re-ranking saw batch 1's state: event 1 (oldest of the
+      // four) was evicted from the top-3 emitted in the second batch
+      val rows = spark.table("t_pt").as[Ranked].collect()
+      val batch2Ids = rows.filter(r => r.event_id >= 2L).map(_.event_id).toSet
+      assert(batch2Ids == Set(2L, 3L, 4L))
+      assert(rows.filter(_.rn == 1).map(_.event_id).max == 4L)
     } finally q.stop()
   }
 
