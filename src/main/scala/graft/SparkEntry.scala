@@ -20,6 +20,7 @@ object SparkEntry {
     WindowOps,
     AnalyticsOps,
     TextOps,
+    CurationOps,
     DedupOps,
     SimilarityOps,
     MultimodalOps,

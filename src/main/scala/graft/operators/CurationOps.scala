@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.{QueryModule, Tbl}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond the dedup/similarity core:
+  * cross-document chunk dedup (boilerplate removal), repetition quality
+  * signals, PII scrubbing, and deterministic stratified sampling.
+  *
+  * These are the web-pipeline passes (C4 / Gopher / RefinedWeb lineage —
+  * public papers, re-expressed Spark-first) a 100 TB corpus runs between
+  * ingest and tokenization:
+  *  - chunk dedup removes boilerplate shared across documents while
+  *    keeping each document's unique remainder — sub-document dedup,
+  *    where doc-level dedup (dd_*) keeps or drops whole texts;
+  *  - repetition metrics flag low-quality repetitive text;
+  *  - PII scrub redacts contact-like spans before training;
+  *  - hash-stratified sampling draws reproducible per-class subsets with
+  *    no RNG state (re-runs and backfills select identical rows).
+  *
+  * 100 TB design notes: chunk dedup shuffles on a 128-bit chunk hash
+  * (boilerplate frequency is bounded by the corpus, not by any one
+  * document); repetition metrics are per-document aggregates that
+  * shuffle (doc_id, bigram) counts once; scrub and sampling are pure
+  * per-row projections/filters — no shuffle at all, and the sampling
+  * predicate pushes down to the scan.
+  */
+object CurationOps extends QueryModule {
+
+  import TextNorm.{norm, normSql}
+
+  private val ChunkWords = 3 // corpus-matched: testdata docs are 10-99
+                             // word synthetic text; real pipelines use
+                             // sentence/paragraph-sized chunks
+
+  /** Cross-document chunk dedup (RefinedWeb-style boilerplate removal):
+    * split each normalized document into fixed `ChunkWords`-word chunks,
+    * keep a chunk only in the document with the smallest doc_id that
+    * contains it, and reassemble the survivors in order. The global
+    * keeper decision groups on md5(chunk) — the shuffle key is 16 bytes,
+    * never the text. */
+  private def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // `words` staged as a real column: HOF lambdas re-evaluate inner
+    // expressions per element (see TextNorm.withShingles)
+    val ch = Tbl.documents(s, d)
+      .withColumn("words", split(norm($"text"), " "))
+      .select($"doc_id", posexplode(transform(
+        expr(s"sequence(0, (size(words) - 1) div $ChunkWords)"),
+        k => concat_ws(" ", slice($"words", k * ChunkWords + 1, lit(ChunkWords)))))
+        .as(Seq("pos", "chunk")))
+      .withColumn("h", md5($"chunk"))
+      .persist() // 3 references: keeper agg, keeper join, per-doc totals
+    val keep = ch.groupBy($"h").agg(min($"doc_id").as("keep_doc"))
+    val kept = ch.join(keep, "h").where($"doc_id" === $"keep_doc")
+    val tot = ch.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"))
+    tot.join(kept.select($"doc_id", $"pos", $"chunk"), Seq("doc_id"), "left")
+      .groupBy($"doc_id", $"n_chunks")
+      .agg(count($"pos").as("n_kept"),
+           array_join(transform(array_sort(collect_list(struct($"pos", $"chunk"))),
+                                x => x.getField("chunk")), " ").as("kept_text"))
+      .orderBy($"doc_id")
+  }
+
+  private val chunkDedupSql =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+       |ch AS (SELECT doc_id, k AS pos,
+       |         md5(array_to_string(ws[(k*$ChunkWords+1):(k*$ChunkWords+$ChunkWords)], ' ')) AS h,
+       |         array_to_string(ws[(k*$ChunkWords+1):(k*$ChunkWords+$ChunkWords)], ' ') AS chunk
+       |       FROM w, LATERAL unnest(generate_series(0, (len(ws)-1)//$ChunkWords)) t(k)),
+       |keep AS (SELECT h, min(doc_id) AS keep_doc FROM ch GROUP BY h),
+       |kept AS (SELECT ch.* FROM ch JOIN keep ON ch.h = keep.h AND ch.doc_id = keep.keep_doc),
+       |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+       |SELECT t.doc_id AS doc_id, t.n_chunks AS n_chunks, count(k.pos) AS n_kept,
+       |       coalesce(string_agg(k.chunk, ' ' ORDER BY k.pos), '') AS kept_text
+       |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+       |GROUP BY t.doc_id, t.n_chunks ORDER BY t.doc_id""".stripMargin
+
+  /** Gopher-style repetition signals per document: distinct-word ratio
+    * and top-bigram fraction, both as floored integer ppm (exact in any
+    * engine — no float rounding at the boundary). The distinct-word
+    * ratio is a pure per-row expression; only the bigram mode needs a
+    * (doc_id, bigram) count shuffle. */
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perDoc = Tbl.documents(s, d)
+      .withColumn("words", split(norm($"text"), " "))
+      .select($"doc_id", size($"words").as("n_words"),
+              size(array_distinct($"words")).as("n_distinct"),
+              explode(transform(
+                expr("sequence(1, size(words) - 1)"),
+                i => concat_ws(" ", element_at($"words", i),
+                               element_at($"words", i + 1)))).as("bg"))
+    val bigramStats = perDoc
+      .groupBy($"doc_id", $"n_words", $"n_distinct", $"bg")
+      .agg(count(lit(1)).as("nb"))
+      .groupBy($"doc_id", $"n_words", $"n_distinct")
+      .agg(max($"nb").as("max_bg"), sum($"nb").as("n_bg"))
+    bigramStats.select($"doc_id", $"n_words",
+        expr("CAST(n_distinct AS BIGINT) * 1000000 div n_words").as("uniq_ppm"),
+        expr("max_bg * 1000000 div n_bg").as("top_bigram_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  private val repetitionSql =
+    s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+       |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+       |       FROM w, LATERAL unnest(generate_series(1, len(ws)-1)) t(i)),
+       |bs AS (SELECT doc_id, max(n) AS max_bg, sum(n) AS n_bg
+       |       FROM (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2)
+       |       GROUP BY doc_id)
+       |SELECT w.doc_id AS doc_id, len(ws) AS n_words,
+       |  CAST(len(list_distinct(ws)) * 1000000 // len(ws) AS BIGINT) AS uniq_ppm,
+       |  CAST(max_bg * 1000000 // n_bg AS BIGINT) AS top_bigram_ppm
+       |FROM w JOIN bs ON w.doc_id = bs.doc_id ORDER BY doc_id""".stripMargin
+
+  // contact-like spans; patterns kept in the regex subset Java and RE2
+  // share (no backrefs, no lookaround) so both engines scrub identically
+  private val EmailRe = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  /** PII scrub: redact email/phone-like spans. The corpus has no natural
+    * PII (letters-only synthetic text — verified), so each document is
+    * augmented with a deterministic contact line derived from doc_id,
+    * then scrubbed; counts prove detection, the md5 proves the rewrite.
+    * Pure per-row projection — the 100 TB embodiment is a map-only pass
+    * with no shuffle. */
+  private def piiScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val aug = concat($"text",
+      lit(" contact user"), $"doc_id".cast("string"),
+      lit("@mail.example.com or call 555-"),
+      lpad(($"doc_id" % 10000).cast("string"), 4, "0"), lit(" now"))
+    Tbl.documents(s, d)
+      .select($"doc_id", aug.as("aug"))
+      .select($"doc_id",
+              regexp_count($"aug", lit(EmailRe)).as("n_emails"),
+              regexp_count($"aug", lit(PhoneRe)).as("n_phones"),
+              md5(regexp_replace(regexp_replace($"aug", EmailRe, "<EMAIL>"),
+                                 PhoneRe, "<PHONE>")).as("scrub_hash"))
+      .orderBy($"doc_id")
+  }
+
+  private val piiScrubSql =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(aug, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(aug, '$PhoneRe')) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g'),
+       |                     '$PhoneRe', '<PHONE>', 'g')) AS scrub_hash
+       |FROM (SELECT doc_id,
+       |        text || ' contact user' || doc_id::VARCHAR
+       |             || '@mail.example.com or call 555-'
+       |             || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now' AS aug
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic hash-stratified sampling: keep a row iff the first
+    * 32 bits of md5(event_id) land under the stratum's rate — 50% of
+    * clicks, 25% of purchases, 10% of everything else. No RNG, no seed
+    * state: any executor, any retry, any engine selects the same rows
+    * (the property that makes sampled pipelines auditable). The
+    * predicate is a scan-level filter; sampling 10% of 100 TB never
+    * shuffles the other 90%. */
+  private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket =
+      conv(substring(md5($"event_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    val rate = when($"event_type" === "click", 50)
+      .when($"event_type" === "purchase", 25)
+      .otherwise(10)
+    Tbl.events(s, d)
+      .where(bucket < rate)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_sampled"),
+           round(sum(Tbl.cents($"value")) / 100.0, 2).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  private val stratifiedSampleSql =
+    """SELECT event_type, count(*) AS n_sampled,
+      |  round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value
+      |FROM events
+      |WHERE CAST(('0x' || substr(md5(event_id::VARCHAR), 1, 8)) AS BIGINT) % 100
+      |      < CASE event_type WHEN 'click' THEN 50 WHEN 'purchase' THEN 25 ELSE 10 END
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_chunk_dedup"      -> (chunkDedup _),
+    "tx_repetition"       -> (repetition _),
+    "tx_pii_scrub"        -> (piiScrub _),
+    "x_stratified_sample" -> (stratifiedSample _))
+
+  override val oracles: Map[String, String] = Map(
+    "dd_chunk_dedup"      -> chunkDedupSql,
+    "tx_repetition"       -> repetitionSql,
+    "tx_pii_scrub"        -> piiScrubSql,
+    "x_stratified_sample" -> stratifiedSampleSql)
+}

@@ -225,11 +225,14 @@ object SimilarityOps extends QueryModule {
     import s.implicits._
     val emb = Tbl.embeddings(s, d)
     // narrow signature relation (vec_id, band, bkt): the 8× explode
-    // carries 3 longs per row, never the 64-float embedding
+    // carries 3 longs per row, never the 64-float embedding; persisted —
+    // both sides of the candidate self-join read it, and the 48 dot
+    // products per row are the expensive part of this plan
     val sig = emb
       .select($"vec_id",
               posexplode(bandSignatures(
                 constVectors(s, d, NeardupBands * NeardupRows))).as(Seq("band", "bkt")))
+      .persist()
     val cand = sig.as("l")
       .join(sig.as("r"),
             $"l.band" === $"r.band" && $"l.bkt" === $"r.bkt" &&
