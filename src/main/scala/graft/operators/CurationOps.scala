@@ -186,13 +186,62 @@ object CurationOps extends QueryModule {
       |      < CASE event_type WHEN 'click' THEN 50 WHEN 'purchase' THEN 25 ELSE 10 END
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** End-to-end curation verdict per document — the composition a real
+    * pipeline runs as one pass: exact-dup check, then length, then
+    * repetition, first matching rule wins. Output is per-doc (keep /
+    * drop + reason), the shape a downstream tokenizer consumes.
+    *
+    * Scale note: the dup rule does NOT window over md5(text) (that
+    * would shuffle full documents by content hash). It aggregates
+    * (hash → keeper, n) — a 16-byte-key shuffle — keeps only groups
+    * with n > 1 (rare by definition), and broadcast-joins those back;
+    * the corpus itself never moves. */
+  private def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tbl.documents(s, d)
+    val dupKeepers = docs
+      .groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .where($"n_copies" > 1)
+    docs
+      .withColumn("words", split(norm($"text"), " "))
+      .select($"doc_id", $"lang", md5($"text").as("h"),
+              size($"words").as("n_words"),
+              expr("CAST(size(array_distinct(words)) AS BIGINT) * 1000000" +
+                   " div size(words)").as("uniq_ppm"))
+      .join(broadcast(dupKeepers), Seq("h"), "left")
+      .select($"doc_id", $"lang", $"n_words", $"uniq_ppm",
+              when($"keeper".isNotNull && $"doc_id" =!= $"keeper", "dup")
+                .when($"n_words" < 20, "short")
+                .when($"uniq_ppm" < 400000, "repetitive")
+                .otherwise("keep").as("verdict"))
+      .orderBy($"doc_id")
+  }
+
+  private val curationPipelineSql =
+    s"""WITH w AS (SELECT doc_id, lang, md5(text) AS h,
+       |                  string_split($normSql, ' ') AS ws
+       |           FROM documents),
+       |dk AS (SELECT md5(text) AS h, min(doc_id) AS keeper
+       |       FROM documents GROUP BY 1 HAVING count(*) > 1)
+       |SELECT doc_id, lang, len(ws) AS n_words,
+       |  CAST(len(list_distinct(ws)) * 1000000 // len(ws) AS BIGINT) AS uniq_ppm,
+       |  CASE WHEN keeper IS NOT NULL AND doc_id <> keeper THEN 'dup'
+       |       WHEN len(ws) < 20 THEN 'short'
+       |       WHEN len(list_distinct(ws)) * 1000000 // len(ws) < 400000 THEN 'repetitive'
+       |       ELSE 'keep' END AS verdict
+       |FROM w LEFT JOIN dk ON w.h = dk.h
+       |ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_curation_pipeline" -> (curationPipeline _),
     "dd_chunk_dedup"      -> (chunkDedup _),
     "tx_repetition"       -> (repetition _),
     "tx_pii_scrub"        -> (piiScrub _),
     "x_stratified_sample" -> (stratifiedSample _))
 
   override val oracles: Map[String, String] = Map(
+    "x_curation_pipeline" -> curationPipelineSql,
     "dd_chunk_dedup"      -> chunkDedupSql,
     "tx_repetition"       -> repetitionSql,
     "tx_pii_scrub"        -> piiScrubSql,

@@ -113,6 +113,33 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nested.isEmpty, s"near-dup pair join is not an equi-join:\n$p")
   }
 
+  test("PII scrub is map-only: no Exchange anywhere in the plan") {
+    // redaction at 100 TB must be a pure projection pass; a shuffle here
+    // means someone routed the text through an aggregate
+    val p = executed(SparkEntry.queries("tx_pii_scrub")(spark, d)
+      .sortWithinPartitions("doc_id")) // strip the display-only global sort
+    val shuffles = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
+    // the query's own orderBy contributes range-partitioning exchanges;
+    // everything below it must be exchange-free
+    assert(shuffles.size <= 1, s"scrub plan shuffles more than the sort:\n$p")
+  }
+
+  test("stratified sample filters before shuffling: one Exchange, after the predicate") {
+    val p = executed(SparkEntry.queries("x_stratified_sample")(spark, d))
+    // sampling 10-50% must drop rows at the scan stage; only the
+    // post-filter per-stratum aggregate (plus its output sort) may shuffle
+    val shuffles = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2, s"sample shuffles unsampled data:\n$p")
+    val filters = collectWithSubqueries(p) {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(filters.nonEmpty, "sampling predicate missing from the plan")
+    // the filter must sit below every exchange (map side), not above one
+    val filterAboveShuffle = filters.exists(f =>
+      collect(f.child) { case e: ShuffleExchangeLike => e }.nonEmpty)
+    assert(!filterAboveShuffle, s"sampling filter runs after a shuffle:\n$p")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
