@@ -57,9 +57,9 @@ object Oracles {
     s"""SELECT (epoch_us(ts) // 60000000 - k) * 60000000 AS ws_us,
        |       (epoch_us(ts) // 60000000 - k) * 60000000 + 120000000 AS we_us,
        |       user_id,
-       |       round(sum(CAST(round(value*100) AS BIGINT))/100.0/count(*), 6) AS moving_avg,
-       |       round(sum(cog)/count(*), 6) AS moving_avg_cog,
-       |       round(sum(CAST(round(((value/4.733)*(value/4.733))*1000000.0) AS BIGINT))/1000000.0/count(*), 6) AS moving_avg_rot,
+       |       CAST(sum(CAST(round(value*100) AS BIGINT)) * 10000 // count(*) AS BIGINT)/1000000.0 AS moving_avg,
+       |       CAST(CAST(sum(cog) AS BIGINT) * 1000000 // count(*) AS BIGINT)/1000000.0 AS moving_avg_cog,
+       |       CAST(sum(CAST(round(((value/4.733)*(value/4.733))*1000000.0) AS BIGINT)) // count(*) AS BIGINT)/1000000.0 AS moving_avg_rot,
        |       arg_max(value, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_value,
        |       arg_max(lon, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_lon,
        |       arg_max(lat, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_lat,

@@ -237,12 +237,14 @@ object DedupOps extends QueryModule {
             $"l.doc_id" < $"r.doc_id")
       .groupBy($"l.doc_id".as("a"), $"r.doc_id".as("b"))
       .agg(count(lit(1)).as("inter"))
+    // integer-scaled floor (ppm/1e6): round() after a double division
+    // resolves .5 boundaries differently across engines
     shared
       .join(counts.select($"doc_id".as("a"), $"ng".as("na")), "a")
       .join(counts.select($"doc_id".as("b"), $"ng".as("nb")), "b")
       .select($"a", $"b",
-              round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 6)
-                .as("jaccard"))
+              (expr("inter * 1000000 div (na + nb - inter)").cast("double")
+                 / 1000000.0).as("jaccard"))
       .where($"jaccard" >= 0.05)
       .orderBy($"a", $"b")
   }
@@ -263,9 +265,9 @@ object DedupOps extends QueryModule {
        |    ON l.lang = r.lang AND l.gram = r.gram AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2)
        |SELECT a, b,
-       |  round(CAST(inter AS DOUBLE) / (ca.ng + cb.ng - inter), 6) AS jaccard
+       |  CAST(inter * 1000000 // (ca.ng + cb.ng - inter) AS BIGINT) / 1000000.0 AS jaccard
        |FROM shared JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
-       |WHERE round(CAST(inter AS DOUBLE) / (ca.ng + cb.ng - inter), 6) >= 0.05
+       |WHERE CAST(inter * 1000000 // (ca.ng + cb.ng - inter) AS BIGINT) / 1000000.0 >= 0.05
        |ORDER BY a, b""".stripMargin
   }
 

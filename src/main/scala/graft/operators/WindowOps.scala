@@ -60,15 +60,26 @@ object WindowOps extends QueryModule {
     max_by(col("ly"), lastTieKey).as("last_y"))
 
   /** Post-agg finish: window bounds to epoch micros, scaled sums back to
-    * rounded averages — the same column names the shared oracle emits. */
+    * averages — the same column names the shared oracle emits.
+    *
+    * The averages are integer-scaled floors ((sum·10⁶ scale) div n,
+    * then one exact-integer-to-double division), NOT `round(x/n, 6)`:
+    * `round` after a double division is a cross-engine hazard — Spark
+    * rounds the exact decimal of the double half-up, DuckDB rounds via
+    * ·10⁶ with its own FP error, and at an exact .5 boundary they split
+    * (caught by the sf0.1 sweep: 2 of ~200k windows differed in the 6th
+    * decimal of moving_avg_rot). Integer div is exact in both engines
+    * (all summands non-negative, so truncate == floor), and dividing the
+    * same integer by 10⁶ yields bit-identical doubles. */
   private[graft] def kinematicFinish(df: DataFrame): DataFrame =
     df.select(
       unix_micros(col("window.start")).as("ws_us"),
       unix_micros(col("window.end")).as("we_us"),
       col("user_id"),
-      round(col("v_c") / 100.0 / col("n"), 6).as("moving_avg"),
-      round(col("cog_sum") / col("n"), 6).as("moving_avg_cog"),
-      round(col("rot_u_sum") / 1000000.0 / col("n"), 6).as("moving_avg_rot"),
+      (expr("v_c * 10000 div n").cast("double") / 1000000.0).as("moving_avg"),
+      (expr("CAST(cog_sum AS BIGINT) * 1000000 div n").cast("double")
+         / 1000000.0).as("moving_avg_cog"),
+      (expr("rot_u_sum div n").cast("double") / 1000000.0).as("moving_avg_rot"),
       col("last_value"), col("last_lon"), col("last_lat"),
       col("last_x"), col("last_y"), col("n"))
       .orderBy(col("ws_us"), col("user_id"))
@@ -97,21 +108,26 @@ object WindowOps extends QueryModule {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(-2, Window.currentRow)
+    // integer-scaled floor average (see kinematicFinish): no round-after-
+    // double-division cross-engine boundary
     Tbl.events(s, d)
       .select($"user_id", $"event_id",
-              round(sum(Tbl.cents($"value")).over(w) / 100.0 /
-                    count(lit(1)).over(w), 6).as("rolling_avg"))
+              sum(Tbl.cents($"value")).over(w).as("s_c"),
+              count(lit(1)).over(w).as("wn"))
+      .select($"user_id", $"event_id",
+              (expr("s_c * 10000 div wn").cast("double") / 1000000.0)
+                .as("rolling_avg"))
       .orderBy($"user_id", $"event_id")
   }
 
   private val rollingAvgSql =
     """SELECT user_id, event_id,
-      |  round(sum(CAST(round(value*100) AS BIGINT))
-      |          OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0
-      |        / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
-      |    AS rolling_avg
+      |  CAST(sum(CAST(round(value*100) AS BIGINT))
+      |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 10000
+      |       // count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |       AS BIGINT) / 1000000.0 AS rolling_avg
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
   /** A4b: event-time range frame — trailing 2 minutes of activity per key
