@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   *    candidate count drops ~2^8 while the bucket join stays a plain
   *    equi-join on an int key.
   *  - Dot products fold float32 values cast to double, sequentially
-  *    (Spark `aggregate` ≡ DuckDB `list_sum` left fold), rounded to 6
-  *    before any ranking so both engines rank identically.
+  *    (Spark `aggregate` ≡ DuckDB `list_sum` left fold), truncated to 6
+  *    decimals (floor — pure IEEE, engine-agnostic) before any ranking
+  *    so both engines rank identically.
   */
 object SimilarityOps extends QueryModule {
 
@@ -32,6 +33,16 @@ object SimilarityOps extends QueryModule {
     org.apache.spark.sql.graft.DotProductFloat.dotF(a, b)
   private def dotSql(a: String, b: String): String =
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in generate_series(1, len($a))])"
+
+  /** 6-decimal truncation of a cosine, via floor(x·10⁶)/10⁶ on both
+    * engines: the fold yields bit-identical doubles (same values, same
+    * order), and floor is pure IEEE — unlike `round(x, 6)`, whose
+    * half-up resolution is algorithm-specific per engine and splits at
+    * exact .5 boundaries (the a1 moving_avg_rot incident, sf0.1). The
+    * truncated value feeds the rank order, so this also pins ranking. */
+  private def cos6(c: Column): Column = floor(c * 1000000.0) / 1000000.0
+  private def cos6Sql(x: String): String =
+    s"floor(($x) * 1000000.0) / 1000000.0"
 
   private val NumQueries = 10
   private val TopK = 5
@@ -48,7 +59,7 @@ object SimilarityOps extends QueryModule {
     val scored = emb.crossJoin(broadcast(queries))
       .where($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
-              round(dot($"q_emb", $"embedding"), 6).as("cosine"))
+              cos6(dot($"q_emb", $"embedding")).as("cosine"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
     scored.withColumn("rk", row_number().over(w))
       .where($"rk" <= TopK)
@@ -58,9 +69,9 @@ object SimilarityOps extends QueryModule {
   private val topkBruteSql =
     s"""SELECT q_id, vec_id, cosine, rk FROM (
        |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
-       |    round(${dotSql("q.embedding", "e.embedding")}, 6) AS cosine,
+       |    ${cos6Sql(dotSql("q.embedding", "e.embedding"))} AS cosine,
        |    row_number() OVER (PARTITION BY q.vec_id
-       |                       ORDER BY round(${dotSql("q.embedding", "e.embedding")}, 6) DESC,
+       |                       ORDER BY ${cos6Sql(dotSql("q.embedding", "e.embedding"))} DESC,
        |                                e.vec_id) AS rk
        |  FROM embeddings e, embeddings q
        |  WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id)
@@ -106,7 +117,7 @@ object SimilarityOps extends QueryModule {
       .join(broadcast(queries).as("q"), Seq("bucket"))
       .where($"c.vec_id" =!= $"q.q_id")
       .select($"q_id", $"bucket", $"c.vec_id".as("vec_id"),
-              round(dot($"q_emb", $"c.embedding"), 6).as("cosine"))
+              cos6(dot($"q_emb", $"c.embedding")).as("cosine"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
     scored.withColumn("rk", row_number().over(w))
       .where($"rk" <= 3)
@@ -126,9 +137,9 @@ object SimilarityOps extends QueryModule {
        |  FROM embeddings e)
        |SELECT q_id, bucket, vec_id, cosine, rk FROM (
        |  SELECT q.vec_id AS q_id, c.bucket AS bucket, c.vec_id AS vec_id,
-       |    round(${dotSql("q.embedding", "c.embedding")}, 6) AS cosine,
+       |    ${cos6Sql(dotSql("q.embedding", "c.embedding"))} AS cosine,
        |    row_number() OVER (PARTITION BY q.vec_id
-       |                       ORDER BY round(${dotSql("q.embedding", "c.embedding")}, 6) DESC,
+       |                       ORDER BY ${cos6Sql(dotSql("q.embedding", "c.embedding"))} DESC,
        |                                c.vec_id) AS rk
        |  FROM bucketed c JOIN bucketed q ON c.bucket = q.bucket
        |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
@@ -139,12 +150,12 @@ object SimilarityOps extends QueryModule {
 
   /** Nearest-centroid cell id as a single per-row projection: argmax of
     * 16 literal-centroid dot products via `array_min` over
-    * `(-rounded_dot, c_id)` structs (lexicographic struct ordering =
+    * `(-truncated_dot, c_id)` structs (lexicographic struct ordering =
     * max dot, ties to the smallest id — same order the oracle's
     * row_number uses). No crossJoin blow-up, no Exchange. */
   private def cellCol(cents: Seq[(Int, Array[Float])]): Column =
     array_min(array(cents.map { case (i, c) =>
-      struct((-round(dot(col("embedding"), typedLit(c)), 6)).as("nd"),
+      struct((-cos6(dot(col("embedding"), typedLit(c)))).as("nd"),
              lit(i.toLong).as("c_id"))
     }: _*)).getField("c_id")
 
@@ -166,7 +177,7 @@ object SimilarityOps extends QueryModule {
       .join(broadcast(queries).as("q"), Seq("cell"))
       .where($"c.vec_id" =!= $"q.q_id")
       .select($"q_id", $"cell", $"c.vec_id".as("vec_id"),
-              round(dot($"q_emb", $"c.embedding"), 6).as("cosine"))
+              cos6(dot($"q_emb", $"c.embedding")).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .where($"rk" <= 3)
       .orderBy($"q_id", $"rk")
@@ -177,15 +188,15 @@ object SimilarityOps extends QueryModule {
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.vec_id AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round(${dotSql("e.embedding", "c.embedding")}, 6) DESC,
+       |        ORDER BY ${cos6Sql(dotSql("e.embedding", "c.embedding"))} DESC,
        |                 c.vec_id) AS rka
        |    FROM embeddings e, embeddings c WHERE c.vec_id < $NumCentroids)
        |  WHERE rka = 1)
        |SELECT q_id, cell, vec_id, cosine, rk FROM (
        |  SELECT q.vec_id AS q_id, c.cell AS cell, c.vec_id AS vec_id,
-       |    round(${dotSql("q.embedding", "c.embedding")}, 6) AS cosine,
+       |    ${cos6Sql(dotSql("q.embedding", "c.embedding"))} AS cosine,
        |    row_number() OVER (PARTITION BY q.vec_id
-       |                       ORDER BY round(${dotSql("q.embedding", "c.embedding")}, 6) DESC,
+       |                       ORDER BY ${cos6Sql(dotSql("q.embedding", "c.embedding"))} DESC,
        |                                c.vec_id) AS rk
        |  FROM assigned c JOIN assigned q ON c.cell = q.cell
        |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
@@ -242,7 +253,7 @@ object SimilarityOps extends QueryModule {
     cand
       .join(emb.select($"vec_id".as("a"), $"embedding".as("ea")), "a")
       .join(emb.select($"vec_id".as("b"), $"embedding".as("eb")), "b")
-      .select($"a", $"b", round(dot($"ea", $"eb"), 6).as("cosine"))
+      .select($"a", $"b", cos6(dot($"ea", $"eb")).as("cosine"))
       .where($"cosine" >= NeardupMinCosine)
       .orderBy($"a", $"b")
   }
@@ -261,11 +272,11 @@ object SimilarityOps extends QueryModule {
        |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
        |  FROM sig l JOIN sig r
        |    ON l.band = r.band AND l.bkt = r.bkt AND l.vec_id < r.vec_id)
-       |SELECT c.a, c.b, round(${dotSql("ea.embedding", "eb.embedding")}, 6) AS cosine
+       |SELECT c.a, c.b, ${cos6Sql(dotSql("ea.embedding", "eb.embedding"))} AS cosine
        |FROM cand c
        |JOIN embeddings ea ON ea.vec_id = c.a
        |JOIN embeddings eb ON eb.vec_id = c.b
-       |WHERE round(${dotSql("ea.embedding", "eb.embedding")}, 6) >= $NeardupMinCosine
+       |WHERE ${cos6Sql(dotSql("ea.embedding", "eb.embedding"))} >= $NeardupMinCosine
        |ORDER BY a, b""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
