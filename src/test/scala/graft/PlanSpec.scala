@@ -113,6 +113,15 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nested.isEmpty, s"near-dup pair join is not an equi-join:\n$p")
   }
 
+  test("repetition metrics are map-only: per-doc signals never shuffle") {
+    // max-bigram-count = longest equal run in the sorted bigram array, a
+    // per-row fold; a groupBy formulation here would shuffle every
+    // (doc, bigram) pair of the corpus
+    val p = executed(SparkEntry.queries("tx_repetition")(spark, d))
+    val shuffles = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 1, s"repetition plan shuffles beyond the sort:\n$p")
+  }
+
   test("PII scrub is map-only: no Exchange anywhere in the plan") {
     // redaction at 100 TB must be a pure projection pass; a shuffle here
     // means someone routed the text through an aggregate
