@@ -73,15 +73,19 @@ object AisOps extends QueryModule {
   /** F3: AIS rate-of-turn decode (README.md:78) on `value`. */
   private def rotDecodeQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // floor-truncated: the decode is pure arithmetic (no libm), so both
+    // engines hold bit-identical doubles and floor is engine-agnostic —
+    // round()'s half-up resolution is not (see WindowOps.kinematicFinish)
     Tbl.events(s, d)
       .select($"event_id", $"value",
-              round(rotDecode($"value"), 6).as("rot_deg_min"))
+              (floor(rotDecode($"value") * 1000000.0) / 1000000.0)
+                .as("rot_deg_min"))
       .orderBy($"event_id")
   }
 
   private val rotDecodeSql =
     """SELECT event_id, value,
-      |  round((value / 4.733) * (value / 4.733), 6) AS rot_deg_min
+      |  floor(((value / 4.733) * (value / 4.733)) * 1000000.0) / 1000000.0 AS rot_deg_min
       |FROM events ORDER BY event_id""".stripMargin
 
   /** F4: inverse-affine raster transform to pixel coords (quarter-degree

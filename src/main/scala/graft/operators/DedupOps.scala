@@ -111,10 +111,13 @@ object DedupOps extends QueryModule {
       .join(docs.select($"doc_id".as("a"), $"sh".as("sha")), "a")
       .join(docs.select($"doc_id".as("b"), $"sh".as("shb")), "b")
     val inter = size(filter($"sha", x => array_contains($"shb", x)))
+    // integer-scaled floor ratio (see ngramJaccard): engine-identical
     withSets
+      .select($"a", $"b", inter.as("i"),
+              (size($"sha") + size($"shb") - inter).as("u"))
       .select($"a", $"b",
-              round(inter.cast("double") /
-                    (size($"sha") + size($"shb") - inter), 6).as("jaccard"))
+              (expr("CAST(i AS BIGINT) * 1000000 div u").cast("double")
+                 / 1000000.0).as("jaccard"))
       .where($"jaccard" >= 0.05)
       .orderBy($"a", $"b")
   }
@@ -138,13 +141,15 @@ object DedupOps extends QueryModule {
        |  FROM bands l JOIN bands r
        |    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
        |SELECT a, b,
-       |  round(CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS DOUBLE)
-       |        / (len(da.sh) + len(db.sh)
-       |           - len(list_filter(da.sh, x -> list_contains(db.sh, x)))), 6) AS jaccard
+       |  CAST(CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS BIGINT) * 1000000
+       |       // (len(da.sh) + len(db.sh)
+       |           - len(list_filter(da.sh, x -> list_contains(db.sh, x)))) AS BIGINT)
+       |    / 1000000.0 AS jaccard
        |FROM pairs JOIN docs da ON da.doc_id = a JOIN docs db ON db.doc_id = b
-       |WHERE round(CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS DOUBLE)
-       |        / (len(da.sh) + len(db.sh)
-       |           - len(list_filter(da.sh, x -> list_contains(db.sh, x)))), 6) >= 0.05
+       |WHERE CAST(CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS BIGINT) * 1000000
+       |       // (len(da.sh) + len(db.sh)
+       |           - len(list_filter(da.sh, x -> list_contains(db.sh, x)))) AS BIGINT)
+       |    / 1000000.0 >= 0.05
        |ORDER BY a, b""".stripMargin
   }
 

@@ -40,9 +40,15 @@ object RelationalOps extends QueryModule {
         round($"price_c" / 100.0, 2).as("sum_base_price"),
         round($"disc_price_c4" / 10000.0, 4).as("sum_disc_price"),
         round($"charge_c6" / 1000000.0, 6).as("sum_charge"),
-        round($"qty_c" / 100.0 / $"count_order", 6).as("avg_qty"),
-        round($"price_c" / 100.0 / $"count_order", 6).as("avg_price"),
-        round($"disc_c" / 100.0 / $"count_order", 6).as("avg_disc"),
+        // integer-scaled floor averages: round() after division-by-count
+        // is resolved differently per engine at exact .5 boundaries (see
+        // WindowOps.kinematicFinish)
+        (expr("qty_c * 10000 div count_order").cast("double") / 1000000.0)
+          .as("avg_qty"),
+        (expr("price_c * 10000 div count_order").cast("double") / 1000000.0)
+          .as("avg_price"),
+        (expr("disc_c * 10000 div count_order").cast("double") / 1000000.0)
+          .as("avg_disc"),
         $"count_order")
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -53,9 +59,9 @@ object RelationalOps extends QueryModule {
       |  round(sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0, 2) AS sum_base_price,
       |  round(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT)))/10000.0, 4) AS sum_disc_price,
       |  round(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))*(100+CAST(round(l_tax*100) AS BIGINT)))/1000000.0, 6) AS sum_charge,
-      |  round(sum(CAST(round(l_quantity*100) AS BIGINT))/100.0/count(*), 6) AS avg_qty,
-      |  round(sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0/count(*), 6) AS avg_price,
-      |  round(sum(CAST(round(l_discount*100) AS BIGINT))/100.0/count(*), 6) AS avg_disc,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) * 10000 // count(*) AS BIGINT)/1000000.0 AS avg_qty,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) * 10000 // count(*) AS BIGINT)/1000000.0 AS avg_price,
+      |  CAST(sum(CAST(round(l_discount*100) AS BIGINT)) * 10000 // count(*) AS BIGINT)/1000000.0 AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus

@@ -239,7 +239,10 @@ object StreamingOps extends QueryModule {
     val features = AisPipeline.preprocess(envelope)
     runToTable(s, features, "s_ais_preprocess", OutputMode.Append())
       .select($"mmsi", $"timestamp_utc", $"speed_over_ground",
-              round($"rate_of_turn", 6).as("rate_of_turn"),
+              // floor, not round: pure-arithmetic decode is bit-identical
+              // across engines; round()'s half-up resolution is not
+              (floor($"rate_of_turn" * 1000000.0) / 1000000.0)
+                .as("rate_of_turn"),
               $"longitude", $"latitude",
               round($"cartesian_x", 2).as("cartesian_x"),
               round($"cartesian_y", 2).as("cartesian_y"))
@@ -416,7 +419,7 @@ object StreamingOps extends QueryModule {
     s"""SELECT CAST(user_id AS INT) AS mmsi,
        |  strptime(strftime(ts, '%Y-%m-%d %H:%M:%SZ'), '%Y-%m-%d %H:%M:%SZ') AS timestamp_utc,
        |  value AS speed_over_ground,
-       |  round((value / 4.733) * (value / 4.733), 6) AS rate_of_turn,
+       |  floor(((value / 4.733) * (value / 4.733)) * 1000000.0) / 1000000.0 AS rate_of_turn,
        |  lon AS longitude, lat AS latitude,
        |  round((${n("lat")} + 124.0) * cos(${rad("lat")}) * cos(${rad("lon")}), 2) AS cartesian_x,
        |  round((${n("lat")} + 124.0) * cos(${rad("lat")}) * sin(${rad("lon")}), 2) AS cartesian_y
