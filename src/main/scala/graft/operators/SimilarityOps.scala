@@ -203,6 +203,69 @@ object SimilarityOps extends QueryModule {
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   }
 
+  /** The two nearest centroid ids per vector — the query-side probe list
+    * for nprobe=2. Same struct ordering as `cellCol` (max truncated dot,
+    * ties to smallest id), via array_sort over the 16 candidate structs. */
+  private def cell2Col(cents: Seq[(Int, Array[Float])]): Column = {
+    val sorted = array_sort(array(cents.map { case (i, c) =>
+      struct((-cos6(dot(col("embedding"), typedLit(c)))).as("nd"),
+             lit(i.toLong).as("c_id"))
+    }: _*))
+    array(element_at(sorted, 1).getField("c_id"),
+          element_at(sorted, 2).getField("c_id"))
+  }
+
+  /** IVF with nprobe=2 — the recall dial of an inverted-file index:
+    * corpus vectors still live in exactly one cell (the inverted lists
+    * are unchanged), queries probe their TWO nearest cells. The probe
+    * list explodes query-side only (10 queries → 20 probe rows); the
+    * corpus side of the join is identical to nprobe=1, so recall rises
+    * at the cost of scanning one extra inverted list per query — never
+    * of a bigger index. */
+  private def ivfAnnNprobe2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = constVectors(s, d, NumCentroids)
+    val emb = Tbl.embeddings(s, d)
+    val assigned = emb.select($"vec_id", $"embedding",
+                              cellCol(cents).as("cell"))
+    val queries = emb.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+              explode(cell2Col(cents)).as("cell"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    assigned.as("c")
+      .join(broadcast(queries).as("q"), Seq("cell"))
+      .where($"c.vec_id" =!= $"q.q_id")
+      .select($"q_id", $"cell", $"c.vec_id".as("vec_id"),
+              cos6(dot($"q_emb", $"c.embedding")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val ivfAnnNprobe2Sql = {
+    s"""WITH ranked AS (
+       |    SELECT e.vec_id, e.embedding, c.vec_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos6Sql(dotSql("e.embedding", "c.embedding"))} DESC,
+       |                 c.vec_id) AS rka
+       |    FROM embeddings e, embeddings c WHERE c.vec_id < $NumCentroids),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM ranked WHERE rka = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, cell
+       |  FROM ranked WHERE rka <= 2 AND vec_id < $NumQueries)
+       |SELECT q_id, cell, vec_id, cosine, rk FROM (
+       |  SELECT q.q_id AS q_id, c.cell AS cell, c.vec_id AS vec_id,
+       |    ${cos6Sql(dotSql("q.q_emb", "c.embedding"))} AS cosine,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |                       ORDER BY ${cos6Sql(dotSql("q.q_emb", "c.embedding"))} DESC,
+       |                                c.vec_id) AS rk
+       |  FROM assigned c JOIN qprobe q ON c.cell = q.cell
+       |  WHERE c.vec_id <> q.q_id)
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  }
+
   private val NeardupMinCosine = 0.3
   private val NeardupBands = 8      // b OR'd hash tables
   private val NeardupRows = 6       // r hyperplanes per table
@@ -283,11 +346,13 @@ object SimilarityOps extends QueryModule {
     "sim_topk_brute"   -> (topkBrute _),
     "sim_lsh_ann"      -> (lshAnn _),
     "sim_ivf_ann"      -> (ivfAnn _),
+    "sim_ivf_nprobe2"  -> (ivfAnnNprobe2 _),
     "sim_emb_neardup"  -> (embeddingNeardup _))
 
   override val oracles: Map[String, String] = Map(
     "sim_topk_brute"   -> topkBruteSql,
     "sim_lsh_ann"      -> lshAnnSql,
     "sim_ivf_ann"      -> ivfAnnSql,
+    "sim_ivf_nprobe2"  -> ivfAnnNprobe2Sql,
     "sim_emb_neardup"  -> embeddingNeardupSql)
 }

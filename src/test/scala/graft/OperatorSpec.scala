@@ -68,6 +68,16 @@ class OperatorSpec extends SparkSpec {
     assert(joined.where(brute("cosine") =!= ann("cosine")).count() == 0)
   }
 
+  test("sim_ivf_nprobe2: per-rank cosines dominate nprobe=1 (recall is monotone)") {
+    // probing a second inverted list can only add candidates, so the
+    // cosine at every (query, rank) position is >= the nprobe=1 cosine
+    val n1 = SparkEntry.queries("sim_ivf_ann")(spark, d)
+      .select($"q_id", $"rk", $"cosine".as("c1"))
+    val n2 = SparkEntry.queries("sim_ivf_nprobe2")(spark, d)
+      .select($"q_id", $"rk", $"cosine".as("c2"))
+    assert(n1.join(n2, Seq("q_id", "rk")).where($"c2" < $"c1").count() == 0)
+  }
+
   test("a5 gap fill: synthetic points strictly inside (60s, 1h) gaps") {
     val syn = SparkEntry.queries("a5_gap_fill")(spark, d)
     val ev = Tbl.events(spark, d)
