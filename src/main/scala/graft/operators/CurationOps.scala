@@ -195,6 +195,27 @@ object CurationOps extends QueryModule {
       |      < CASE event_type WHEN 'click' THEN 50 WHEN 'purchase' THEN 25 ELSE 10 END
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Per-doc stateless quality signals (n_words, uniq_ppm) — shared by
+    * the batch verdict pipeline and its streaming twin (s13). */
+  private[graft] def qualitySignals(df: DataFrame): DataFrame =
+    df.withColumn("words", split(norm(col("text")), " "))
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
+              size(col("words")).as("n_words"),
+              expr("CAST(size(array_distinct(words)) AS BIGINT) * 1000000" +
+                   " div size(words)").as("uniq_ppm"))
+
+  /** The stateless rules of the verdict (everything except the corpus-
+    * global dup check): length, then repetition. */
+  private[graft] val statelessVerdict =
+    when(col("n_words") < 20, "short")
+      .when(col("uniq_ppm") < 400000, "repetitive")
+      .otherwise("keep")
+
+  private[graft] val statelessVerdictSql =
+    """CASE WHEN len(ws) < 20 THEN 'short'
+      |     WHEN len(list_distinct(ws)) * 1000000 // len(ws) < 400000 THEN 'repetitive'
+      |     ELSE 'keep' END""".stripMargin
+
   /** End-to-end curation verdict per document — the composition a real
     * pipeline runs as one pass: exact-dup check, then length, then
     * repetition, first matching rule wins. Output is per-doc (keep /
@@ -212,18 +233,11 @@ object CurationOps extends QueryModule {
       .groupBy(md5($"text").as("h"))
       .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
       .where($"n_copies" > 1)
-    docs
-      .withColumn("words", split(norm($"text"), " "))
-      .select($"doc_id", $"lang", md5($"text").as("h"),
-              size($"words").as("n_words"),
-              expr("CAST(size(array_distinct(words)) AS BIGINT) * 1000000" +
-                   " div size(words)").as("uniq_ppm"))
+    qualitySignals(docs)
       .join(broadcast(dupKeepers), Seq("h"), "left")
       .select($"doc_id", $"lang", $"n_words", $"uniq_ppm",
               when($"keeper".isNotNull && $"doc_id" =!= $"keeper", "dup")
-                .when($"n_words" < 20, "short")
-                .when($"uniq_ppm" < 400000, "repetitive")
-                .otherwise("keep").as("verdict"))
+                .otherwise(statelessVerdict).as("verdict"))
       .orderBy($"doc_id")
   }
 

@@ -250,6 +250,46 @@ object StreamingOps extends QueryModule {
                $"speed_over_ground")
   }
 
+  /** documents.parquet as a bounded stream (same symlink-dir pattern as
+    * eventStream; no event-time column needed for stateless passes). */
+  private def documentStream(s: SparkSession, d: String): DataFrame = {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val dir = java.nio.file.Paths.get(Tbl.scratchDir("docs_stream"))
+    Files.createSymbolicLink(dir.resolve("documents.parquet"),
+                             java.nio.file.Paths.get(s"$d/documents.parquet"))
+    s.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(dir.toString)
+  }
+
+  /** Streaming curation verdict: the stateless quality rules (length,
+    * repetition) applied to a document stream — the online half of the
+    * batch x_curation_pipeline (the corpus-global dup rule is inherently
+    * a batch/stateful pass and stays there). Stateless map ⇒ append
+    * mode, no watermark, no state store: at 100 TB/day this filters at
+    * ingest wire speed. */
+  private def streamCuration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.CurationOps.{qualitySignals, statelessVerdict}
+    val scored = qualitySignals(documentStream(s, d))
+      .select($"doc_id", $"lang", $"n_words", $"uniq_ppm",
+              statelessVerdict.as("verdict"))
+    runToTable(s, scored, "s_curation", OutputMode.Append())
+      .orderBy($"doc_id")
+  }
+
+  private val streamCurationSql = {
+    import graft.operators.TextNorm.normSql
+    s"""SELECT doc_id, lang, len(ws) AS n_words,
+       |  CAST(len(list_distinct(ws)) * 1000000 // len(ws) AS BIGINT) AS uniq_ppm,
+       |  ${graft.operators.CurationOps.statelessVerdictSql} AS verdict
+       |FROM (SELECT doc_id, lang, string_split($normSql, ' ') AS ws FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Streaming sessionization via `session_window` (1-hour gap) — the
     * streaming twin of the batch lag→flag→cumsum query x_sessionize;
     * both share the "session end = last event + gap" convention, so the
@@ -440,7 +480,8 @@ object StreamingOps extends QueryModule {
     "s9_stream_csv_sink"    -> (streamCsvSink _),
     "s10_stream_session"    -> (streamSession _),
     "s11_stream_tws"        -> (streamRunningTotals _),
-    "s12_stream_stream_join" -> (streamStreamJoin _))
+    "s12_stream_stream_join" -> (streamStreamJoin _),
+    "s13_stream_curation"   -> (streamCuration _))
 
   override val oracles: Map[String, String] = Map(
     "s1_stream_window_agg"  -> windowAggSql,
@@ -454,5 +495,6 @@ object StreamingOps extends QueryModule {
     "s9_stream_csv_sink"    -> csvSinkSql,
     "s10_stream_session"    -> sessionSql,
     "s11_stream_tws"        -> runningTotalsSql,
-    "s12_stream_stream_join" -> streamStreamJoinSql)
+    "s12_stream_stream_join" -> streamStreamJoinSql,
+    "s13_stream_curation"   -> streamCurationSql)
 }
