@@ -276,10 +276,63 @@ object DedupOps extends QueryModule {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** Duplicate-cluster resolution: connected components over the
+    * verified MinHash near-dup pair graph, cluster id = min doc_id of
+    * the component — pairs are evidence, clusters are what a dedup
+    * pipeline actually ships (keep one doc per cluster).
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * O(component diameter) rounds, each one distributed join + groupBy.
+    * The driver's only role is the convergence check (a count per
+    * round) — the standard shape for iterative graph algorithms on
+    * Spark. At 100 TB add `localCheckpoint` every few rounds to truncate
+    * lineage, and the large-star/small-star optimization if components
+    * are deep; near-dup components are shallow in practice (dup clusters
+    * are cliques-ish), so rounds ≈ 2-3. */
+  private def dupClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLsh(s, d).select($"a", $"b").persist()
+    val edges = pairs.union(pairs.select($"b", $"a")).toDF("src", "dst").persist()
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("cluster")).persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = edges
+        .join(labels.select($"doc_id".as("dst"), $"cluster".as("nbr_c")), "dst")
+        .groupBy($"src".as("doc_id")).agg(min($"nbr_c").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select($"doc_id",
+                least($"cluster", coalesce($"nbr_min", $"cluster")).as("cluster"))
+        .persist()
+      val changed = next.as("n").join(labels.as("o"), "doc_id")
+        .where($"n.cluster" =!= $"o.cluster").count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.orderBy($"doc_id")
+  }
+
+  private val dupClustersSql =
+    s"""WITH RECURSIVE mh AS (
+       |$minhashLshSql
+       |),
+       |edges AS (SELECT a, b FROM mh UNION ALL SELECT b, a FROM mh),
+       |reach AS (
+       |  SELECT a AS node, b AS r FROM edges
+       |  UNION
+       |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+       |SELECT node AS doc_id, least(node, min(r)) AS cluster
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact"         -> (exactDedup _),
     "dd_key_dedup"     -> (keyDedup _),
     "dd_minhash_lsh"   -> (minhashLsh _),
+    "dd_dup_clusters"  -> (dupClusters _),
     "dd_simhash"       -> (simhash _),
     "dd_ngram_jaccard" -> (ngramJaccard _))
 
@@ -287,6 +340,7 @@ object DedupOps extends QueryModule {
     "dd_exact"         -> exactDedupSql,
     "dd_key_dedup"     -> keyDedupSql,
     "dd_minhash_lsh"   -> minhashLshSql,
+    "dd_dup_clusters"  -> dupClustersSql,
     "dd_simhash"       -> simhashSql,
     "dd_ngram_jaccard" -> ngramJaccardSql)
 }

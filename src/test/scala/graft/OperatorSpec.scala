@@ -41,6 +41,19 @@ class OperatorSpec extends SparkSpec {
     assert(df.where($"jaccard" < 0.0 || $"jaccard" > 1.0).count() == 0)
   }
 
+  test("dd_dup_clusters: cluster id is the component min and pairs co-cluster") {
+    val clusters = SparkEntry.queries("dd_dup_clusters")(spark, d).persist()
+    // cluster id never exceeds any member id (it IS the component min)
+    assert(clusters.where($"cluster" > $"doc_id").count() == 0)
+    // both endpoints of every evidence pair landed in the same cluster
+    val pairs = SparkEntry.queries("dd_minhash_lsh")(spark, d).select($"a", $"b")
+    val joined = pairs
+      .join(clusters.select($"doc_id".as("a"), $"cluster".as("ca")), "a")
+      .join(clusters.select($"doc_id".as("b"), $"cluster".as("cb")), "b")
+    assert(joined.where($"ca" =!= $"cb").count() == 0)
+    clusters.unpersist()
+  }
+
   test("dd_simhash: hashes are 32-bit non-negative") {
     val df = SparkEntry.queries("dd_simhash")(spark, d)
     assert(df.where($"simhash" < 0L || $"simhash" > ((1L << 32) - 1)).count() == 0)
