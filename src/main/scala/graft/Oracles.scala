@@ -58,13 +58,13 @@ object Oracles {
        |       (epoch_us(ts) // 60000000 - k) * 60000000 + 120000000 AS we_us,
        |       user_id,
        |       CAST(sum(CAST(round(value*100) AS BIGINT)) * 10000 // count(*) AS BIGINT)/1000000.0 AS moving_avg,
-       |       CAST(CAST(sum(cog) AS BIGINT) * 1000000 // count(*) AS BIGINT)/1000000.0 AS moving_avg_cog,
+       |       CAST(CAST(sum(cog) AS HUGEINT) * 1000000 // count(*) AS BIGINT)/1000000.0 AS moving_avg_cog,
        |       CAST(sum(CAST(round(((value/4.733)*(value/4.733))*1000000.0) AS BIGINT)) // count(*) AS BIGINT)/1000000.0 AS moving_avg_rot,
-       |       arg_max(value, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_value,
-       |       arg_max(lon, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_lon,
-       |       arg_max(lat, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_lat,
-       |       arg_max(lx, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_x,
-       |       arg_max(ly, printf('%020d|%012d', epoch_us(ts), event_id)) AS last_y,
+       |       arg_max(value, printf('%020d|%019d', epoch_us(ts) + 4611686018427387904, event_id)) AS last_value,
+       |       arg_max(lon, printf('%020d|%019d', epoch_us(ts) + 4611686018427387904, event_id)) AS last_lon,
+       |       arg_max(lat, printf('%020d|%019d', epoch_us(ts) + 4611686018427387904, event_id)) AS last_lat,
+       |       arg_max(lx, printf('%020d|%019d', epoch_us(ts) + 4611686018427387904, event_id)) AS last_x,
+       |       arg_max(ly, printf('%020d|%019d', epoch_us(ts) + 4611686018427387904, event_id)) AS last_y,
        |       count(*) AS n
        |FROM (SELECT g.*,
        |        CAST(event_id % 360 AS DOUBLE) AS cog,

@@ -92,6 +92,11 @@ object CurationOps extends QueryModule {
     import s.implicits._
     Tbl.documents(s, d)
       .withColumn("words", split(norm($"text"), " "))
+      // <2 normalized words ⇒ no bigrams: drop the doc, exactly as the
+      // oracle's inner join does — without the guard, sequence(1, 0)
+      // auto-steps to [1, 0] and the lambda indexes words[-1] (ANSI
+      // crash; phantom bigrams with ANSI off)
+      .where(size($"words") >= 2)
       .withColumn("bgs", sort_array(expr(
         "transform(sequence(1, size(words) - 1)," +
         " i -> concat_ws(' ', words[i - 1], words[i]))")))
@@ -250,9 +255,7 @@ object CurationOps extends QueryModule {
        |SELECT doc_id, lang, len(ws) AS n_words,
        |  CAST(len(list_distinct(ws)) * 1000000 // len(ws) AS BIGINT) AS uniq_ppm,
        |  CASE WHEN keeper IS NOT NULL AND doc_id <> keeper THEN 'dup'
-       |       WHEN len(ws) < 20 THEN 'short'
-       |       WHEN len(list_distinct(ws)) * 1000000 // len(ws) < 400000 THEN 'repetitive'
-       |       ELSE 'keep' END AS verdict
+       |       ELSE $statelessVerdictSql END AS verdict
        |FROM w LEFT JOIN dk ON w.h = dk.h
        |ORDER BY doc_id""".stripMargin
 

@@ -313,6 +313,14 @@ object DedupOps extends QueryModule {
       converged = changed == 0
       rounds += 1
     }
+    // silent unconverged labels would be a WRONG clustering (far nodes
+    // keep intermediate labels) — fail loudly instead; the cap exists
+    // only as a runaway guard, real near-dup components are shallow
+    if (!converged)
+      throw new IllegalStateException(
+        s"dup-cluster propagation did not converge in $rounds rounds " +
+        "(component diameter > cap); raise the cap or use star-contraction")
+    pairs.unpersist(); edges.unpersist()
     labels.orderBy($"doc_id")
   }
 

@@ -42,13 +42,16 @@ object RelationalOps extends QueryModule {
         round($"charge_c6" / 1000000.0, 6).as("sum_charge"),
         // integer-scaled floor averages: round() after division-by-count
         // is resolved differently per engine at exact .5 boundaries (see
-        // WindowOps.kinematicFinish)
-        (expr("qty_c * 10000 div count_order").cast("double") / 1000000.0)
-          .as("avg_qty"),
-        (expr("price_c * 10000 div count_order").cast("double") / 1000000.0)
-          .as("avg_price"),
-        (expr("disc_c * 10000 div count_order").cast("double") / 1000000.0)
-          .as("avg_disc"),
+        // WindowOps.kinematicFinish). The ×10000 runs in DECIMAL(38,0):
+        // a long multiply would overflow around sf1000 group sums while
+        // the oracle's HUGEINT sails on — `div` on decimals still yields
+        // an exact integral long
+        (expr("CAST(qty_c AS DECIMAL(38,0)) * 10000 div count_order")
+          .cast("double") / 1000000.0).as("avg_qty"),
+        (expr("CAST(price_c AS DECIMAL(38,0)) * 10000 div count_order")
+          .cast("double") / 1000000.0).as("avg_price"),
+        (expr("CAST(disc_c AS DECIMAL(38,0)) * 10000 div count_order")
+          .cast("double") / 1000000.0).as("avg_disc"),
         $"count_order")
       .orderBy($"l_returnflag", $"l_linestatus")
   }

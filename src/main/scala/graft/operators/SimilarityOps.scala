@@ -274,7 +274,12 @@ object SimilarityOps extends QueryModule {
     * [6i, 6i+6) (the first 48 corpus vectors), bit j within a band =
     * sign(v · plane_{6i+j}). A pair is a candidate if it collides in ANY
     * band — the banded candidate-OR shape `dd_minhash_lsh` uses. */
-  private def bandSignatures(planes: Seq[(Int, Array[Float])]): Column =
+  private def bandSignatures(planes: Seq[(Int, Array[Float])]): Column = {
+    // explicit contract beats Seq.empty.reduce blowing up mid-band: the
+    // banded scheme needs all b×r planes (the corpus supplies them)
+    require(planes.size == NeardupBands * NeardupRows,
+      s"banded LSH needs ${NeardupBands * NeardupRows} plane vectors, " +
+      s"corpus supplied ${planes.size}")
     array((0 until NeardupBands).map { band =>
       planes.slice(band * NeardupRows, (band + 1) * NeardupRows)
         .zipWithIndex.map { case ((_, p), j) =>
@@ -282,6 +287,7 @@ object SimilarityOps extends QueryModule {
             .otherwise(lit(0L))
         }.reduce(_ + _)
     }: _*)
+  }
 
   /** Embedding-cosine near-dup pairs via banded hyperplane LSH
     * (b=8 tables × r=6 planes), then exact-cosine verify — the same

@@ -42,9 +42,18 @@ object WindowOps extends QueryModule {
   /** Total order for the `last()` rebuild: (event time, event_id) as one
     * fixed-width zero-padded string — deterministic even if two events of
     * one key share a timestamp (DuckDB's arg_max can't take a struct key,
-    * so the composite is encoded the same way on both engines). */
+    * so the composite is encoded the same way on both engines).
+    *
+    * The epoch is biased by 2⁶² before formatting: '%020d' of a NEGATIVE
+    * long sorts inverted ('-…005' < '-…123' lexicographically), so
+    * pre-1970 event times would silently pick the OLDEST event as
+    * "last" — on both engines identically, invisible to the oracle gate.
+    * The bias keeps the field non-negative for any timestamp Spark can
+    * represent (±2⁶² µs ≈ ±146k years). event_id gets the full 19-digit
+    * non-negative long width. */
+  private[graft] val TieBias = 4611686018427387904L // 2^62
   private[graft] val lastTieKey: Column =
-    format_string("%020d|%012d", unix_micros(col("ts")), col("event_id"))
+    format_string("%020d|%019d", unix_micros(col("ts")) + TieBias, col("event_id"))
 
   /** The reference's full 7-agg shape (`preprocess.py:80-86`): 3 moving
     * averages + 4 `last()`-rebuilt-as-max_by columns. */
@@ -76,8 +85,11 @@ object WindowOps extends QueryModule {
       unix_micros(col("window.start")).as("ws_us"),
       unix_micros(col("window.end")).as("we_us"),
       col("user_id"),
-      (expr("v_c * 10000 div n").cast("double") / 1000000.0).as("moving_avg"),
-      (expr("CAST(cog_sum AS BIGINT) * 1000000 div n").cast("double")
+      // scale multiplies in DECIMAL(38,0): long×10⁴/10⁶ would overflow
+      // around 1e9-row hot windows while the oracle's HUGEINT doesn't
+      (expr("CAST(v_c AS DECIMAL(38,0)) * 10000 div n").cast("double")
+         / 1000000.0).as("moving_avg"),
+      (expr("CAST(cog_sum AS DECIMAL(38,0)) * 1000000 div n").cast("double")
          / 1000000.0).as("moving_avg_cog"),
       (expr("rot_u_sum div n").cast("double") / 1000000.0).as("moving_avg_rot"),
       col("last_value"), col("last_lon"), col("last_lat"),
@@ -115,8 +127,8 @@ object WindowOps extends QueryModule {
               sum(Tbl.cents($"value")).over(w).as("s_c"),
               count(lit(1)).over(w).as("wn"))
       .select($"user_id", $"event_id",
-              (expr("s_c * 10000 div wn").cast("double") / 1000000.0)
-                .as("rolling_avg"))
+              (expr("CAST(s_c AS DECIMAL(38,0)) * 10000 div wn")
+                .cast("double") / 1000000.0).as("rolling_avg"))
       .orderBy($"user_id", $"event_id")
   }
 

@@ -90,8 +90,17 @@ object StreamingOps extends QueryModule {
     * backfill. */
   private def statePartitions(s: SparkSession): Int =
     s.conf.getOption("spark.graft.statePartitions")
-      .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTITIONS"))
-      .map(_.toInt).getOrElse(8)
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")) match {
+      case None => 8
+      case Some(v) =>
+        // fail with the offending value, not a bare NumberFormatException
+        // five stack frames into stream planning
+        val n = v.trim.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"state partition knob must be a positive int, got '$v'"))
+        require(n > 0, s"state partition knob must be positive, got $n")
+        n
+    }
 
   private def withStatePartitions[T](s: SparkSession)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")

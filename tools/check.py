@@ -13,6 +13,33 @@ as local PASSes through pandas' silent dtype coercion).
 """
 import json, sys, glob, os
 import duckdb
+import numpy as np
+import pandas as pd
+
+
+def isnull(x):
+    """None/NaN/NaT are all null; arrays are never null."""
+    r = pd.isna(x)
+    return bool(r) if isinstance(r, (bool, np.bool_)) else False
+
+
+def veq(a, b):
+    """Exact python-value compare incl. type (no str coercion); numpy
+    scalars normalized so np.str_ vs str is not a mismatch."""
+    if isnull(a) or isnull(b):
+        return isnull(a) and isnull(b)
+    if isinstance(a, np.generic):
+        a = a.item()
+    if isinstance(b, np.generic):
+        b = b.item()
+    if type(a) is not type(b) and not (
+            isinstance(a, np.ndarray) or isinstance(b, np.ndarray)):
+        return False
+    try:
+        r = a == b
+        return bool(r.all()) if hasattr(r, "all") else bool(r)
+    except Exception:
+        return repr(a) == repr(b)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -71,31 +98,8 @@ def main():
         for c in got.columns:
             g, e = got[c], exp[c]
             if str(g.dtype) == "object":
-                # exact python-value compare incl. type (no str coercion);
-                # nulls via pd.isna (None/NaN/NaT all count — NaN != NaN
-                # would otherwise false-DIFF), numpy scalars normalized to
-                # python values (np.str_ vs str is not a real mismatch)
-                import pandas as pd, numpy as np
-                def isnull(x):
-                    r = pd.isna(x)
-                    return bool(r) if isinstance(r, (bool, np.bool_)) else False
-                def veq(a, b):
-                    if isnull(a) or isnull(b):
-                        return isnull(a) and isnull(b)
-                    if isinstance(a, np.generic):
-                        a = a.item()
-                    if isinstance(b, np.generic):
-                        b = b.item()
-                    if type(a) is not type(b) and not (
-                            isinstance(a, np.ndarray) or isinstance(b, np.ndarray)):
-                        return False
-                    try:
-                        r = a == b
-                        return bool(r.all()) if hasattr(r, "all") else bool(r)
-                    except Exception:
-                        return repr(a) == repr(b)
-                neq = [not veq(a, b) for a, b in zip(g, e)]
-                neq = __import__("pandas").Series(neq, index=g.index)
+                neq = pd.Series([not veq(a, b) for a, b in zip(g, e)],
+                                index=g.index)
             else:
                 neq = ~((g == e) | (g.isna() & e.isna()))
             if neq.any():
