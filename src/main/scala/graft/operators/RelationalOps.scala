@@ -149,6 +149,26 @@ object RelationalOps extends QueryModule {
   private val top3PerKeySql =
     graft.Oracles.top3PerKey
 
+  /** A3 as a NATIVE physical operator (extension path (c)): the custom
+    * TopKPerKeyExec prunes each map partition to ≤3 rows per key with a
+    * bounded heap BEFORE the shuffle, so the exchange moves O(keys·3)
+    * rows instead of the whole table, and no full per-key sort ever
+    * happens — the window that follows ranks only the ≤3 survivors.
+    * Same oracle as a3_top3_per_key: the operator must be
+    * result-identical to the built-in formulation. */
+  private def nativeTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tbl.events(s, d).select($"event_id", $"ts", $"user_id", $"value")
+    val pruned = org.apache.spark.sql.graft.TopKPerKey(
+      ev, 3, Seq("user_id"), Seq(("ts", true), ("event_id", true)))
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    pruned
+      .withColumn("rn", row_number().over(w))
+      .select($"user_id", $"rn", $"event_id",
+              unix_micros($"ts").as("ts_us"), $"value")
+      .orderBy($"user_id", $"rn")
+  }
+
   /** J1: union of two event slices (reference `predict_path.py:78`),
     * deduplicated then re-aggregated. */
   private def unionMerge(s: SparkSession, d: String): DataFrame = {
@@ -206,6 +226,7 @@ object RelationalOps extends QueryModule {
     "j2_semi_join"       -> (semiJoin _),
     "j2_anti_join"       -> (antiJoin _),
     "a3_top3_per_key"    -> (top3PerKey _),
+    "x_native_topk"      -> (nativeTopK _),
     "j1_union_merge"     -> (unionMerge _),
     "j3_sort_limit"      -> (sortLimit _),
     "w2_in_filter"       -> (inFilter _))
@@ -216,6 +237,7 @@ object RelationalOps extends QueryModule {
     "j2_semi_join"       -> semiJoinSql,
     "j2_anti_join"       -> antiJoinSql,
     "a3_top3_per_key"    -> top3PerKeySql,
+    "x_native_topk"      -> top3PerKeySql,
     "j1_union_merge"     -> unionMergeSql,
     "j3_sort_limit"      -> sortLimitSql,
     "w2_in_filter"       -> inFilterSql)
