@@ -259,7 +259,39 @@ object CurationOps extends QueryModule {
        |FROM w LEFT JOIN dk ON w.h = dk.h
        |ORDER BY doc_id""".stripMargin
 
+  private val ReservoirK = 100
+
+  /** Deterministic fixed-size per-stratum sample ("reservoir" without
+    * RNG state): the K events per type with the smallest md5(event_id) —
+    * reproducible across runs, engines, and retries, like the rate-based
+    * sampler, but with an exact per-class count (the shape a balanced
+    * eval set needs). Runs on the native TopKPerKeyExec: each map
+    * partition is pruned to ≤K rows per stratum before the shuffle, so
+    * at 100 TB the exchange moves O(strata·K) rows — a fixed-size
+    * sample costs O(scan), not O(sort). */
+  private def reservoirSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tbl.events(s, d)
+      .select($"event_type", $"event_id", $"user_id",
+              md5($"event_id".cast("string")).as("h"))
+    org.apache.spark.sql.graft.TopKPerKey(
+        hashed, ReservoirK, Seq("event_type"),
+        Seq(("h", false), ("event_id", false)))
+      .select($"event_type", $"event_id", $"user_id")
+      .orderBy($"event_type", $"event_id")
+  }
+
+  private val reservoirSampleSql =
+    s"""SELECT event_type, event_id, user_id FROM (
+       |  SELECT event_type, event_id, user_id,
+       |    row_number() OVER (PARTITION BY event_type
+       |                       ORDER BY md5(event_id::VARCHAR), event_id) AS rn
+       |  FROM events)
+       |WHERE rn <= $ReservoirK
+       |ORDER BY event_type, event_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_reservoir_sample"  -> (reservoirSample _),
     "x_curation_pipeline" -> (curationPipeline _),
     "dd_chunk_dedup"      -> (chunkDedup _),
     "tx_repetition"       -> (repetition _),
@@ -267,6 +299,7 @@ object CurationOps extends QueryModule {
     "x_stratified_sample" -> (stratifiedSample _))
 
   override val oracles: Map[String, String] = Map(
+    "x_reservoir_sample"  -> reservoirSampleSql,
     "x_curation_pipeline" -> curationPipelineSql,
     "dd_chunk_dedup"      -> chunkDedupSql,
     "tx_repetition"       -> repetitionSql,
