@@ -149,6 +149,26 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!filterAboveShuffle, s"sampling filter runs after a shuffle:\n$p")
   }
 
+  test("runtime bloom filter: selective dim filter prunes the fact scan at runtime") {
+    // Catalyst's InjectRuntimeFilter builds a bloom filter from the
+    // filtered (small) join side and pushes might_contain onto the fact
+    // side — at 100 TB this is what turns a selective dim predicate into
+    // fact-scan pruning when broadcast isn't possible. Pin that the
+    // engine's join shapes keep qualifying for it.
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      import spark.implicits._
+      val li = Tbl.lineitem(spark, d)
+      val ord = Tbl.orders(spark, d).where($"o_orderpriority" === "1-URGENT")
+      val plan = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").count()
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+             s"runtime filter not injected:\n$plan")
+    }
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
