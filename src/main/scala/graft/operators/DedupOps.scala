@@ -55,6 +55,32 @@ object DedupOps extends QueryModule {
     """SELECT lang, source, min(doc_id) AS keeper, count(*) AS n_in_group
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  /** Normalized-text dedup ("fuzzy-exact", the C4/RefinedWeb first
+    * pass): documents identical after lowercasing, punctuation
+    * stripping, and whitespace collapse collapse to one keeper. Catches
+    * the dominant near-dup class (casing/markup/whitespace variants) at
+    * exact-dedup cost — a single groupBy on a 16-byte hash of the
+    * canonical form ([[TextNorm.norm]], shared with the shingle family
+    * so normalization can never silently diverge). Emitted per keeper
+    * (not per hash) with the group size + canonical length, ordered on
+    * the keeper id. */
+  private def normDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.documents(s, d)
+      .select($"doc_id", md5(norm($"text")).as("norm_hash"),
+              length(norm($"text")).cast("long").as("norm_len"))
+      .groupBy($"norm_hash")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_variants"),
+           min($"norm_len").as("norm_len"))
+      .orderBy($"keeper")
+  }
+
+  private val normDedupSql =
+    s"""SELECT md5($normSql) AS norm_hash, min(doc_id) AS keeper,
+       |       count(*) AS n_variants,
+       |       CAST(min(length($normSql)) AS BIGINT) AS norm_len
+       |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin
+
   private val NumHashes = 12
   private val NumBands = 6 // 6 bands × 2 rows: ~30× fewer candidate pairs
                            // than 12×1 on low-entropy corpora (measured:
@@ -338,6 +364,7 @@ object DedupOps extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact"         -> (exactDedup _),
+    "dd_norm_dedup"    -> (normDedup _),
     "dd_key_dedup"     -> (keyDedup _),
     "dd_minhash_lsh"   -> (minhashLsh _),
     "dd_dup_clusters"  -> (dupClusters _),
@@ -346,6 +373,7 @@ object DedupOps extends QueryModule {
 
   override val oracles: Map[String, String] = Map(
     "dd_exact"         -> exactDedupSql,
+    "dd_norm_dedup"    -> normDedupSql,
     "dd_key_dedup"     -> keyDedupSql,
     "dd_minhash_lsh"   -> minhashLshSql,
     "dd_dup_clusters"  -> dupClustersSql,

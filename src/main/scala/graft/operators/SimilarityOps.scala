@@ -266,6 +266,89 @@ object SimilarityOps extends QueryModule {
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   }
 
+  private val SqTopM = 20 // coarse candidates per query, reranked exactly
+
+  /** Scalar-quantized (SQ-int8) ANN with exact rerank — the memory-
+    * bandwidth scale path: the corpus is scanned as int8-range codes
+    * (4× smaller than float32, so a 100 TB float index becomes a 25 TB
+    * scan), coarse-scored with an exact integer dot product, and only
+    * the top-M survivors per query are reranked at full precision.
+    *
+    * Quantization is per-vector symmetric: q_i = floor(x_i·127/amax)
+    * with amax = max|x_i| — pure IEEE arithmetic on bit-identical
+    * inputs, then floor, so both engines code identically (no round()
+    * boundary, see Oracles discipline). Coarse scores are exact BIGINTs
+    * via the native codegen `dot_i` expression ([[DotProductInt]]) —
+    * integer arithmetic needs no rounding discipline at all. The rerank
+    * joins the tiny candidate list (|Q|·M rows) back to the full-
+    * precision corpus by id — broadcast at any scale. */
+  private def sqAnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dotI = org.apache.spark.sql.graft.DotProductInt.dotI _
+    val emb = Tbl.embeddings(s, d)
+    val quant = emb
+      .withColumn("amax", greatest(
+        array_max(transform($"embedding", x => abs(x.cast("double")))),
+        lit(1e-12)))
+      .select($"vec_id",
+        transform($"embedding",
+          x => floor(x.cast("double") * 127.0 / $"amax").cast("int")).as("qv"))
+    val queries = quant.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"qv".as("q_qv"))
+    val wc = Window.partitionBy($"q_id").orderBy($"qdot".desc, $"vec_id")
+    val cand = quant
+      .crossJoin(broadcast(queries))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", dotI($"q_qv", $"qv").as("qdot"))
+      .withColumn("crk", row_number().over(wc))
+      .where($"crk" <= SqTopM)
+      .select($"q_id", $"vec_id", $"qdot")
+    val wr = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    // both rerank joins probe the corpus scan with the broadcast
+    // candidate list — the corpus side never shuffles
+    val withQ = emb.select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .join(broadcast(cand), "q_id")
+    emb.select($"vec_id", $"embedding")
+      .join(broadcast(withQ), "vec_id")
+      .select($"q_id", $"vec_id", $"qdot",
+              cos6(dot($"q_emb", $"embedding")).as("cosine"))
+      .withColumn("rk", row_number().over(wr))
+      .where($"rk" <= TopK)
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val sqAnnSql = {
+    val amax =
+      "greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12)"
+    val qdot =
+      "list_sum([q.qv[i] * c.qv[i] for i in generate_series(1, len(q.qv))])"
+    s"""WITH quant AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0 / $amax) AS INT)
+       |     for i in generate_series(1, len(embedding))] AS qv
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT q_id, vec_id, qdot FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |      CAST($qdot AS BIGINT) AS qdot,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY $qdot DESC, c.vec_id) AS crk
+       |    FROM quant c, quant q
+       |    WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
+       |  WHERE crk <= $SqTopM)
+       |SELECT q_id, vec_id, qdot, cosine, rk FROM (
+       |  SELECT co.q_id, co.vec_id, co.qdot,
+       |    ${cos6Sql(dotSql("eq.embedding", "ec.embedding"))} AS cosine,
+       |    row_number() OVER (PARTITION BY co.q_id
+       |      ORDER BY ${cos6Sql(dotSql("eq.embedding", "ec.embedding"))} DESC,
+       |               co.vec_id) AS rk
+       |  FROM cand co
+       |  JOIN embeddings eq ON eq.vec_id = co.q_id
+       |  JOIN embeddings ec ON ec.vec_id = co.vec_id)
+       |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+  }
+
   private val NeardupMinCosine = 0.3
   private val NeardupBands = 8      // b OR'd hash tables
   private val NeardupRows = 6       // r hyperplanes per table
@@ -353,6 +436,7 @@ object SimilarityOps extends QueryModule {
     "sim_lsh_ann"      -> (lshAnn _),
     "sim_ivf_ann"      -> (ivfAnn _),
     "sim_ivf_nprobe2"  -> (ivfAnnNprobe2 _),
+    "sim_sq_ann"       -> (sqAnn _),
     "sim_emb_neardup"  -> (embeddingNeardup _))
 
   override val oracles: Map[String, String] = Map(
@@ -360,5 +444,6 @@ object SimilarityOps extends QueryModule {
     "sim_lsh_ann"      -> lshAnnSql,
     "sim_ivf_ann"      -> ivfAnnSql,
     "sim_ivf_nprobe2"  -> ivfAnnNprobe2Sql,
+    "sim_sq_ann"       -> sqAnnSql,
     "sim_emb_neardup"  -> embeddingNeardupSql)
 }

@@ -275,6 +275,40 @@ object WindowOps extends QueryModule {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Extension: sliding-window distinct cardinality — distinct users
+    * per 2-minute window sliding 1 minute, exact + HLL sketch side by
+    * side. The exact form costs a per-window distinct-aggregate (two
+    * shuffle phases: dedup (window,user), then count); the sketch is
+    * one partial-aggregable pass, THE form that survives 100 TB — so
+    * the query emits the exact count as the oracle anchor plus the
+    * sketch's within-5%-of-exact boolean, same contract as
+    * x_approx_distinct. */
+  private def windowDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .groupBy(window($"ts", "2 minutes", "1 minute"))
+      .agg(count_distinct($"user_id").as("users"),
+           count(lit(1)).as("n"),
+           approx_count_distinct($"user_id", 0.01).as("approx"))
+      .select(unix_micros($"window.start").as("ws_us"),
+              unix_micros($"window.end").as("we_us"),
+              $"users", $"n",
+              (abs($"approx" - $"users") <=
+                 $"users".cast("double") * 0.05).as("approx_ok"))
+      .orderBy($"ws_us")
+  }
+
+  // same expand-by-(VALUES k) sliding-window arithmetic as the shared
+  // a1 oracle (each event lands in width/slide = 2 windows)
+  private val windowDistinctSql =
+    """SELECT (epoch_us(ts) // 60000000 - k) * 60000000 AS ws_us,
+      |       (epoch_us(ts) // 60000000 - k) * 60000000 + 120000000 AS we_us,
+      |       count(DISTINCT user_id) AS users,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       TRUE AS approx_ok
+      |FROM events, (VALUES (0),(1)) offs(k)
+      |GROUP BY 1, 2 ORDER BY ws_us""".stripMargin
+
   /** Extension: approximate distinct (HyperLogLog++) per event_type —
     * sketch-based cardinality for the 100 TB path. Sketches differ per
     * engine, so the oracled output is the exact distinct count plus a
@@ -308,6 +342,7 @@ object WindowOps extends QueryModule {
     "x_rollup_revenue"   -> (rollupRevenue _),
     "x_cube_orders"      -> (cubeOrders _),
     "a6_analytics_suite" -> (analyticsSuite _),
+    "x_window_distinct"  -> (windowDistinct _),
     "x_approx_distinct"  -> (approxDistinct _))
 
   override val oracles: Map[String, String] = Map(
@@ -318,5 +353,6 @@ object WindowOps extends QueryModule {
     "x_rollup_revenue"   -> rollupRevenueSql,
     "x_cube_orders"      -> cubeOrdersSql,
     "a6_analytics_suite" -> analyticsSuiteSql,
+    "x_window_distinct"  -> windowDistinctSql,
     "x_approx_distinct"  -> approxDistinctSql)
 }

@@ -176,6 +176,34 @@ object StreamingOps extends QueryModule {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** J5 streaming, watermark-bounded: `dropDuplicatesWithinWatermark`
+    * — the 100 TB form of streaming dedup. Plain `dropDuplicates` keeps
+    * every key seen FOREVER (state grows with the key universe, which
+    * on an unbounded stream is a guaranteed OOM); the within-watermark
+    * variant evicts a key's state once the watermark passes its event
+    * time + delay, so state is bounded by the dedup window, not the
+    * stream's lifetime. Output is projected to the dedup key columns —
+    * which physical row survives is arrival-order-dependent, the key
+    * set is not. */
+  private def streamDedupWm(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) { streamDedupWmInner(s, d) }
+
+  private def streamDedupWmInner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dd = eventStream(s, d)
+      .withColumn("v_c", Tbl.cents($"value"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "v_c")
+    runToTable(s, dd, "s_dedup_wm", OutputMode.Append())
+      .select($"user_id", $"event_type", $"v_c")
+      .orderBy($"user_id", $"event_type", $"v_c")
+  }
+
+  private val dedupWmSql =
+    """SELECT DISTINCT user_id, event_type,
+      |  CAST(round(value*100) AS BIGINT) AS v_c
+      |FROM events ORDER BY user_id, event_type, v_c""".stripMargin
+
   /** T4 complete mode: running per-type counts. */
   private def streamCompleteCounts(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -490,7 +518,8 @@ object StreamingOps extends QueryModule {
     "s10_stream_session"    -> (streamSession _),
     "s11_stream_tws"        -> (streamRunningTotals _),
     "s12_stream_stream_join" -> (streamStreamJoin _),
-    "s13_stream_curation"   -> (streamCuration _))
+    "s13_stream_curation"   -> (streamCuration _),
+    "s14_stream_dedup_wm"   -> (streamDedupWm _))
 
   override val oracles: Map[String, String] = Map(
     "s1_stream_window_agg"  -> windowAggSql,
@@ -505,5 +534,6 @@ object StreamingOps extends QueryModule {
     "s10_stream_session"    -> sessionSql,
     "s11_stream_tws"        -> runningTotalsSql,
     "s12_stream_stream_join" -> streamStreamJoinSql,
-    "s13_stream_curation"   -> streamCurationSql)
+    "s13_stream_curation"   -> streamCurationSql,
+    "s14_stream_dedup_wm"   -> dedupWmSql)
 }

@@ -96,5 +96,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(DotProductFloat.name),
       new ExpressionInfo(classOf[DotProductFloat].getName, DotProductFloat.name),
       (args: Seq[Expression]) => DotProductFloat(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier(DotProductInt.name),
+      new ExpressionInfo(classOf[DotProductInt].getName, DotProductInt.name),
+      (args: Seq[Expression]) => DotProductInt(args(0), args(1))))
   }
 }
