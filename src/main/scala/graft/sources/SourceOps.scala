@@ -71,11 +71,46 @@ object SourceOps extends QueryModule {
       |  FROM events GROUP BY user_id)
       |WHERE user_id > -4 ORDER BY user_id""".stripMargin
 
+  /** S3+F8 as a first-class DataSource V2 (`format("pipecsv")`,
+    * `PipeCsvDataSource.scala`): events staged to fixed-width frame files
+    * (the reference's 900-byte-ljust wire, `server.py:47-55`), then read
+    * back through the registered connector with a pruned 3-of-4-column
+    * projection and two pushed predicates. `framesPerSplit` forces many
+    * computed byte-range splits — the offset-splittable scan path a
+    * 100 TB frame file would take; PlanSpec pins the pushdown/pruning. */
+  private def dsv2Pipecsv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = Tbl.scratchDir("pipecsv_stage")
+    Tbl.events(s, d)
+      .select(rpad(concat_ws("|",
+        $"event_id", $"user_id", $"event_type", Tbl.cents($"value")),
+        FrameLen, " ").as("value"))
+      .write.mode("overwrite").text(dir)
+    s.read.format("pipecsv")
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("v_c", LongType))))
+      .option("frameLen", FrameLen)
+      .option("framesPerSplit", 512) // ~20 splits at sf0.01: exercise planning
+      .load(dir)
+      .where($"user_id" < 60 && $"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", $"v_c")
+      .orderBy($"event_id")
+  }
+
+  private val dsv2PipecsvSql =
+    """SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS v_c
+      |FROM events
+      |WHERE user_id < 60 AND event_type IN ('click', 'purchase')
+      |ORDER BY event_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> (csvRoundtrip _),
-    "src_seed_union"    -> (seedUnion _))
+    "src_seed_union"    -> (seedUnion _),
+    "src_dsv2_pipecsv"  -> (dsv2Pipecsv _))
 
   override val oracles: Map[String, String] = Map(
     "src_csv_roundtrip" -> csvRoundtripSql,
-    "src_seed_union"    -> seedUnionSql)
+    "src_seed_union"    -> seedUnionSql,
+    "src_dsv2_pipecsv"  -> dsv2PipecsvSql)
 }

@@ -1,0 +1,273 @@
+package graft.sources.pipecsv
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for the reference's wire format: pipe-delimited
+  * records space-padded to a fixed frame length (`server.py:47-55` — 900-byte
+  * ljust frames; `client.py:30-33` reads exactly that many bytes per recv).
+  *
+  * The fixed frame is what makes this format *better than CSV at scale*:
+  * record i lives at byte offset `i * (frameLen+1)` exactly, so a 100 TB
+  * file splits into arbitrary byte ranges with NO line scanning, no
+  * split-straddles-a-record corner case, and no sequential seek to the
+  * first newline — every split boundary is computed, not discovered. CSV
+  * splitters must read past the boundary to find a record start; this
+  * source never does.
+  *
+  * Spark-native integration, all three DSv2 scan optimizations:
+  *   - column pruning  (`SupportsPushDownRequiredColumns`): only the pipe
+  *     fields a query references are parsed; a 2-column projection of a
+  *     17-field frame casts 2 fields, not 17.
+  *   - filter pushdown (`SupportsPushDownFilters`): =, <, <=, >, >=, IN,
+  *     IsNotNull on frame fields are evaluated inside the partition
+  *     reader against the parsed value, before any row reaches Spark —
+  *     the scan's output is pre-filtered, no post-scan Filter node.
+  *   - splittable partitions: `framesPerSplit` frames per input split
+  *     (default 1 << 20 ≈ 200 MB of 200-byte frames), planned from file
+  *     length arithmetic alone.
+  *
+  * Registered as `pipecsv` via DataSourceRegister (META-INF/services), so
+  * `spark.read.format("pipecsv").schema(...).load(dir)` works anywhere.
+  * The user schema's field order IS the wire order: schema field i binds
+  * to pipe field i (headerless wire, like the reference's).
+  */
+final class PipeCsvDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "pipecsv"
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** Headerless wire ⇒ nothing to infer names/types from: all fields come
+    * back as strings `c0..cN`, counted from the first frame on disk. Real
+    * use passes an explicit schema (the reference hard-codes its 17-field
+    * schema in `preprocess.py`; typed reads here do the same). */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val frameLen = PipeCsvDataSource.frameLen(options)
+    val files = PipeCsvDataSource.listDataFiles(options)
+    require(files.nonEmpty, "pipecsv: no data files under " + options.get("path"))
+    val fs = files.head._1.getFileSystem(new Configuration())
+    val in = fs.open(files.head._1)
+    val buf = new Array[Byte](frameLen)
+    try in.readFully(0L, buf) finally in.close()
+    val n = new String(buf, "UTF-8").split('|').length
+    StructType((0 until n).map(i => StructField(s"c$i", StringType)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PipeCsvTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[pipecsv] object PipeCsvDataSource {
+  /** frame body length; on-disk stride is frameLen+1 (trailing '\n',
+    * written by Spark's text sink and by the reference's socket framing
+    * being newline-free — the +1 is this source's file-layout convention) */
+  def frameLen(o: CaseInsensitiveStringMap): Int = {
+    val n = o.getInt("frameLen", 200)
+    require(n > 0, "pipecsv: frameLen must be positive"); n
+  }
+
+  def framesPerSplit(o: CaseInsensitiveStringMap): Long = {
+    val n = o.getLong("framesPerSplit", 1L << 20)
+    require(n > 0, "pipecsv: framesPerSplit must be positive"); n
+  }
+
+  /** Data files under `path`, skipping _SUCCESS/. hidden files, with
+    * lengths — the only file-system metadata split planning needs. */
+  def listDataFiles(o: CaseInsensitiveStringMap): Seq[(Path, Long)] = {
+    val root = new Path(Option(o.get("path")).getOrElse(
+      throw new IllegalArgumentException("pipecsv: path option is required")))
+    val fs = root.getFileSystem(new Configuration())
+    def walk(p: Path): Seq[(Path, Long)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (st.getLen > 0) Seq(st.getPath -> st.getLen)
+        else Nil
+      }
+    walk(root).sortBy(_._1.toString)
+  }
+}
+
+private[pipecsv] final class PipeCsvTable(
+    userSchema: StructType, options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+  override def name(): String = "pipecsv(" + options.get("path") + ")"
+  override def schema(): StructType = userSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    // merge load-time options (path, frameLen) with per-read options
+    val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(o.asCaseSensitiveMap())
+    new PipeCsvScanBuilder(userSchema, new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private[pipecsv] final class PipeCsvScanBuilder(
+    fullSchema: StructType, options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve wire order regardless of projection order; pruning only
+    // decides WHICH fields get parsed, the row layout follows the query
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val names = fullSchema.fieldNames.toSet
+    val (sup, unsup) = filters.partition {
+      case EqualTo(a, _) if names(a)            => true
+      case GreaterThan(a, _) if names(a)        => true
+      case GreaterThanOrEqual(a, _) if names(a) => true
+      case LessThan(a, _) if names(a)           => true
+      case LessThanOrEqual(a, _) if names(a)    => true
+      case In(a, _) if names(a)                 => true
+      case IsNotNull(a) if names(a)             => true
+      case _                                    => false
+    }
+    pushed = sup
+    unsup // residual: Spark re-evaluates only what we could not push
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new PipeCsvScan(fullSchema, required, pushed, options)
+}
+
+private[pipecsv] final class PipeCsvScan(
+    fullSchema: StructType, required: StructType, pushed: Array[Filter],
+    options: CaseInsensitiveStringMap) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"pipecsv PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val stride = PipeCsvDataSource.frameLen(options) + 1L
+    val per = PipeCsvDataSource.framesPerSplit(options)
+    PipeCsvDataSource.listDataFiles(options).flatMap { case (p, len) =>
+      require(len % stride == 0,
+        s"pipecsv: $p length $len is not a multiple of frame stride $stride")
+      val frames = len / stride
+      (0L until frames by per).map(start =>
+        PipeCsvInputPartition(p.toString, start, math.min(per, frames - start)))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    PipeCsvReaderFactory(
+      PipeCsvDataSource.frameLen(options), fullSchema, required, pushed)
+}
+
+/** One computed byte range: frames [startFrame, startFrame+numFrames). */
+private[pipecsv] final case class PipeCsvInputPartition(
+    path: String, startFrame: Long, numFrames: Long) extends InputPartition
+
+private[pipecsv] final case class PipeCsvReaderFactory(
+    frameLen: Int, fullSchema: StructType, required: StructType,
+    pushed: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PipeCsvPartitionReader(
+      p.asInstanceOf[PipeCsvInputPartition], frameLen, fullSchema, required,
+      pushed)
+}
+
+private[pipecsv] final class PipeCsvPartitionReader(
+    part: PipeCsvInputPartition, frameLen: Int, fullSchema: StructType,
+    required: StructType, pushed: Array[Filter])
+  extends PartitionReader[InternalRow] {
+
+  private val stride = frameLen + 1
+  private val fieldIndex = fullSchema.fieldNames.zipWithIndex.toMap
+  // parse the union of projected and filtered fields — a pushed filter on
+  // a pruned-out column still needs its value, but never reaches the row
+  private val neededIdx: Array[Int] =
+    (required.fieldNames ++ pushed.flatMap(_.references))
+      .distinct.map(fieldIndex).sorted
+  private val outIdx: Array[Int] = required.fieldNames.map(fieldIndex)
+
+  private val in = {
+    val p = new Path(part.path)
+    val s = p.getFileSystem(new Configuration()).open(p)
+    s.seek(part.startFrame * stride)
+    s
+  }
+  private val buf = new Array[Byte](stride)
+  private var remaining = part.numFrames
+  private var row: InternalRow = _
+
+  /** typed parse of one pipe field, by full-schema position */
+  private def parse(raw: String, i: Int): Any = fullSchema.fields(i).dataType match {
+    case LongType    => java.lang.Long.parseLong(raw)
+    case IntegerType => java.lang.Integer.parseInt(raw)
+    case DoubleType  => java.lang.Double.parseDouble(raw)
+    case StringType  => raw
+    case dt => throw new IllegalArgumentException(
+      s"pipecsv: unsupported field type $dt for ${fullSchema.fields(i).name}")
+  }
+
+  private def eval(f: Filter, v: String => Any): Boolean = f match {
+    case EqualTo(a, b)            => cmp(v(a), b) == 0
+    case GreaterThan(a, b)        => cmp(v(a), b) > 0
+    case GreaterThanOrEqual(a, b) => cmp(v(a), b) >= 0
+    case LessThan(a, b)           => cmp(v(a), b) < 0
+    case LessThanOrEqual(a, b)    => cmp(v(a), b) <= 0
+    case In(a, bs)                => bs.exists(cmp(v(a), _) == 0)
+    case IsNotNull(_)             => true // fixed frames carry no nulls
+    case _                        => true
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Long, y: Number)    => java.lang.Long.compare(x, y.longValue())
+    case (x: java.lang.Integer, y: Number) => java.lang.Integer.compare(x, y.intValue())
+    case (x: java.lang.Double, y: Number)  => java.lang.Double.compare(x, y.doubleValue())
+    case (x: String, y)                    => x.compareTo(String.valueOf(y))
+    case _ => throw new IllegalArgumentException(
+      s"pipecsv: cannot compare ${a.getClass} with filter literal $b")
+  }
+
+  override def next(): Boolean = {
+    while (remaining > 0) {
+      in.readFully(buf, 0, stride)
+      remaining -= 1
+      // rtrim the padding, split preserving interior empties
+      var end = frameLen
+      while (end > 0 && (buf(end - 1) == ' ' || buf(end - 1) == '\n')) end -= 1
+      val fields = new String(buf, 0, end, "UTF-8").split("\\|", -1)
+      val vals = new Array[Any](fullSchema.length)
+      neededIdx.foreach(i => vals(i) = parse(fields(i), i))
+      val lookup = (name: String) => vals(fieldIndex(name))
+      if (pushed.forall(eval(_, lookup))) {
+        row = InternalRow.fromSeq(outIdx.map { i =>
+          vals(i) match { case s: String => UTF8String.fromString(s); case v => v }
+        }.toIndexedSeq)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

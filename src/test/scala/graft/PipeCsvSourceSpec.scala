@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.types._
+
+/** DataSource V2 pipe-CSV frame reader (`graft.sources.pipecsv`):
+  * correctness of the parse, split planning over computed byte ranges,
+  * column pruning, and filter pushdown (the scan output itself, not a
+  * post-scan Filter, drops the rows).
+  */
+class PipeCsvSourceSpec extends SparkSpec {
+
+  private val frameLen = 40
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("kind", StringType),
+    StructField("score", DoubleType), StructField("n", IntegerType)))
+
+  /** 7 frames, fixed 40-byte bodies + '\n', two files. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("pipecsv_spec").toString
+    def frame(s: String) = {
+      require(s.length <= frameLen, s)
+      s + " " * (frameLen - s.length) + "\n"
+    }
+    Files.writeString(Paths.get(d, "part-0.txt"),
+      Seq("1|alpha|1.5|10", "2|beta|2.5|20", "3|alpha|3.5|30", "4|gamma|4.5|40")
+        .map(frame).mkString)
+    Files.writeString(Paths.get(d, "part-1.txt"),
+      Seq("5|beta|5.5|50", "6|alpha|6.5|60", "7|delta|7.5|70")
+        .map(frame).mkString)
+    Files.writeString(Paths.get(d, "_SUCCESS"), "") // must be skipped
+    d
+  }
+
+  private def read() =
+    spark.read.format("pipecsv").schema(schema)
+      .option("frameLen", frameLen).option("framesPerSplit", 2)
+      .load(dir)
+
+  test("full read parses every frame with types, across files and splits") {
+    val rows = read().orderBy("id").collect()
+    assert(rows.length === 7)
+    assert(rows.head.toSeq === Seq(1L, "alpha", 1.5, 10))
+    assert(rows.last.toSeq === Seq(7L, "delta", 7.5, 70))
+    // framesPerSplit=2 over 4+3 frames → 2+2 splits planned
+    assert(read().rdd.getNumPartitions === 4)
+  }
+
+  test("pushed filters prefilter inside the reader: scan emits only matches") {
+    import spark.implicits._
+    val df = read().where($"kind" === "alpha" && $"id" > 1).select($"id", $"n")
+    assert(df.orderBy("id").collect().map(_.toSeq).toSeq ===
+      Seq(Seq(3L, 30), Seq(6L, 60)))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: BatchScanExec => s
+    }.get
+    // both predicates pushed into the DSv2 scan...
+    assert(scan.scan.description().contains("EqualTo(kind,alpha)"))
+    assert(scan.scan.description().contains("GreaterThan(id,1)"))
+    // ...and the scan's own output is already filtered
+    assert(scan.execute().count() === 2)
+  }
+
+  test("column pruning reaches the scan: 2-column projection reads 2 fields") {
+    import spark.implicits._
+    val df = read().select($"id", $"score")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: BatchScanExec => s
+    }.get
+    assert(scan.scan.readSchema().fieldNames.toSeq === Seq("id", "score"))
+    assert(df.orderBy("id").as[(Long, Double)].collect().head === ((1L, 1.5)))
+  }
+
+  test("headerless inference yields string fields c0..cN") {
+    val inferred = spark.read.format("pipecsv")
+      .option("frameLen", frameLen).load(dir)
+    assert(inferred.schema.fieldNames.toSeq === Seq("c0", "c1", "c2", "c3"))
+    assert(inferred.schema.fields.forall(_.dataType == StringType))
+    assert(inferred.count() === 7)
+  }
+
+  test("registry query src_dsv2_pipecsv matches the direct-parquet result") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("src_dsv2_pipecsv")(spark, d)
+    val exp = Tbl.events(spark, d)
+      .where($"user_id" < 60 && $"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", Tbl.cents($"value").as("v_c"))
+      .orderBy($"event_id")
+    assert(got.collect().map(_.toSeq).toSeq === exp.collect().map(_.toSeq).toSeq)
+    assert(got.count() > 0)
+  }
+}
