@@ -431,12 +431,105 @@ object SimilarityOps extends QueryModule {
        |WHERE ${cos6Sql(dotSql("ea.embedding", "eb.embedding"))} >= $NeardupMinCosine
        |ORDER BY a, b""".stripMargin
 
+  private val PqM = 8   // subspaces (64 dims / 8 per subspace)
+  private val PqK = 16  // codewords per subspace
+  private val PqSub = 8 // dims per subspace
+
+  /** Product-quantization ANN (ADC flavor) — the memory-compression
+    * scale path beyond SQ-int8: each 64-dim float vector (256 B) is
+    * stored as 8 one-byte codes, a 32× index shrink, so a 100 TB float
+    * corpus becomes a ~3 TB code scan. Codebooks are per-subspace: the
+    * m-th 8-dim slice of the first 16 corpus vectors (deterministic
+    * seeding, same convention as IVF's centroids). Encoding picks, per
+    * subspace, the codeword minimizing L2² — argmax of the pure-IEEE
+    * score 2·(v·c) − ‖c‖², floor-truncated at 6 decimals before the
+    * argmax so both engines pick identical codes (ties → smaller k).
+    * Scoring is asymmetric (ADC): the un-quantized query meets the
+    * codeword reconstruction; one sequential 64-fold keeps the Spark
+    * and DuckDB additions in the same order. Everything is a per-row
+    * projection against 128 literal 8-float subvectors — no shuffle, no
+    * crossJoin blow-up; the query set broadcasts as in `sim_topk_brute`. */
+  private def pqAnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = constVectors(s, d, PqK)
+    val book: IndexedSeq[IndexedSeq[Array[Float]]] =
+      (0 until PqM).map(m =>
+        (0 until PqK).map(k => cents(k)._2.slice(m * PqSub, (m + 1) * PqSub)))
+    // ‖c‖² as the same left fold DuckDB's list_sum performs
+    val norm2: IndexedSeq[IndexedSeq[Double]] =
+      book.map(_.map(_.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    def codeCol(m: Int): Column = {
+      val sub = slice($"embedding", m * PqSub + 1, PqSub)
+      val sorted = array_sort(array((0 until PqK).map { k =>
+        struct((-cos6(dot(sub, typedLit(book(m)(k))) * 2.0 - lit(norm2(m)(k))))
+                 .as("nd"),
+               lit(k.toLong).as("k"))
+      }: _*))
+      element_at(sorted, 1).getField("k")
+    }
+    val emb = Tbl.embeddings(s, d)
+    val coded = emb.select($"vec_id", $"embedding",
+      concat((0 until PqM).map { m =>
+        get(typedLit(book(m).map(_.toSeq)), codeCol(m).cast("int")) // 0-based
+      }: _*).as("recon"))
+    val queries = emb.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    coded.crossJoin(broadcast(queries))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", cos6(dot($"q_emb", $"recon")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val pqAnnSql = {
+    val dot8 = s"""list_sum([CAST(e.embedding[s.m*$PqSub+i] AS DOUBLE)
+                  | * CAST(c.embedding[s.m*$PqSub+i] AS DOUBLE)
+                  | for i in generate_series(1, $PqSub)])""".stripMargin
+    val norm8 = s"""list_sum([CAST(c.embedding[s.m*$PqSub+i] AS DOUBLE)
+                   | * CAST(c.embedding[s.m*$PqSub+i] AS DOUBLE)
+                   | for i in generate_series(1, $PqSub)])""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT vec_id AS k, embedding FROM embeddings WHERE vec_id < $PqK),
+       |centlist AS (SELECT list(embedding ORDER BY k) AS cl FROM cents),
+       |scores AS (
+       |  SELECT e.vec_id, s.m, c.k,
+       |    floor((2.0 * ($dot8) - ($norm8)) * 1000000.0) / 1000000.0 AS sc
+       |  FROM embeddings e,
+       |       (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) s,
+       |       cents c),
+       |codes AS (
+       |  SELECT vec_id, list(k ORDER BY m) AS ks FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |                         ORDER BY sc DESC, k) AS r
+       |    FROM scores) WHERE r = 1
+       |  GROUP BY vec_id),
+       |recon AS (
+       |  SELECT c.vec_id,
+       |    flatten([cl.cl[c.ks[m+1] + 1][m*$PqSub+1 : m*$PqSub+$PqSub]
+       |             for m in generate_series(0, ${PqM - 1})]) AS rv
+       |  FROM codes c, centlist cl)
+       |SELECT q_id, vec_id, cosine, rk FROM (
+       |  SELECT q.vec_id AS q_id, r.vec_id AS vec_id,
+       |    ${cos6Sql(dotSql("q.embedding", "r.rv"))} AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cos6Sql(dotSql("q.embedding", "r.rv"))} DESC,
+       |               r.vec_id) AS rk
+       |  FROM recon r, embeddings q
+       |  WHERE q.vec_id < $NumQueries AND r.vec_id <> q.vec_id)
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute"   -> (topkBrute _),
     "sim_lsh_ann"      -> (lshAnn _),
     "sim_ivf_ann"      -> (ivfAnn _),
     "sim_ivf_nprobe2"  -> (ivfAnnNprobe2 _),
     "sim_sq_ann"       -> (sqAnn _),
+    "sim_pq_ann"       -> (pqAnn _),
     "sim_emb_neardup"  -> (embeddingNeardup _))
 
   override val oracles: Map[String, String] = Map(
@@ -445,5 +538,6 @@ object SimilarityOps extends QueryModule {
     "sim_ivf_ann"      -> ivfAnnSql,
     "sim_ivf_nprobe2"  -> ivfAnnNprobe2Sql,
     "sim_sq_ann"       -> sqAnnSql,
+    "sim_pq_ann"       -> pqAnnSql,
     "sim_emb_neardup"  -> embeddingNeardupSql)
 }

@@ -81,6 +81,20 @@ class OperatorSpec extends SparkSpec {
     assert(joined.where(brute("cosine") =!= ann("cosine")).count() == 0)
   }
 
+  test("sim_pq_ann: 3 rows per query; ADC cosine bounded; codes reconstruct to valid vectors") {
+    val df = SparkEntry.queries("sim_pq_ann")(spark, d)
+    val perQ = df.groupBy($"q_id").agg(count(lit(1)).as("n"))
+    assert(perQ.where($"n" =!= 3).count() == 0)
+    // reconstruction of unit-norm-ish vectors keeps |adc cosine| ≲ 1
+    assert(df.where(abs($"cosine") > 1.5).count() == 0)
+    // PQ is an approximation: its top-1 ADC score can't beat the exact
+    // top-1 cosine by more than the quantization error bound (sanity: ≤ +0.5)
+    val brute = SparkEntry.queries("sim_topk_brute")(spark, d)
+      .where($"rk" === 1).select($"q_id", $"cosine".as("exact1"))
+    val pq1 = df.where($"rk" === 1).select($"q_id", $"cosine".as("adc1"))
+    assert(pq1.join(brute, "q_id").where($"adc1" > $"exact1" + 0.5).count() == 0)
+  }
+
   test("sim_ivf_nprobe2: per-rank cosines dominate nprobe=1 (recall is monotone)") {
     // probing a second inverted list can only add candidates, so the
     // cosine at every (query, rank) position is >= the nprobe=1 cosine
