@@ -431,6 +431,49 @@ object SimilarityOps extends QueryModule {
        |WHERE ${cos6Sql(dotSql("ea.embedding", "eb.embedding"))} >= $NeardupMinCosine
        |ORDER BY a, b""".stripMargin
 
+  /** One Lloyd refinement iteration over the IVF coarse quantizer: every
+    * vector joins its nearest seed centroid's cell (the same truncated-
+    * dot assignment the IVF queries use), then the refined centroid is
+    * the per-dimension member mean — the step that turns "first 16
+    * vectors" seeding into a real k-means codebook, run once per query
+    * here and in a driver loop at scale.
+    *
+    * Scale shape: assignment is a per-row projection against 16 literal
+    * centroids (no shuffle); the mean is ONE shuffle of (cell, dim)
+    * partial sums — 16·64 = 1024 cells×dims regardless of corpus size,
+    * so the reduce side is constant-width at 100 TB. Means are computed
+    * on floor(x·10⁶) longs (exact integer sums, order-free) and emitted
+    * as micro-unit integers; both engines truncate division toward zero. */
+  private def kmeansRefine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assigned = Tbl.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+              cellCol(constVectors(s, d, NumCentroids)).as("cell"))
+    assigned
+      .select($"cell", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"cell", $"dim")
+      .agg(count(lit(1)).as("n"),
+           expr("sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))" +
+                " div count(*)").as("mean_e6"))
+      .orderBy($"cell", $"dim")
+  }
+
+  private val kmeansRefineSql =
+    s"""WITH assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.vec_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos6Sql(dotSql("e.embedding", "c.embedding"))} DESC,
+       |                 c.vec_id) AS rka
+       |    FROM embeddings e, embeddings c WHERE c.vec_id < $NumCentroids)
+       |  WHERE rka = 1)
+       |SELECT cell, d.dim - 1 AS dim, count(*) AS n,
+       |  CAST(sum(CAST(floor(CAST(embedding[d.dim] AS DOUBLE) * 1000000.0)
+       |                AS BIGINT)) // count(*) AS BIGINT) AS mean_e6
+       |FROM assigned, (SELECT unnest(generate_series(1, 64)) AS dim) d
+       |GROUP BY cell, d.dim
+       |ORDER BY cell, dim""".stripMargin
+
   private val PqM = 8   // subspaces (64 dims / 8 per subspace)
   private val PqK = 16  // codewords per subspace
   private val PqSub = 8 // dims per subspace
@@ -530,6 +573,7 @@ object SimilarityOps extends QueryModule {
     "sim_ivf_nprobe2"  -> (ivfAnnNprobe2 _),
     "sim_sq_ann"       -> (sqAnn _),
     "sim_pq_ann"       -> (pqAnn _),
+    "sim_kmeans_refine" -> (kmeansRefine _),
     "sim_emb_neardup"  -> (embeddingNeardup _))
 
   override val oracles: Map[String, String] = Map(
@@ -539,5 +583,6 @@ object SimilarityOps extends QueryModule {
     "sim_ivf_nprobe2"  -> ivfAnnNprobe2Sql,
     "sim_sq_ann"       -> sqAnnSql,
     "sim_pq_ann"       -> pqAnnSql,
+    "sim_kmeans_refine" -> kmeansRefineSql,
     "sim_emb_neardup"  -> embeddingNeardupSql)
 }

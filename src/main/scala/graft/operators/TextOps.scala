@@ -208,17 +208,81 @@ object TextOps extends QueryModule {
        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
   }
 
+  private val HeavyHittersK = 50
+
+  /** Corpus-wide heavy hitters: the top-K most frequent normalized
+    * tokens with term count and document frequency — the vocabulary /
+    * contamination scan every training-data pipeline runs first.
+    *
+    * Scale shape: explode → two-phase aggregation. The term count is a
+    * map-side partial agg (the shuffle carries one row per distinct
+    * (partition, token), not per token occurrence); document frequency
+    * shuffles (token, doc_id) distinct pairs once. The final top-K is a
+    * single ordered limit over ~vocabulary-size rows — at 100 TB the
+    * vocabulary is millions of rows, trivially driver-safe, while the
+    * corpus itself is never re-shuffled. Ordering (count desc, token)
+    * makes the K-th boundary deterministic on both engines. */
+  private def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.documents(s, d)
+      .select($"doc_id", explode(split(TextNorm.norm($"text"), " ")).as("token"))
+      .where($"token" =!= "")
+      .groupBy($"token")
+      .agg(count(lit(1)).as("cnt"), count_distinct($"doc_id").as("n_docs"))
+      .orderBy($"cnt".desc, $"token")
+      .limit(HeavyHittersK)
+  }
+
+  private val heavyHittersSql =
+    s"""SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+       |FROM (SELECT doc_id,
+       |        unnest(string_split(${TextNorm.normSql}, ' ')) AS token
+       |      FROM documents)
+       |WHERE token <> ''
+       |GROUP BY token
+       |ORDER BY cnt DESC, token LIMIT $HeavyHittersK""".stripMargin
+
+  /** Per-(source, lang) corpus profile: document count, exact byte
+    * budget, integer-exact mean length, and the exact-duplicate count
+    * inside each stratum (count minus distinct md5 of the raw text) —
+    * the partition-level curation dashboard. One scan, one shuffle on
+    * the low-cardinality (source, lang) key; the md5 distinct rides the
+    * same aggregation. */
+  private def sourceStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.documents(s, d)
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_chars").as("total_chars"),
+           (expr("sum(n_chars) * 100 div count(*)") / 100.0).as("avg_chars"),
+           (count(lit(1)) - count_distinct(md5($"text"))).as("n_exact_dups"))
+      .orderBy($"source", $"lang")
+  }
+
+  private val sourceStatsSql =
+    """SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(CAST(sum(n_chars) AS HUGEINT) * 100 // count(*) AS BIGINT)/100.0 AS avg_chars,
+      |  count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+      |FROM documents
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_tfidf"         -> (tfidf _),
     "tx_token_stats"   -> (tokenStats _),
     "tx_quality_score" -> (qualityScore _),
     "tx_lang_id"       -> (langId _),
-    "tx_fingerprint"   -> (fingerprint _))
+    "tx_fingerprint"   -> (fingerprint _),
+    "tx_heavy_hitters" -> (heavyHitters _),
+    "tx_source_stats"  -> (sourceStats _))
 
   override val oracles: Map[String, String] = Map(
     "tx_tfidf"         -> tfidfSql,
     "tx_token_stats"   -> tokenStatsSql,
     "tx_quality_score" -> qualityScoreSql,
     "tx_lang_id"       -> langIdSql,
-    "tx_fingerprint"   -> fingerprintSql)
+    "tx_fingerprint"   -> fingerprintSql,
+    "tx_heavy_hitters" -> heavyHittersSql,
+    "tx_source_stats"  -> sourceStatsSql)
 }

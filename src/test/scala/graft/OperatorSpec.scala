@@ -95,6 +95,16 @@ class OperatorSpec extends SparkSpec {
     assert(pq1.join(brute, "q_id").where($"adc1" > $"exact1" + 0.5).count() == 0)
   }
 
+  test("sim_kmeans_refine: every vector lands in exactly one cell, means bounded") {
+    val df = SparkEntry.queries("sim_kmeans_refine")(spark, d)
+    val corpus = Tbl.embeddings(spark, d).count()
+    // per dim, cell member counts partition the corpus
+    val perDim = df.groupBy($"dim").agg(sum($"n").as("tot"))
+    assert(perDim.where($"tot" =!= corpus).count() == 0)
+    // micro-unit means of unit-norm components stay within [-1e6, 1e6]
+    assert(df.where(abs($"mean_e6") > 1000000L).count() == 0)
+  }
+
   test("sim_ivf_nprobe2: per-rank cosines dominate nprobe=1 (recall is monotone)") {
     // probing a second inverted list can only add candidates, so the
     // cosine at every (query, rank) position is >= the nprobe=1 cosine
