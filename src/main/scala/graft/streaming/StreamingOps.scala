@@ -34,11 +34,38 @@ object StreamingOps extends QueryModule {
   /** events.parquet as a bounded stream with a proper event-time col.
     * The file stream source wants a directory, so the single parquet
     * file is exposed through a temp dir symlink. */
-  private def eventStream(s: SparkSession, d: String): DataFrame = {
+  private def eventStream(s: SparkSession, d: String): DataFrame =
+    eventStream(s, d, Nil)
+
+  /** For each type in `sentinelTypes`, a schema-aligned far-future row
+    * (year ~2191, user_id = −1) is staged beside the data: it advances
+    * the event-time watermark past every real event so the terminal
+    * no-data micro-batch can flush watermark-gated state (outer-join
+    * nulls, final windows). The sentinels carry REAL event types on
+    * purpose: an `event_type` predicate gets pushed below the
+    * EventTimeWatermark node by the optimizer (PushPredicateThroughNonJoin),
+    * so a row with a synthetic type would be filtered out before the
+    * max-event-time bookkeeping ever saw it — measured as exactly the
+    * latest real row of a joined stream stuck in state. Callers exclude
+    * sentinels from results by their negative user_id at the OUTPUT. */
+  private def eventStream(s: SparkSession, d: String,
+                          sentinelTypes: Seq[String]): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Paths.get(Tbl.scratchDir("events_stream"))
     Files.createSymbolicLink(dir.resolve("events.parquet"),
                              java.nio.file.Paths.get(s"$d/events.parquet"))
+    if (sentinelTypes.nonEmpty) {
+      import s.implicits._
+      val tmp = Tbl.scratchDir("sentinel_stage")
+      sentinelTypes.zipWithIndex
+        .map { case (t, i) => (-1L - i, 7000000000000000000L, -1L, t, 0.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("sentinel part file missing"))
+      Files.move(part.toPath, dir.resolve("zz_sentinel.parquet"))
+    }
     // one micro-batch NO MATTER how many files land in the dir: the
     // update-mode memory-sink queries (s2/s3) re-emit refreshed state
     // per batch, so their "output = final state" contract needs a
@@ -428,6 +455,53 @@ object StreamingOps extends QueryModule {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** s14: LEFT OUTER stream-stream join — every click, matched to its
+    * conversion or emitted with nulls. Outer rows are watermark-gated
+    * (Spark can only declare "no match will ever come" once the
+    * watermark passes the click's join window), so the source stages a
+    * far-future sentinel: the terminal no-data micro-batch then flushes
+    * every unmatched click from state. Without it, the final watermark-
+    * delay's worth of clicks would rightly sit in state awaiting more
+    * data — an end-of-stream property this bounded replay must close. */
+  private def streamOuterJoin(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) {
+      import s.implicits._
+      // one sentinel per branch: each side's watermark node must see a
+      // far-future row that SURVIVES its own event_type filter
+      val base = eventStream(s, d, Seq("click", "purchase"))
+        .select($"user_id", $"event_id", $"event_type", $"ts")
+      val clicks = base
+        .withWatermark("ts", "10 minutes")
+        .where($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+                $"ts".as("c_ts"))
+      val purchases = base
+        .withWatermark("ts", "10 minutes")
+        .where($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+                $"ts".as("p_ts"))
+      val joined = clicks.join(purchases,
+        $"c_user" === $"p_user" &&
+        $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      runToTable(s, joined, "s_ss_ljoin", OutputMode.Append())
+        .where($"c_user" >= 0) // drop the watermark sentinels
+        .select($"c_user".as("user_id"), $"click_id", $"purchase_id",
+                (unix_micros($"p_ts") - unix_micros($"c_ts")).as("lag_us"))
+        .orderBy($"user_id", $"click_id", $"purchase_id")
+    }
+
+  // NULLS FIRST: Spark's default asc ordering puts nulls first; DuckDB's
+  // default is nulls last — pin it so unmatched clicks line up.
+  private val streamOuterJoinSql =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+      |ORDER BY c.user_id, click_id, purchase_id NULLS FIRST""".stripMargin
+
   private val sessionSql =
     graft.Oracles.sessionize
 
@@ -518,6 +592,7 @@ object StreamingOps extends QueryModule {
     "s10_stream_session"    -> (streamSession _),
     "s11_stream_tws"        -> (streamRunningTotals _),
     "s12_stream_stream_join" -> (streamStreamJoin _),
+    "s14_stream_outer_join" -> (streamOuterJoin _),
     "s13_stream_curation"   -> (streamCuration _),
     "s14_stream_dedup_wm"   -> (streamDedupWm _))
 
@@ -534,6 +609,7 @@ object StreamingOps extends QueryModule {
     "s10_stream_session"    -> sessionSql,
     "s11_stream_tws"        -> runningTotalsSql,
     "s12_stream_stream_join" -> streamStreamJoinSql,
+    "s14_stream_outer_join" -> streamOuterJoinSql,
     "s13_stream_curation"   -> streamCurationSql,
     "s14_stream_dedup_wm"   -> dedupWmSql)
 }
