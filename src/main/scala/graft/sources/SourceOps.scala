@@ -17,7 +17,24 @@ import org.apache.spark.sql.types._
   */
 object SourceOps extends QueryModule {
 
-  private val FrameLen = 200 // the reference uses 900 for its 17-col rows
+  private[graft] val FrameLen = 200 // the reference uses 900 for its 17-col rows
+
+  private[graft] val frameSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("event_type", StringType), StructField("v_c", LongType)))
+
+  /** Stage the events table as fixed-width pipe frames (the reference's
+    * wire layout) into a scratch dir; input for the pipecsv DSv2 reads. */
+  private[graft] def stageFrames(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val dir = Tbl.scratchDir("pipecsv_stage")
+    Tbl.events(s, d)
+      .select(rpad(concat_ws("|",
+        $"event_id", $"user_id", $"event_type", Tbl.cents($"value")),
+        FrameLen, " ").as("value"))
+      .write.mode("overwrite").text(dir)
+    dir
+  }
 
   /** S3+F8: rows → pipe-CSV line → fixed-width frame → strip → parse
     * back via from_csv against a declared schema. Integer/string fields
@@ -80,16 +97,9 @@ object SourceOps extends QueryModule {
     * 100 TB frame file would take; PlanSpec pins the pushdown/pruning. */
   private def dsv2Pipecsv(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dir = Tbl.scratchDir("pipecsv_stage")
-    Tbl.events(s, d)
-      .select(rpad(concat_ws("|",
-        $"event_id", $"user_id", $"event_type", Tbl.cents($"value")),
-        FrameLen, " ").as("value"))
-      .write.mode("overwrite").text(dir)
+    val dir = stageFrames(s, d)
     s.read.format("pipecsv")
-      .schema(StructType(Seq(
-        StructField("event_id", LongType), StructField("user_id", LongType),
-        StructField("event_type", StringType), StructField("v_c", LongType))))
+      .schema(frameSchema)
       .option("frameLen", FrameLen)
       .option("framesPerSplit", 512) // ~20 splits at sf0.01: exercise planning
       .load(dir)

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -107,7 +108,7 @@ private[pipecsv] final class PipeCsvTable(
   override def name(): String = "pipecsv(" + options.get("path") + ")"
   override def schema(): StructType = userSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     // merge load-time options (path, frameLen) with per-read options
     val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
@@ -178,6 +179,97 @@ private[pipecsv] final class PipeCsvScan(
   override def createReaderFactory(): PartitionReaderFactory =
     PipeCsvReaderFactory(
       PipeCsvDataSource.frameLen(options), fullSchema, required, pushed)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PipeCsvMicroBatchStream(
+      PipeCsvDataSource.frameLen(options), fullSchema, required, pushed, options)
+}
+
+/** Streaming offset = cumulative frame count over the stream's file
+  * snapshot. Because frames are fixed-width, an offset IS a byte
+  * position: restart-exact, no file/line bookkeeping beyond one long. */
+private[pipecsv] final case class PipeCsvOffset(frames: Long) extends Offset {
+  override def json: String = frames.toString
+}
+
+/** Micro-batch replay of a frame directory — the Spark-native rebuild of
+  * the reference's socket replay loop (`server.py:41-57` feeds frames at
+  * a fixed rate; here the rate knob is `maxFramesPerTrigger` admission
+  * control). Offsets are frame counts over a start-time snapshot of the
+  * directory, so every micro-batch is a computed byte range and a
+  * checkpoint restart resumes mid-file to the exact frame. Implements
+  * `SupportsAdmissionControl` (rate limiting) and
+  * `SupportsTriggerAvailableNow` (bounded replay drains the snapshot in
+  * `ceil(total/maxFramesPerTrigger)` batches, then stops). Pruning and
+  * pushdown come for free: the same `PipeCsvReaderFactory` serves batch
+  * and streaming scans. */
+private[pipecsv] final class PipeCsvMicroBatchStream(
+    frameLen: Int, fullSchema: StructType, required: StructType,
+    pushed: Array[Filter], options: CaseInsensitiveStringMap)
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  private val maxPerTrigger: Long = {
+    val n = options.getLong("maxFramesPerTrigger", Long.MaxValue)
+    require(n > 0, "pipecsv: maxFramesPerTrigger must be positive"); n
+  }
+  private val stride = frameLen + 1L
+  // directory snapshot at stream construction: (path, frames)
+  private val files: Seq[(String, Long)] =
+    PipeCsvDataSource.listDataFiles(options).map { case (p, len) =>
+      require(len % stride == 0,
+        s"pipecsv: $p length $len is not a multiple of frame stride $stride")
+      (p.toString, len / stride)
+    }
+  private val totalFrames = files.map(_._2).sum
+  @volatile private var availableNowTarget: Long = Long.MaxValue
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = totalFrames
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxPerTrigger)
+
+  override def initialOffset(): Offset = PipeCsvOffset(0L)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "pipecsv uses admission-control latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[PipeCsvOffset].frames
+    val cap = limit match {
+      case r: ReadMaxRows => from + r.maxRows()
+      case _              => totalFrames
+    }
+    PipeCsvOffset(math.min(math.min(cap, totalFrames), availableNowTarget))
+  }
+
+  override def reportLatestOffset(): Offset = PipeCsvOffset(totalFrames)
+
+  override def deserializeOffset(json: String): Offset =
+    PipeCsvOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PipeCsvOffset].frames
+    val e = end.asInstanceOf[PipeCsvOffset].frames
+    val parts = Array.newBuilder[InputPartition]
+    var fileStart = 0L
+    files.foreach { case (p, n) =>
+      val lo = math.max(s, fileStart)
+      val hi = math.min(e, fileStart + n)
+      if (lo < hi) parts += PipeCsvInputPartition(p, lo - fileStart, hi - lo)
+      fileStart += n
+    }
+    parts.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    PipeCsvReaderFactory(frameLen, fullSchema, required, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** One computed byte range: frames [startFrame, startFrame+numFrames). */

@@ -455,6 +455,34 @@ object StreamingOps extends QueryModule {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** s15: the custom pipecsv DSv2 source as a STREAM — the reference's
+    * socket replay loop (`server.py:41-57`, frames at a fixed rate)
+    * rebuilt as a rate-limited micro-batch source: frame-count offsets,
+    * `maxFramesPerTrigger` admission control, AvailableNow draining the
+    * snapshot in ~10 micro-batches here. Complete-mode aggregation over
+    * a genuinely multi-batch run — the memory sink's final table must
+    * equal the batch aggregate regardless of how the frames were
+    * sliced into batches. */
+  private def streamPipeCsv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.SourceOps
+    val dir = SourceOps.stageFrames(s, d)
+    val stream = s.readStream.format("pipecsv")
+      .schema(SourceOps.frameSchema)
+      .option("frameLen", SourceOps.FrameLen)
+      .option("maxFramesPerTrigger", 1024)
+      .load(dir)
+    val agg = stream.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_v_c"))
+    runToTable(s, agg, "s_pipecsv", OutputMode.Complete())
+      .orderBy($"event_type")
+  }
+
+  private val streamPipeCsvSql =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v_c
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** s14: LEFT OUTER stream-stream join — every click, matched to its
     * conversion or emitted with nulls. Outer rows are watermark-gated
     * (Spark can only declare "no match will ever come" once the
@@ -593,6 +621,7 @@ object StreamingOps extends QueryModule {
     "s11_stream_tws"        -> (streamRunningTotals _),
     "s12_stream_stream_join" -> (streamStreamJoin _),
     "s14_stream_outer_join" -> (streamOuterJoin _),
+    "s15_stream_pipecsv" -> (streamPipeCsv _),
     "s13_stream_curation"   -> (streamCuration _),
     "s14_stream_dedup_wm"   -> (streamDedupWm _))
 
@@ -610,6 +639,7 @@ object StreamingOps extends QueryModule {
     "s11_stream_tws"        -> runningTotalsSql,
     "s12_stream_stream_join" -> streamStreamJoinSql,
     "s14_stream_outer_join" -> streamOuterJoinSql,
+    "s15_stream_pipecsv" -> streamPipeCsvSql,
     "s13_stream_curation"   -> streamCurationSql,
     "s14_stream_dedup_wm"   -> dedupWmSql)
 }

@@ -81,6 +81,29 @@ class PipeCsvSourceSpec extends SparkSpec {
     assert(inferred.count() === 7)
   }
 
+  test("micro-batch stream: admission control slices the replay into batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val q = spark.readStream.format("pipecsv").schema(schema)
+      .option("frameLen", frameLen).option("maxFramesPerTrigger", 3)
+      .load(dir)
+      .groupBy($"kind").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.format("memory").queryName("pipecsv_stream_test")
+      .outputMode("complete")
+      .option("checkpointLocation",
+              Files.createTempDirectory("pipecsv_ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.stop()
+    // 7 frames at 3 per trigger → 3 data batches
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches === 3, s"expected 3 micro-batches, got $dataBatches")
+    val res = spark.table("pipecsv_stream_test")
+      .as[(String, Long)].collect().toMap
+    assert(res === Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L, "delta" -> 1L))
+  }
+
   test("registry query src_dsv2_pipecsv matches the direct-parquet result") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
