@@ -83,6 +83,39 @@ object AnalyticsOps extends QueryModule {
       |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.95) / 100.0, 4) AS p95
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Approximate quantiles (Greenwald-Khanna sketch via
+    * `percentile_approx`) — the single-pass mergeable-sketch path for
+    * 100 TB where exact `percentile` would buffer per-group values.
+    * Sketch internals are engine- and merge-order-specific, so the
+    * oracled output is the GK rank GUARANTEE itself, not the sketch
+    * value: for accuracy N the returned q-quantile's true rank must lie
+    * in [q−1/N, q+1/N]; we assert a generous ±0.05 band (N=10000). The
+    * rank check is computed distributed — the sketch result broadcasts
+    * back onto one corpus scan, no per-group value buffering anywhere. */
+  private def approxQuantile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tbl.events(s, d).select($"event_type", Tbl.cents($"value").as("v_c"))
+    val ap = ev.groupBy($"event_type")
+      .agg(percentile_approx($"v_c", array(lit(0.5), lit(0.9)), lit(10000)).as("ap"))
+      .select($"event_type", element_at($"ap", 1).as("a50"),
+              element_at($"ap", 2).as("a90"))
+    ev.join(broadcast(ap), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           (sum(when($"v_c" <= $"a50", 1L).otherwise(0L)) / count(lit(1)))
+             .as("frac50"),
+           (sum(when($"v_c" <= $"a90", 1L).otherwise(0L)) / count(lit(1)))
+             .as("frac90"))
+      .select($"event_type", $"n",
+              ($"frac50" >= 0.45 && $"frac50" <= 0.55).as("q50_ok"),
+              ($"frac90" >= 0.85 && $"frac90" <= 0.95).as("q90_ok"))
+      .orderBy($"event_type")
+  }
+
+  private val approxQuantileSql =
+    """SELECT event_type, count(*) AS n, TRUE AS q50_ok, TRUE AS q90_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Batch sessionization: 1-hour-gap sessions per user via the
     * lag→flag→cumsum pattern; start/end/µs arithmetic matches the
     * streaming `session_window` convention (end = last event + gap). */
@@ -112,14 +145,16 @@ object AnalyticsOps extends QueryModule {
     graft.Oracles.sessionize
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_pivot"         -> (pivotCounts _),
-    "x_grouping_sets" -> (groupingSets _),
-    "x_percentiles"   -> (percentiles _),
-    "x_sessionize"    -> (sessionize _))
+    "x_pivot"           -> (pivotCounts _),
+    "x_grouping_sets"   -> (groupingSets _),
+    "x_percentiles"     -> (percentiles _),
+    "x_approx_quantile" -> (approxQuantile _),
+    "x_sessionize"      -> (sessionize _))
 
   override val oracles: Map[String, String] = Map(
-    "x_pivot"         -> pivotCountsSql,
-    "x_grouping_sets" -> groupingSetsSql,
-    "x_percentiles"   -> percentilesSql,
-    "x_sessionize"    -> sessionizeSql)
+    "x_pivot"           -> pivotCountsSql,
+    "x_grouping_sets"   -> groupingSetsSql,
+    "x_percentiles"     -> percentilesSql,
+    "x_approx_quantile" -> approxQuantileSql,
+    "x_sessionize"      -> sessionizeSql)
 }

@@ -293,8 +293,13 @@ object WindowOps extends QueryModule {
       .select(unix_micros($"window.start").as("ws_us"),
               unix_micros($"window.end").as("we_us"),
               $"users", $"n",
+              // relative band + absolute floor: Spark's HLL++ keeps no
+              // sparse (exact) mode for tiny cardinalities, so a window
+              // with 3 users can legitimately estimate 2 or 4 — a purely
+              // relative 5% band fails there (19 of 42k windows, sf0.1)
               (abs($"approx" - $"users") <=
-                 $"users".cast("double") * 0.05).as("approx_ok"))
+                 greatest($"users".cast("double") * 0.05, lit(4.0)))
+                .as("approx_ok"))
       .orderBy($"ws_us")
   }
 
@@ -323,7 +328,8 @@ object WindowOps extends QueryModule {
            approx_count_distinct($"user_id", 0.01).as("approx"))
       .select($"event_type", $"exact_users", $"n",
               (abs($"approx" - $"exact_users") <=
-                 $"exact_users".cast("double") * 0.05).as("approx_ok"))
+                 greatest($"exact_users".cast("double") * 0.05, lit(4.0)))
+                .as("approx_ok"))
       .orderBy($"event_type")
   }
 
