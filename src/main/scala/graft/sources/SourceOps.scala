@@ -114,13 +114,41 @@ object SourceOps extends QueryModule {
       |WHERE user_id < 60 AND event_type IN ('click', 'purchase')
       |ORDER BY event_id""".stripMargin
 
+  /** K-class sink via the same connector: events written through the
+    * DSv2 BATCH_WRITE path (per-task temp-file + atomic rename, frames
+    * preserved offset-splittable) and read back through the DSv2 scan —
+    * the full producer→consumer loop of the reference
+    * (`client.py:24-33` → `server.py:47-55`) inside one engine. */
+  private def dsv2WriteRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = Tbl.scratchDir("pipecsv_write")
+    Tbl.events(s, d)
+      .select($"event_id", $"user_id", $"event_type", Tbl.cents($"value").as("v_c"))
+      .write.format("pipecsv").option("frameLen", FrameLen)
+      .mode("append").save(dir)
+    s.read.format("pipecsv").schema(frameSchema).option("frameLen", FrameLen)
+      .load(dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_v_c"),
+           min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+
+  private val dsv2WriteRoundtripSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> (csvRoundtrip _),
     "src_seed_union"    -> (seedUnion _),
-    "src_dsv2_pipecsv"  -> (dsv2Pipecsv _))
+    "src_dsv2_pipecsv"  -> (dsv2Pipecsv _),
+    "src_dsv2_write"    -> (dsv2WriteRoundtrip _))
 
   override val oracles: Map[String, String] = Map(
     "src_csv_roundtrip" -> csvRoundtripSql,
     "src_seed_union"    -> seedUnionSql,
-    "src_dsv2_pipecsv"  -> dsv2PipecsvSql)
+    "src_dsv2_pipecsv"  -> dsv2PipecsvSql,
+    "src_dsv2_write"    -> dsv2WriteRoundtripSql)
 }

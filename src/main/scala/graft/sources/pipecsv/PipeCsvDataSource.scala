@@ -7,10 +7,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -104,17 +105,24 @@ private[pipecsv] object PipeCsvDataSource {
 
 private[pipecsv] final class PipeCsvTable(
     userSchema: StructType, options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
   override def name(): String = "pipecsv(" + options.get("path") + ")"
   override def schema(): StructType = userSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+                    TableCapability.BATCH_WRITE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     // merge load-time options (path, frameLen) with per-read options
     val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
     merged.putAll(o.asCaseSensitiveMap())
     new PipeCsvScanBuilder(userSchema, new CaseInsensitiveStringMap(merged))
   }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new PipeCsvWriteBuilder(info.schema(),
+      PipeCsvDataSource.frameLen(info.options()),
+      Option(info.options().get("path")).getOrElse(
+        Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+          "pipecsv: path option is required for write"))))
 }
 
 private[pipecsv] final class PipeCsvScanBuilder(
@@ -362,4 +370,92 @@ private[pipecsv] final class PipeCsvPartitionReader(
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** Batch write side: each task streams its partition into one frame
+  * file under a temp name and RENAMES it on task commit — rename is the
+  * atomic unit, so a failed/speculative task leaves only a `.tmp` that
+  * abort deletes, and readers never see half-written frames. Because
+  * every record is exactly frameLen+1 bytes, the committed files
+  * compose into the same offset-splittable layout the scan side plans
+  * over — the write path preserves the property that makes the format
+  * scale. Append-mode only (a scratch/feed sink, like the reference's
+  * producer `client.py:24-33`); no global commit coordination is needed
+  * beyond per-file rename. */
+private[pipecsv] final class PipeCsvWriteBuilder(
+    schema: StructType, frameLen: Int, path: String) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new PipeCsvBatchWrite(schema, frameLen, path)
+  }
+}
+
+private[pipecsv] final class PipeCsvBatchWrite(
+    schema: StructType, frameLen: Int, path: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    PipeCsvWriterFactory(schema, frameLen, path)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[pipecsv] final case class PipeCsvWriterFactory(
+    schema: StructType, frameLen: Int, path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PipeCsvDataWriter(schema, frameLen, path, partitionId, taskId)
+}
+
+private[pipecsv] final case class PipeCsvCommit(file: String)
+  extends WriterCommitMessage
+
+private[pipecsv] final class PipeCsvDataWriter(
+    schema: StructType, frameLen: Int, path: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val fs = new Path(path).getFileSystem(new Configuration())
+  private val tmp = new Path(path, f".part-$partitionId%05d-$taskId.pcsv.tmp")
+  private val dst = new Path(path, f"part-$partitionId%05d-$taskId.pcsv")
+  private val out = fs.create(tmp, true)
+  private val pad = Array.fill[Byte](frameLen)(' ')
+
+  override def write(row: InternalRow): Unit = {
+    val fields = new Array[String](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      fields(i) = schema.fields(i).dataType match {
+        case LongType    => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case DoubleType  => row.getDouble(i).toString
+        case StringType  =>
+          val v = row.getUTF8String(i).toString
+          // unescaped wire format (like the reference's): delimiters
+          // inside a value would silently shift every later column
+          require(!v.contains('|') && !v.contains('\n'),
+            s"pipecsv: string value for ${schema.fields(i).name} contains" +
+              " a delimiter ('|' or newline)")
+          v
+        case dt => throw new IllegalArgumentException(
+          s"pipecsv: unsupported write type $dt for ${schema.fields(i).name}")
+      }
+      i += 1
+    }
+    val line = fields.mkString("|")
+    val bytes = line.getBytes("UTF-8")
+    require(bytes.length <= frameLen,
+      s"pipecsv: record of ${bytes.length} bytes exceeds frameLen $frameLen")
+    out.write(bytes)
+    out.write(pad, 0, frameLen - bytes.length)
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    require(fs.rename(tmp, dst), s"pipecsv: rename $tmp -> $dst failed")
+    PipeCsvCommit(dst.toString)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => }
+    fs.delete(tmp, false); ()
+  }
+
+  override def close(): Unit = ()
 }

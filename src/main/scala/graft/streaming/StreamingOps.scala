@@ -463,20 +463,33 @@ object StreamingOps extends QueryModule {
     * a genuinely multi-batch run — the memory sink's final table must
     * equal the batch aggregate regardless of how the frames were
     * sliced into batches. */
-  private def streamPipeCsv(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import graft.sources.SourceOps
-    val dir = SourceOps.stageFrames(s, d)
-    val stream = s.readStream.format("pipecsv")
-      .schema(SourceOps.frameSchema)
-      .option("frameLen", SourceOps.FrameLen)
-      .option("maxFramesPerTrigger", 1024)
-      .load(dir)
-    val agg = stream.groupBy($"event_type")
-      .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_v_c"))
-    runToTable(s, agg, "s_pipecsv", OutputMode.Complete())
-      .orderBy($"event_type")
-  }
+  private def streamPipeCsv(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) {
+      import s.implicits._
+      import graft.sources.SourceOps
+      val dir = SourceOps.stageFrames(s, d)
+      // size the rate knob to the snapshot: ~8 micro-batches at ANY SF.
+      // The multi-batch admission-control path is what this query tests;
+      // a FIXED frame rate meant 98 batches at sf0.1 — 67 s of per-batch
+      // state/checkpoint machinery for a 0.3 s aggregation. Frame count
+      // is file-length arithmetic, the same property the source's split
+      // planning uses.
+      val stride = SourceOps.FrameLen + 1L
+      val totalFrames = new java.io.File(dir).listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+                     !f.getName.startsWith("."))
+        .map(_.length / stride).sum
+      val perTrigger = math.max(1L, (totalFrames + 7) / 8)
+      val stream = s.readStream.format("pipecsv")
+        .schema(SourceOps.frameSchema)
+        .option("frameLen", SourceOps.FrameLen)
+        .option("maxFramesPerTrigger", perTrigger)
+        .load(dir)
+      val agg = stream.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_v_c"))
+      runToTable(s, agg, "s_pipecsv", OutputMode.Complete())
+        .orderBy($"event_type")
+    }
 
   private val streamPipeCsvSql =
     """SELECT event_type, count(*) AS n,

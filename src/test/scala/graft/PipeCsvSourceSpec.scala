@@ -104,6 +104,43 @@ class PipeCsvSourceSpec extends SparkSpec {
     assert(res === Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L, "delta" -> 1L))
   }
 
+  test("DSv2 write: per-task rename leaves only committed frame files") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("pipecsv_write_spec").toString
+    val in = Seq((1L, "a", 1.5, 10), (2L, "b", 2.5, 20), (3L, "c", 3.5, 30))
+      .toDF("id", "kind", "score", "n")
+    in.repartition(3)
+      .write.format("pipecsv").option("frameLen", frameLen)
+      .mode("append").save(outDir)
+    // ignore dot-hidden files (Hadoop local-FS checksum sidecars); the
+    // reader skips them too
+    val visible = new java.io.File(outDir).listFiles()
+      .filterNot(_.getName.startsWith(".")).sortBy(_.getName)
+    val names = visible.map(_.getName)
+    assert(names.forall(n => n.startsWith("part-") && n.endsWith(".pcsv")),
+           s"unexpected files: ${names.mkString(",")}")
+    assert(!names.exists(_.endsWith(".tmp")))
+    // every committed file is whole frames
+    assert(visible.forall(_.length % (frameLen + 1) == 0))
+    val back = spark.read.format("pipecsv").schema(schema)
+      .option("frameLen", frameLen).load(outDir)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(back === in.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("DSv2 write rejects delimiter bytes inside string values") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("pipecsv_bad_spec").toString
+    val e = intercept[Exception] {
+      Seq((1L, "has|pipe", 1.0, 1)).toDF("id", "kind", "score", "n")
+        .write.format("pipecsv").option("frameLen", frameLen)
+        .mode("append").save(outDir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("delimiter")), s"wrong error: $e")
+  }
+
   test("registry query src_dsv2_pipecsv matches the direct-parquet result") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"

@@ -149,6 +149,27 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!filterAboveShuffle, s"sampling filter runs after a shuffle:\n$p")
   }
 
+  test("k-means refine: literal-centroid assignment adds no shuffle before the agg") {
+    // assignment must be a per-row projection; the only exchanges are the
+    // constant-width (cell, dim) aggregate and the output sort
+    val p = executed(SparkEntry.queries("sim_kmeans_refine")(spark, d))
+    val shuffles = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2, s"kmeans assignment shuffles the corpus:\n$p")
+  }
+
+  test("PQ encode is map-only: codes and reconstruction never shuffle the corpus") {
+    // the 128 subvector scores + code lookup are literal-vector math; the
+    // corpus must reach the broadcast query join unshuffled
+    val p = executed(SparkEntry.queries("sim_pq_ann")(spark, d))
+    val nlj = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nlj.nonEmpty, s"expected broadcast query crossJoin in:\n$p")
+    val shufflesBelow = nlj.flatMap(j =>
+      collect(j) { case e: ShuffleExchangeLike => e })
+    assert(shufflesBelow.isEmpty, s"PQ encode shuffles before scoring:\n$p")
+  }
+
   test("runtime bloom filter: selective dim filter prunes the fact scan at runtime") {
     // Catalyst's InjectRuntimeFilter builds a bloom filter from the
     // filtered (small) join side and pushes might_contain onto the fact
