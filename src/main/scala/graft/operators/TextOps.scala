@@ -242,6 +242,39 @@ object TextOps extends QueryModule {
        |GROUP BY token
        |ORDER BY cnt DESC, token LIMIT $HeavyHittersK""".stripMargin
 
+  private val BpeTopPairs = 20
+
+  /** BPE tokenizer-training seed step: corpus-wide frequency of adjacent
+    * character pairs inside normalized words — the statistic the first
+    * byte-pair-encoding merge maximizes. Same two-phase shape as
+    * `tx_heavy_hitters` (map-side partial counts, alphabet²-sized
+    * shuffle); the words attribute is materialized BEFORE the pair
+    * lambda so the split/normalize work isn't re-evaluated per pair
+    * (TextNorm's interpreted-HOF rule). A full BPE trainer is this scan
+    * in a driver loop: count → merge top pair → re-scan. */
+  private def bpePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.documents(s, d)
+      .select(explode(split(TextNorm.norm($"text"), " ")).as("w"))
+      .where(length($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"pair")
+      .limit(BpeTopPairs)
+  }
+
+  private val bpePairsSql =
+    s"""SELECT pair, count(*) AS cnt FROM (
+       |  SELECT unnest([substr(w, i, 2)
+       |                 for i in generate_series(1, len(w) - 1)]) AS pair
+       |  FROM (SELECT unnest(string_split(${TextNorm.normSql}, ' ')) AS w
+       |        FROM documents)
+       |  WHERE len(w) >= 2)
+       |GROUP BY pair ORDER BY cnt DESC, pair LIMIT $BpeTopPairs""".stripMargin
+
   /** Per-(source, lang) corpus profile: document count, exact byte
     * budget, integer-exact mean length, and the exact-duplicate count
     * inside each stratum (count minus distinct md5 of the raw text) —
@@ -275,6 +308,7 @@ object TextOps extends QueryModule {
     "tx_lang_id"       -> (langId _),
     "tx_fingerprint"   -> (fingerprint _),
     "tx_heavy_hitters" -> (heavyHitters _),
+    "tx_bpe_pairs"     -> (bpePairs _),
     "tx_source_stats"  -> (sourceStats _))
 
   override val oracles: Map[String, String] = Map(
@@ -284,5 +318,6 @@ object TextOps extends QueryModule {
     "tx_lang_id"       -> langIdSql,
     "tx_fingerprint"   -> fingerprintSql,
     "tx_heavy_hitters" -> heavyHittersSql,
+    "tx_bpe_pairs"     -> bpePairsSql,
     "tx_source_stats"  -> sourceStatsSql)
 }

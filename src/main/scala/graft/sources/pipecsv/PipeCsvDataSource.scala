@@ -210,7 +210,14 @@ private[pipecsv] final case class PipeCsvOffset(frames: Long) extends Offset {
   * `SupportsTriggerAvailableNow` (bounded replay drains the snapshot in
   * `ceil(total/maxFramesPerTrigger)` batches, then stops). Pruning and
   * pushdown come for free: the same `PipeCsvReaderFactory` serves batch
-  * and streaming scans. */
+  * and streaming scans.
+  *
+  * Restart contract: offsets address the name-sorted file list, so a
+  * checkpointed stream stays exact across restarts iff the directory is
+  * append-only with names sorting after existing ones (the write side's
+  * zero-padded part files satisfy this; so do date/sequence-named feed
+  * drops). Files inserted mid-order would remap frame offsets — the
+  * same contract file-based offsets have in any log-replay source. */
 private[pipecsv] final class PipeCsvMicroBatchStream(
     frameLen: Int, fullSchema: StructType, required: StructType,
     pushed: Array[Filter], options: CaseInsensitiveStringMap)
@@ -411,8 +418,12 @@ private[pipecsv] final class PipeCsvDataWriter(
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(new Configuration())
-  private val tmp = new Path(path, f".part-$partitionId%05d-$taskId.pcsv.tmp")
-  private val dst = new Path(path, f"part-$partitionId%05d-$taskId.pcsv")
+  // taskId zero-padded: the streaming snapshot orders files by NAME, so
+  // names must sort the same lexicographically and numerically — an
+  // unpadded task 12 would list before task 3 and shift frame offsets
+  // across a checkpoint restart
+  private val tmp = new Path(path, f".part-$partitionId%05d-$taskId%010d.pcsv.tmp")
+  private val dst = new Path(path, f"part-$partitionId%05d-$taskId%010d.pcsv")
   private val out = fs.create(tmp, true)
   private val pad = Array.fill[Byte](frameLen)(' ')
 
