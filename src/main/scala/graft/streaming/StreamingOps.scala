@@ -532,6 +532,49 @@ object StreamingOps extends QueryModule {
         .orderBy($"user_id", $"click_id", $"purchase_id")
     }
 
+  /** s16: FULL OUTER stream-stream join — clicks that never converted
+    * AND purchases with no preceding click, in one append stream. Both
+    * sides' unmatched rows are watermark-gated, flushed by the same
+    * per-branch sentinels as s14. The composite (user, click, purchase)
+    * ordering stays total: unmatched-purchase rows carry null click_id
+    * and sort among themselves by purchase_id. */
+  private def streamFullOuterJoin(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) {
+      import s.implicits._
+      val base = eventStream(s, d, Seq("click", "purchase"))
+        .select($"user_id", $"event_id", $"event_type", $"ts")
+      val clicks = base
+        .withWatermark("ts", "10 minutes")
+        .where($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+                $"ts".as("c_ts"))
+      val purchases = base
+        .withWatermark("ts", "10 minutes")
+        .where($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+                $"ts".as("p_ts"))
+      val joined = clicks.join(purchases,
+        $"c_user" === $"p_user" &&
+        $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 10 MINUTES"),
+        "full_outer")
+      runToTable(s, joined, "s_ss_fjoin", OutputMode.Append())
+        .where(coalesce($"c_user", $"p_user") >= 0) // drop both sentinels
+        .select(coalesce($"c_user", $"p_user").as("user_id"),
+                $"click_id", $"purchase_id",
+                (unix_micros($"p_ts") - unix_micros($"c_ts")).as("lag_us"))
+        .orderBy($"user_id", $"click_id", $"purchase_id")
+    }
+
+  private val streamFullOuterJoinSql =
+    """SELECT coalesce(c.user_id, p.user_id) AS user_id,
+      |       c.event_id AS click_id, p.event_id AS purchase_id,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+      |ORDER BY user_id, click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
+
   // NULLS FIRST: Spark's default asc ordering puts nulls first; DuckDB's
   // default is nulls last — pin it so unmatched clicks line up.
   private val streamOuterJoinSql =
@@ -635,6 +678,7 @@ object StreamingOps extends QueryModule {
     "s12_stream_stream_join" -> (streamStreamJoin _),
     "s14_stream_outer_join" -> (streamOuterJoin _),
     "s15_stream_pipecsv" -> (streamPipeCsv _),
+    "s16_stream_full_outer" -> (streamFullOuterJoin _),
     "s13_stream_curation"   -> (streamCuration _),
     "s14_stream_dedup_wm"   -> (streamDedupWm _))
 
@@ -653,6 +697,7 @@ object StreamingOps extends QueryModule {
     "s12_stream_stream_join" -> streamStreamJoinSql,
     "s14_stream_outer_join" -> streamOuterJoinSql,
     "s15_stream_pipecsv" -> streamPipeCsvSql,
+    "s16_stream_full_outer" -> streamFullOuterJoinSql,
     "s13_stream_curation"   -> streamCurationSql,
     "s14_stream_dedup_wm"   -> dedupWmSql)
 }
