@@ -88,6 +88,16 @@ object SourceOps extends QueryModule {
       |  FROM events GROUP BY user_id)
       |WHERE user_id > -4 ORDER BY user_id""".stripMargin
 
+  /** Frames in a staged directory — file-length arithmetic, the same
+    * property the source's split planning uses. */
+  private[graft] def frameCount(dir: String): Long = {
+    val stride = FrameLen + 1L
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+                   !f.getName.startsWith("."))
+      .map(_.length / stride).sum
+  }
+
   /** S3+F8 as a first-class DataSource V2 (`format("pipecsv")`,
     * `PipeCsvDataSource.scala`): events staged to fixed-width frame files
     * (the reference's 900-byte-ljust wire, `server.py:47-55`), then read

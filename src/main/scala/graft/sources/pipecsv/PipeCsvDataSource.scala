@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -110,7 +111,7 @@ private[pipecsv] final class PipeCsvTable(
   override def schema(): StructType = userSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-                    TableCapability.BATCH_WRITE)
+                    TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     // merge load-time options (path, frameLen) with per-read options
     val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
@@ -393,6 +394,8 @@ private[pipecsv] final class PipeCsvWriteBuilder(
     schema: StructType, frameLen: Int, path: String) extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new PipeCsvBatchWrite(schema, frameLen, path)
+    override def toStreaming: StreamingWrite =
+      new PipeCsvStreamingWrite(schema, frameLen, path)
   }
 }
 
@@ -404,10 +407,43 @@ private[pipecsv] final class PipeCsvBatchWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
+/** Streaming sink: one frame file per (epoch, partition), DETERMINISTIC
+  * name — a micro-batch replayed after a failure rewrites the same file
+  * (delete-then-rename, last writer wins), so the sink is idempotent
+  * per epoch: the reference's producer loop (`client.py:24-33`) with
+  * exactly-once file semantics instead of socket fire-and-forget. Epoch
+  * precedes partition in the name so the name-sorted file list is also
+  * arrival order — the batch/streaming READ side of this same connector
+  * can replay the sink's output with stable frame offsets. */
+private[pipecsv] final class PipeCsvStreamingWrite(
+    schema: StructType, frameLen: Int, path: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    PipeCsvStreamingWriterFactory(schema, frameLen, path)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[pipecsv] final case class PipeCsvStreamingWriterFactory(
+    schema: StructType, frameLen: Int, path: String)
+  extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new PipeCsvDataWriter(schema, frameLen, path,
+      dstName = f"part-e$epochId%010d-p$partitionId%05d.pcsv",
+      tmpName = f".part-e$epochId%010d-p$partitionId%05d-$taskId%010d.pcsv.tmp")
+}
+
 private[pipecsv] final case class PipeCsvWriterFactory(
     schema: StructType, frameLen: Int, path: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new PipeCsvDataWriter(schema, frameLen, path, partitionId, taskId)
+    // taskId zero-padded: the streaming snapshot orders files by NAME, so
+    // names must sort the same lexicographically and numerically — an
+    // unpadded task 12 would list before task 3 and shift frame offsets
+    // across a checkpoint restart
+    new PipeCsvDataWriter(schema, frameLen, path,
+      dstName = f"part-$partitionId%05d-$taskId%010d.pcsv",
+      tmpName = f".part-$partitionId%05d-$taskId%010d.pcsv.tmp")
 }
 
 private[pipecsv] final case class PipeCsvCommit(file: String)
@@ -415,15 +451,11 @@ private[pipecsv] final case class PipeCsvCommit(file: String)
 
 private[pipecsv] final class PipeCsvDataWriter(
     schema: StructType, frameLen: Int, path: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    dstName: String, tmpName: String) extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(new Configuration())
-  // taskId zero-padded: the streaming snapshot orders files by NAME, so
-  // names must sort the same lexicographically and numerically — an
-  // unpadded task 12 would list before task 3 and shift frame offsets
-  // across a checkpoint restart
-  private val tmp = new Path(path, f".part-$partitionId%05d-$taskId%010d.pcsv.tmp")
-  private val dst = new Path(path, f"part-$partitionId%05d-$taskId%010d.pcsv")
+  private val tmp = new Path(path, tmpName)
+  private val dst = new Path(path, dstName)
   private val out = fs.create(tmp, true)
   private val pad = Array.fill[Byte](frameLen)(' ')
 
@@ -459,6 +491,9 @@ private[pipecsv] final class PipeCsvDataWriter(
 
   override def commit(): WriterCommitMessage = {
     out.close()
+    // delete-then-rename: a replayed epoch (streaming) or speculative
+    // attempt overwrites its own deterministic target — idempotent
+    if (fs.exists(dst)) fs.delete(dst, false)
     require(fs.rename(tmp, dst), s"pipecsv: rename $tmp -> $dst failed")
     PipeCsvCommit(dst.toString)
   }

@@ -471,15 +471,8 @@ object StreamingOps extends QueryModule {
       // size the rate knob to the snapshot: ~8 micro-batches at ANY SF.
       // The multi-batch admission-control path is what this query tests;
       // a FIXED frame rate meant 98 batches at sf0.1 — 67 s of per-batch
-      // state/checkpoint machinery for a 0.3 s aggregation. Frame count
-      // is file-length arithmetic, the same property the source's split
-      // planning uses.
-      val stride = SourceOps.FrameLen + 1L
-      val totalFrames = new java.io.File(dir).listFiles()
-        .filter(f => f.isFile && !f.getName.startsWith("_") &&
-                     !f.getName.startsWith("."))
-        .map(_.length / stride).sum
-      val perTrigger = math.max(1L, (totalFrames + 7) / 8)
+      // state/checkpoint machinery for a 0.3 s aggregation.
+      val perTrigger = math.max(1L, (SourceOps.frameCount(dir) + 7) / 8)
       val stream = s.readStream.format("pipecsv")
         .schema(SourceOps.frameSchema)
         .option("frameLen", SourceOps.FrameLen)
@@ -531,6 +524,48 @@ object StreamingOps extends QueryModule {
                 (unix_micros($"p_ts") - unix_micros($"c_ts")).as("lag_us"))
         .orderBy($"user_id", $"click_id", $"purchase_id")
     }
+
+  /** s17: frames in, frames out — the custom connector at BOTH ends of
+    * a stream (the reference's full topology, `server.py` producer →
+    * `client.py`/Kafka → consumer, minus the waived broker): pipecsv
+    * micro-batch source (~8 rate-limited epochs) through a stateless
+    * pass into the pipecsv streaming SINK, whose deterministic
+    * (epoch, partition) file names make replayed epochs idempotent.
+    * The sink's output is then read back through the connector's batch
+    * scan and aggregated against the events oracle — any frame lost,
+    * duplicated, or torn between the two custom halves breaks the hash. */
+  private def streamPipeCsvSink(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.SourceOps
+    val inDir = SourceOps.stageFrames(s, d)
+    val outDir = Tbl.scratchDir("pipecsv_sink")
+    val perTrigger = math.max(1L, (SourceOps.frameCount(inDir) + 7) / 8)
+    val q = s.readStream.format("pipecsv")
+      .schema(SourceOps.frameSchema)
+      .option("frameLen", SourceOps.FrameLen)
+      .option("maxFramesPerTrigger", perTrigger)
+      .load(inDir)
+      .writeStream.format("pipecsv")
+      .option("path", outDir)
+      .option("frameLen", SourceOps.FrameLen)
+      .option("checkpointLocation", Tbl.scratchDir("ckpt_pipecsv_sink"))
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.stop()
+    s.read.format("pipecsv").schema(SourceOps.frameSchema)
+      .option("frameLen", SourceOps.FrameLen).load(outDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_v_c"),
+           min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+
+  private val streamPipeCsvSinkSql =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+      |       min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** s16: FULL OUTER stream-stream join — clicks that never converted
     * AND purchases with no preceding click, in one append stream. Both
@@ -679,6 +714,7 @@ object StreamingOps extends QueryModule {
     "s14_stream_outer_join" -> (streamOuterJoin _),
     "s15_stream_pipecsv" -> (streamPipeCsv _),
     "s16_stream_full_outer" -> (streamFullOuterJoin _),
+    "s17_stream_pipecsv_sink" -> (streamPipeCsvSink _),
     "s13_stream_curation"   -> (streamCuration _),
     "s14_stream_dedup_wm"   -> (streamDedupWm _))
 
@@ -698,6 +734,7 @@ object StreamingOps extends QueryModule {
     "s14_stream_outer_join" -> streamOuterJoinSql,
     "s15_stream_pipecsv" -> streamPipeCsvSql,
     "s16_stream_full_outer" -> streamFullOuterJoinSql,
+    "s17_stream_pipecsv_sink" -> streamPipeCsvSinkSql,
     "s13_stream_curation"   -> streamCurationSql,
     "s14_stream_dedup_wm"   -> dedupWmSql)
 }

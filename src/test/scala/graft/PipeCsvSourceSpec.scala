@@ -128,6 +128,30 @@ class PipeCsvSourceSpec extends SparkSpec {
     assert(back === in.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("streaming sink: one deterministically-named file per (epoch, partition)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val outDir = Files.createTempDirectory("pipecsv_sink_spec").toString
+    val q = spark.readStream.format("pipecsv").schema(schema)
+      .option("frameLen", frameLen).option("maxFramesPerTrigger", 2)
+      .load(dir)
+      .writeStream.format("pipecsv")
+      .option("path", outDir).option("frameLen", frameLen)
+      .option("checkpointLocation",
+              Files.createTempDirectory("pipecsv_sink_ck").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q.stop()
+    val names = new java.io.File(outDir).listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(names.forall(_.matches("part-e\\d{10}-p\\d{5}\\.pcsv")),
+           s"unexpected names: ${names.mkString(",")}")
+    assert(names.length >= 4, s"expected >=4 epoch files, got: ${names.mkString(",")}")
+    val back = spark.read.format("pipecsv").schema(schema)
+      .option("frameLen", frameLen).load(outDir)
+    assert(back.count() === 7)
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq === (1L to 7L))
+  }
+
   test("DSv2 write rejects delimiter bytes inside string values") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("pipecsv_bad_spec").toString
