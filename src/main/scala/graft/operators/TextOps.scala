@@ -242,6 +242,51 @@ object TextOps extends QueryModule {
        |GROUP BY token
        |ORDER BY cnt DESC, token LIMIT $HeavyHittersK""".stripMargin
 
+  /** Eval decontamination: for every TEST document (doc_id odd), how
+    * many of its distinct word-3-shingles appear anywhere in the TRAIN
+    * split (doc_id even) — the pre-training scan that keeps benchmark
+    * text out of the training corpus. Shares the canonical shingle
+    * definition with the dedup family (TextNorm).
+    *
+    * Scale shape: the train side collapses to a DISTINCT gram set, so
+    * the contamination join has multiplicity 1 per (test doc, gram) —
+    * a ubiquitous gram costs one row, never a train-df × test-df
+    * blow-up. One equi-join on the gram string + one constant-width
+    * per-doc count. */
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = TextNorm.withShingles(Tbl.documents(s, d))
+      .select($"doc_id", explode($"sh").as("g"))
+      .where($"g" =!= "")
+    val trainGrams = sh.where($"doc_id" % 2 === 0).select($"g").distinct()
+    val test = sh.where($"doc_id" % 2 === 1).persist()
+    val tot = test.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val hit = test.join(trainGrams, "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    tot.join(hit, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_grams",
+              coalesce($"n_shared", lit(0L)).as("n_shared"))
+      .withColumn("shared_ppm", expr("n_shared * 1000000 div n_grams"))
+      .withColumn("contaminated", $"n_shared" > 0)
+      .orderBy($"doc_id")
+  }
+
+  private val decontaminateSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${TextNorm.shinglesSql}) AS g FROM documents),
+       |flt AS (SELECT doc_id, g FROM sh WHERE g <> ''),
+       |tr AS (SELECT DISTINCT g FROM flt WHERE doc_id % 2 = 0),
+       |te AS (SELECT doc_id, g FROM flt WHERE doc_id % 2 = 1),
+       |tot AS (SELECT doc_id, count(*) AS n_grams FROM te GROUP BY doc_id),
+       |hit AS (SELECT te.doc_id, count(*) AS n_shared
+       |        FROM te JOIN tr ON te.g = tr.g GROUP BY te.doc_id)
+       |SELECT t.doc_id, t.n_grams,
+       |  coalesce(h.n_shared, 0) AS n_shared,
+       |  CAST(coalesce(h.n_shared, 0) * 1000000 // t.n_grams AS BIGINT) AS shared_ppm,
+       |  coalesce(h.n_shared, 0) > 0 AS contaminated
+       |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   private val BpeTopPairs = 20
 
   /** BPE tokenizer-training seed step: corpus-wide frequency of adjacent
@@ -309,6 +354,7 @@ object TextOps extends QueryModule {
     "tx_fingerprint"   -> (fingerprint _),
     "tx_heavy_hitters" -> (heavyHitters _),
     "tx_bpe_pairs"     -> (bpePairs _),
+    "tx_decontaminate" -> (decontaminate _),
     "tx_source_stats"  -> (sourceStats _))
 
   override val oracles: Map[String, String] = Map(
@@ -319,5 +365,6 @@ object TextOps extends QueryModule {
     "tx_fingerprint"   -> fingerprintSql,
     "tx_heavy_hitters" -> heavyHittersSql,
     "tx_bpe_pairs"     -> bpePairsSql,
+    "tx_decontaminate" -> decontaminateSql,
     "tx_source_stats"  -> sourceStatsSql)
 }
