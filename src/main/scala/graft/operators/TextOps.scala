@@ -255,11 +255,17 @@ object TextOps extends QueryModule {
     * per-doc count. */
   private def decontaminate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // persisted: BOTH splits read it — unpersisted, the whole
+    // normalize+shingle explode runs twice (once per branch).
+    // explode_outer, not explode: InferFiltersFromGenerate would clone
+    // the interpreted shingle expression into a per-row pre-filter
+    // (measured 31 s → ~2 s at sf0.1, same trap as DedupOps:120)
     val sh = TextNorm.withShingles(Tbl.documents(s, d))
-      .select($"doc_id", explode($"sh").as("g"))
+      .select($"doc_id", explode_outer($"sh").as("g"))
       .where($"g" =!= "")
+      .persist()
     val trainGrams = sh.where($"doc_id" % 2 === 0).select($"g").distinct()
-    val test = sh.where($"doc_id" % 2 === 1).persist()
+    val test = sh.where($"doc_id" % 2 === 1)
     val tot = test.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
     val hit = test.join(trainGrams, "g")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))

@@ -170,6 +170,15 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shufflesBelow.isEmpty, s"PQ encode shuffles before scoring:\n$p")
   }
 
+  test("decontamination join is an equi-join on the gram: no nested-loop product") {
+    val p = executed(SparkEntry.queries("tx_decontaminate")(spark, d))
+    val nested = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nested.isEmpty, s"contamination join is not an equi-join:\n$p")
+  }
+
   test("runtime bloom filter: selective dim filter prunes the fact scan at runtime") {
     // Catalyst's InjectRuntimeFilter builds a bloom filter from the
     // filtered (small) join side and pushes might_contain onto the fact
