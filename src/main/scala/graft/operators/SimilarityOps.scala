@@ -474,6 +474,91 @@ object SimilarityOps extends QueryModule {
        |GROUP BY cell, d.dim
        |ORDER BY cell, dim""".stripMargin
 
+  /** Refined (1-Lloyd-step) centroids as float literals: the
+    * `sim_kmeans_refine` means, collected once per dataset — the
+    * driver-side index-build step of a trained IVF. Means travel as
+    * micro-unit longs and quantize to FLOAT on both engines
+    * (long/10⁶ → double → float is deterministic), so the refined
+    * codebook is bit-identical to the oracle's. */
+  private val refinedCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Array[Float])]]
+
+  private def refinedCentroids(s: SparkSession, d: String): Seq[(Int, Array[Float])] =
+    refinedCache.getOrElseUpdate(d, {
+      import s.implicits._
+      kmeansRefine(s, d)
+        .select($"cell".cast("int"), $"dim".cast("int"), $"mean_e6")
+        .as[(Int, Int, Long)].collect().toSeq
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (c, rows) =>
+          val arr = new Array[Float](64)
+          rows.foreach { case (_, dim, m) =>
+            arr(dim) = (m.toDouble / 1000000.0).toFloat }
+          (c, arr)
+        }
+    })
+
+  /** IVF over the TRAINED quantizer — seeds → one Lloyd step → search,
+    * the full coarse-index lifecycle: inverted lists are rebuilt against
+    * the refined centroids (tighter cells ⇒ better recall at the same
+    * nprobe), and the search path is byte-for-byte `sim_ivf_ann` with a
+    * different literal codebook. Still zero corpus shuffle: refinement
+    * is the constant-width aggregate, assignment stays a projection. */
+  private def ivfTrained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tbl.embeddings(s, d)
+    val assigned = emb.select($"vec_id", $"embedding",
+                              cellCol(refinedCentroids(s, d)).as("cell"))
+    val queries = assigned.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"cell", $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    assigned.as("c")
+      .join(broadcast(queries).as("q"), Seq("cell"))
+      .where($"c.vec_id" =!= $"q.q_id")
+      .select($"q_id", $"cell", $"c.vec_id".as("vec_id"),
+              cos6(dot($"q_emb", $"c.embedding")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val ivfTrainedSql =
+    s"""WITH assigned0 AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.vec_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos6Sql(dotSql("e.embedding", "c.embedding"))} DESC,
+       |                 c.vec_id) AS rka
+       |    FROM embeddings e, embeddings c WHERE c.vec_id < $NumCentroids)
+       |  WHERE rka = 1),
+       |refined AS (
+       |  SELECT cell, list(m ORDER BY dim) AS emb FROM (
+       |    SELECT cell, d.dim AS dim,
+       |      CAST(CAST(sum(CAST(floor(CAST(embedding[d.dim] AS DOUBLE)
+       |                               * 1000000.0) AS BIGINT))
+       |                // count(*) AS BIGINT) / 1000000.0 AS FLOAT) AS m
+       |    FROM assigned0, (SELECT unnest(generate_series(1, 64)) AS dim) d
+       |    GROUP BY cell, d.dim)
+       |  GROUP BY cell),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, r.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos6Sql(dotSql("e.embedding", "r.emb"))} DESC,
+       |                 r.cell) AS rka
+       |    FROM embeddings e, refined r)
+       |  WHERE rka = 1)
+       |SELECT q_id, cell, vec_id, cosine, rk FROM (
+       |  SELECT q.vec_id AS q_id, c.cell AS cell, c.vec_id AS vec_id,
+       |    ${cos6Sql(dotSql("q.embedding", "c.embedding"))} AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |                       ORDER BY ${cos6Sql(dotSql("q.embedding", "c.embedding"))} DESC,
+       |                                c.vec_id) AS rk
+       |  FROM assigned c JOIN assigned q ON c.cell = q.cell
+       |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
   private val PqM = 8   // subspaces (64 dims / 8 per subspace)
   private val PqK = 16  // codewords per subspace
   private val PqSub = 8 // dims per subspace
@@ -574,6 +659,7 @@ object SimilarityOps extends QueryModule {
     "sim_sq_ann"       -> (sqAnn _),
     "sim_pq_ann"       -> (pqAnn _),
     "sim_kmeans_refine" -> (kmeansRefine _),
+    "sim_ivf_trained"  -> (ivfTrained _),
     "sim_emb_neardup"  -> (embeddingNeardup _))
 
   override val oracles: Map[String, String] = Map(
@@ -584,5 +670,6 @@ object SimilarityOps extends QueryModule {
     "sim_sq_ann"       -> sqAnnSql,
     "sim_pq_ann"       -> pqAnnSql,
     "sim_kmeans_refine" -> kmeansRefineSql,
+    "sim_ivf_trained"  -> ivfTrainedSql,
     "sim_emb_neardup"  -> embeddingNeardupSql)
 }
