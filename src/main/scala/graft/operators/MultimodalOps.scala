@@ -75,6 +75,34 @@ object MultimodalOps extends QueryModule {
         .when($"doc_id" % 3 === 1, "wav").otherwise("mp4").as("format"))
   }
 
+  /** Binary-content dedup — the image/audio analogue of `dd_exact`:
+    * group on md5 of the OPAQUE BYTES (never the bytes themselves — the
+    * shuffle key is 32 hex chars regardless of payload size), keeper =
+    * smallest media_id, per-group copy count and byte budget. At 100 TB
+    * of media this is the first pass of every curation pipeline: the
+    * content column stays in the scan, only (hash, id, length) rows
+    * move. */
+  private def mmDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d)
+      .select($"media_id", $"kind", md5($"content").as("h"),
+              length($"content").as("n_bytes"))
+      .groupBy($"h")
+      .agg(count(lit(1)).as("n_copies"),
+           min($"media_id").as("keeper"),
+           sum($"n_bytes").as("total_bytes"),
+           min($"kind").as("kind_min"))
+      .orderBy($"h")
+  }
+
+  private val mmDedupSql =
+    """SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keeper,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  min(CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |           WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END) AS kind_min
+      |FROM documents
+      |GROUP BY md5(text) ORDER BY h""".stripMargin
+
   /** Ingest: binary + typed metadata, content fingerprinted — pure
     * column expressions, no codec needed. */
   private def mmIngest(s: SparkSession, d: String): DataFrame = {
@@ -190,12 +218,14 @@ object MultimodalOps extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_ingest"          -> (mmIngest _),
+    "mm_dedup"           -> (mmDedup _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_resize"          -> (mmResize _),
     "mm_frame_sample"    -> (mmFrameSample _))
 
   override val oracles: Map[String, String] = Map(
     "mm_ingest"          -> mmIngestSql,
+    "mm_dedup"           -> mmDedupSql,
     "mm_decode_features" -> mmDecodeFeaturesSql,
     "mm_resize"          -> mmResizeSql,
     "mm_frame_sample"    -> mmFrameSampleSql)
