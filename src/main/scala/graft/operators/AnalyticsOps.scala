@@ -144,17 +144,94 @@ object AnalyticsOps extends QueryModule {
   private val sessionizeSql =
     graft.Oracles.sessionize
 
+  private val IntervalUs = 600000000L // each event opens a 10-min interval
+
+  /** Overlapping-interval merge: each event opens a 10-minute activity
+    * interval; overlapping or touching intervals per user coalesce into
+    * one. The running-max-of-ends technique — a group starts exactly
+    * where an interval's start exceeds the max end seen so far — is the
+    * sessionize lag→flag→cumsum shape generalized to intervals that
+    * outlive their gap (an interval can bridge rows the 1-hour gap rule
+    * would split). Same scale shape as x_sessionize: one shuffle on
+    * user_id, two in-partition window passes, integer-µs arithmetic
+    * throughout. Ties on start are broken by event_id so both engines
+    * walk rows identically. */
+  private def mergeIntervals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Window.partitionBy($"user_id").orderBy($"st_us", $"event_id")
+    val prevMax = max($"en_us").over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    Tbl.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("st_us"),
+              (unix_micros($"ts") + IntervalUs).as("en_us"))
+      .withColumn("new_g",
+        when(prevMax.isNull || $"st_us" > prevMax, 1L).otherwise(0L))
+      .withColumn("gid", sum($"new_g").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"gid")
+      .agg(min($"st_us").as("ws_us"), max($"en_us").as("we_us"),
+           count(lit(1)).as("n_events"))
+      .select($"user_id", $"ws_us", $"we_us", $"n_events")
+      .orderBy($"user_id", $"ws_us")
+  }
+
+  private val mergeIntervalsSql =
+    s"""SELECT user_id, min(st_us) AS ws_us, max(en_us) AS we_us,
+       |       count(*) AS n_events
+       |FROM (
+       |  SELECT user_id, st_us, en_us,
+       |         sum(new_g) OVER (PARTITION BY user_id
+       |                          ORDER BY st_us, event_id) AS gid
+       |  FROM (
+       |    SELECT user_id, event_id, epoch_us(ts) AS st_us,
+       |           epoch_us(ts) + $IntervalUs AS en_us,
+       |           CASE WHEN max(epoch_us(ts) + $IntervalUs) OVER w IS NULL
+       |                  OR epoch_us(ts) > max(epoch_us(ts) + $IntervalUs) OVER w
+       |                THEN 1 ELSE 0 END AS new_g
+       |    FROM events
+       |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)))
+       |GROUP BY user_id, gid ORDER BY user_id, ws_us""".stripMargin
+
+  /** Unpivot (wide→long melt): the x_pivot matrix folded back to
+    * (user_id, event_type, n) rows through the engine's native
+    * `unpivot` operator — the relational round trip a feature-store
+    * export runs in both directions. Zero-count cells survive the trip
+    * (pivot's null→0 fill becomes an explicit long row), so the output
+    * is the dense user×type grid, not the sparse groupBy. Unpivot is a
+    * per-row expansion (Expand node, no shuffle beyond pivot's own
+    * aggregation); the oracle builds the same dense grid with a
+    * constant 5-row cross join. */
+  private def unpivotCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pivotCounts(s, d)
+      .unpivot(Array($"user_id"), EventTypes.map(col).toArray, "event_type", "n")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  private val unpivotCountsSql = {
+    val vals = EventTypes.map(t => s"('$t')").mkString(",")
+    s"""SELECT user_id, t.event_type,
+       |       count(*) FILTER (WHERE e.event_type = t.event_type) AS n
+       |FROM events e CROSS JOIN (VALUES $vals) t(event_type)
+       |GROUP BY user_id, t.event_type
+       |ORDER BY user_id, t.event_type""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pivot"           -> (pivotCounts _),
+    "x_unpivot"         -> (unpivotCounts _),
     "x_grouping_sets"   -> (groupingSets _),
     "x_percentiles"     -> (percentiles _),
     "x_approx_quantile" -> (approxQuantile _),
-    "x_sessionize"      -> (sessionize _))
+    "x_sessionize"      -> (sessionize _),
+    "x_merge_intervals" -> (mergeIntervals _))
 
   override val oracles: Map[String, String] = Map(
     "x_pivot"           -> pivotCountsSql,
+    "x_unpivot"         -> unpivotCountsSql,
     "x_grouping_sets"   -> groupingSetsSql,
     "x_percentiles"     -> percentilesSql,
     "x_approx_quantile" -> approxQuantileSql,
-    "x_sessionize"      -> sessionizeSql)
+    "x_sessionize"      -> sessionizeSql,
+    "x_merge_intervals" -> mergeIntervalsSql)
 }

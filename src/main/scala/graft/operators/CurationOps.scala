@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tbl}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators beyond the dedup/similarity core:
@@ -290,12 +291,94 @@ object CurationOps extends QueryModule {
        |WHERE rn <= $ReservoirK
        |ORDER BY event_type, event_id""".stripMargin
 
+  private val PackBudget = 256L // context-window token budget per bin
+
+  /** Sequence packing (concatenate-and-split): the step that turns a
+    * curated corpus into fixed-budget training sequences. Documents are
+    * concatenated per source shard in doc_id order and the token stream
+    * is cut every `PackBudget` tokens; a document starts in the bin its
+    * running prefix lands in, and `n_straddle` counts documents whose
+    * tail crosses the cut (the fragmentation statistic packing
+    * strategies try to minimize). Per-bin output: docs started, tokens
+    * contributed, straddlers.
+    *
+    * Scale shape: one shuffle on source + an in-partition ordered
+    * cumsum, then a (source, bin) aggregate — no join, no second
+    * shuffle (bin is a function of the cumsum, and AQE coalesces the
+    * agg exchange). At 100 TB packing runs per (source, shard) so no
+    * single partition holds a whole source's token stream; the
+    * per-shard prefix offsets are then just an exclusive scan over
+    * shard totals. All arithmetic is exact longs. */
+  private def seqPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cumW = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tbl.documents(s, d)
+      .select($"source", $"doc_id",
+              size(split($"text", " ")).cast("long").as("tok"))
+      .withColumn("cum", sum($"tok").over(cumW))
+      .withColumn("bin", expr(s"(cum - tok) div $PackBudget"))
+      .withColumn("straddle",
+        when(expr(s"(cum - 1) div $PackBudget") =!= $"bin", 1L).otherwise(0L))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"),
+           sum($"straddle").as("n_straddle"))
+      .orderBy($"source", $"bin")
+  }
+
+  // cum is HUGEINT in DuckDB (windowed sum of BIGINT); every derived
+  // integer is CAST back to BIGINT to match Spark's LongType.
+  private val seqPackSql =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, tok,
+       |         sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT source, CAST((cum - tok) // $PackBudget AS BIGINT) AS bin,
+       |       count(*) AS n_docs,
+       |       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN (cum - 1) // $PackBudget
+       |                       <> (cum - tok) // $PackBudget
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+       |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+
+  /** Power-of-two length histogram per source: bucket = the bit width
+    * of n_chars (length of its binary rendering — an EXACT integer
+    * log2 floor on both engines, no libm anywhere), the standard
+    * log-spaced length profile a curation dashboard shows before
+    * picking min/max-length filters. Single scan, one shuffle on the
+    * tiny (source, bucket) key; n_chars 0 and 1 share bucket 1 (both
+    * render one binary digit). */
+  private def lengthHist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.documents(s, d)
+      .select($"source", length(bin($"n_chars")).cast("long").as("len_bucket"),
+              $"n_chars")
+      .groupBy($"source", $"len_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
+           min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .orderBy($"source", $"len_bucket")
+  }
+
+  private val lengthHistSql =
+    """SELECT source, CAST(length(bin(n_chars)) AS BIGINT) AS len_bucket,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY source, len_bucket""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_reservoir_sample"  -> (reservoirSample _),
     "x_curation_pipeline" -> (curationPipeline _),
     "dd_chunk_dedup"      -> (chunkDedup _),
     "tx_repetition"       -> (repetition _),
     "tx_pii_scrub"        -> (piiScrub _),
+    "tx_seq_pack"         -> (seqPack _),
+    "tx_length_hist"      -> (lengthHist _),
     "x_stratified_sample" -> (stratifiedSample _))
 
   override val oracles: Map[String, String] = Map(
@@ -304,5 +387,7 @@ object CurationOps extends QueryModule {
     "dd_chunk_dedup"      -> chunkDedupSql,
     "tx_repetition"       -> repetitionSql,
     "tx_pii_scrub"        -> piiScrubSql,
+    "tx_seq_pack"         -> seqPackSql,
+    "tx_length_hist"      -> lengthHistSql,
     "x_stratified_sample" -> stratifiedSampleSql)
 }

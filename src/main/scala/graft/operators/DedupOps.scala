@@ -362,8 +362,47 @@ object DedupOps extends QueryModule {
        |SELECT node AS doc_id, least(node, min(r)) AS cluster
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  /** Incremental (cross-snapshot) dedup: a NEW batch of documents
+    * (doc_id odd) lands against an already-deduplicated CORPUS (doc_id
+    * even) — keep only batch docs whose content hash appears nowhere in
+    * the corpus, then collapse the batch's internal duplicates to one
+    * keeper. This is the ingest-time gate every growing corpus runs:
+    * dd_exact from scratch each snapshot would re-shuffle 100 TB; the
+    * incremental form touches the new batch plus the corpus's 16-byte
+    * hash column only.
+    *
+    * Scale shape: the corpus side projects to md5 hashes straight off
+    * the scan (column pruning drops the text bytes), collapses to a
+    * distinct set, and anti-joins the batch on the hash — one shuffle
+    * of hashes, never content. At a real 100 TB ingest the corpus hash
+    * set lives as its own bucketed table so the anti-join is
+    * shuffle-free on the corpus side, and a bloom filter of it
+    * pre-drops the obviously-new batch rows before the exchange. */
+  private def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tbl.documents(s, d)
+    val corpusHashes = docs.where($"doc_id" % 2 === 0)
+      .select(md5($"text").as("content_hash")).distinct()
+    docs.where($"doc_id" % 2 === 1)
+      .select(md5($"text").as("content_hash"), $"doc_id")
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+      .groupBy($"content_hash")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_in_batch"))
+      .orderBy($"keeper")
+  }
+
+  private val incrementalDedupSql =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
+      |       count(*) AS n_in_batch
+      |FROM documents
+      |WHERE doc_id % 2 = 1
+      |  AND md5(text) NOT IN
+      |      (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+      |GROUP BY 1 ORDER BY keeper""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact"         -> (exactDedup _),
+    "dd_incremental"   -> (incrementalDedup _),
     "dd_norm_dedup"    -> (normDedup _),
     "dd_key_dedup"     -> (keyDedup _),
     "dd_minhash_lsh"   -> (minhashLsh _),
@@ -373,6 +412,7 @@ object DedupOps extends QueryModule {
 
   override val oracles: Map[String, String] = Map(
     "dd_exact"         -> exactDedupSql,
+    "dd_incremental"   -> incrementalDedupSql,
     "dd_norm_dedup"    -> normDedupSql,
     "dd_key_dedup"     -> keyDedupSql,
     "dd_minhash_lsh"   -> minhashLshSql,

@@ -600,6 +600,55 @@ object StreamingOps extends QueryModule {
         .orderBy($"user_id", $"click_id", $"purchase_id")
     }
 
+  /** s18: LEFT SEMI stream-stream join — converted clicks only, each
+    * emitted exactly once however many purchases land in its window.
+    * Semi completes the streaming join-mode matrix (inner s12, left
+    * outer s14, full outer s16): unlike the outer forms, a semi row
+    * emits EAGERLY on its first match — the watermark's only job is
+    * state eviction (a click older than watermark−interval can never
+    * gain a first match and is dropped), so state stays bounded while
+    * output never waits on watermark passage. The sentinels keep the
+    * end-of-run eviction path exercised; they can't match (negative
+    * user_id) and semi output carries left columns only, so no output
+    * filter is even needed — kept anyway as a belt against schema
+    * drift. */
+  private def streamSemiJoin(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) {
+      import s.implicits._
+      val base = eventStream(s, d, Seq("click", "purchase"))
+        .select($"user_id", $"event_id", $"event_type", $"ts")
+      val clicks = base
+        .withWatermark("ts", "10 minutes")
+        .where($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+                $"ts".as("c_ts"))
+      val purchases = base
+        .withWatermark("ts", "10 minutes")
+        .where($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+                $"ts".as("p_ts"))
+      val joined = clicks.join(purchases,
+        $"c_user" === $"p_user" &&
+        $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 10 MINUTES"),
+        "left_semi")
+      runToTable(s, joined, "s_ss_sjoin", OutputMode.Append())
+        .where($"c_user" >= 0) // sentinel belt (see Scaladoc)
+        .select($"c_user".as("user_id"), $"click_id",
+                unix_micros($"c_ts").as("ts_us"))
+        .orderBy($"user_id", $"click_id")
+    }
+
+  private val streamSemiJoinSql =
+    """SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS ts_us
+      |FROM events c
+      |WHERE c.event_type = 'click'
+      |  AND EXISTS (SELECT 1 FROM events p
+      |              WHERE p.event_type = 'purchase'
+      |                AND p.user_id = c.user_id
+      |                AND p.ts >= c.ts
+      |                AND p.ts <= c.ts + INTERVAL 10 MINUTE)
+      |ORDER BY user_id, click_id""".stripMargin
+
   private val streamFullOuterJoinSql =
     """SELECT coalesce(c.user_id, p.user_id) AS user_id,
       |       c.event_id AS click_id, p.event_id AS purchase_id,
@@ -715,6 +764,7 @@ object StreamingOps extends QueryModule {
     "s15_stream_pipecsv" -> (streamPipeCsv _),
     "s16_stream_full_outer" -> (streamFullOuterJoin _),
     "s17_stream_pipecsv_sink" -> (streamPipeCsvSink _),
+    "s18_stream_semi_join"  -> (streamSemiJoin _),
     "s13_stream_curation"   -> (streamCuration _),
     "s14_stream_dedup_wm"   -> (streamDedupWm _))
 
@@ -735,6 +785,7 @@ object StreamingOps extends QueryModule {
     "s15_stream_pipecsv" -> streamPipeCsvSql,
     "s16_stream_full_outer" -> streamFullOuterJoinSql,
     "s17_stream_pipecsv_sink" -> streamPipeCsvSinkSql,
+    "s18_stream_semi_join"  -> streamSemiJoinSql,
     "s13_stream_curation"   -> streamCurationSql,
     "s14_stream_dedup_wm"   -> dedupWmSql)
 }
