@@ -179,6 +179,48 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nested.isEmpty, s"contamination join is not an equi-join:\n$p")
   }
 
+  test("incremental dedup: hash-only anti-join, text column never reaches the exchange") {
+    // the corpus side must collapse to md5 hashes at the scan boundary —
+    // at 100 TB the anti-join moves 16-byte keys, not document bytes
+    val p = executed(SparkEntry.queries("dd_incremental")(spark, d))
+    val readCols = scans(p).map(_.schema.fieldNames.toSet).reduce(_ ++ _)
+    assert(readCols.subsetOf(Set("doc_id", "text")),
+           s"dedup scan reads beyond (doc_id, text): $readCols")
+    val anti = collectWithSubqueries(p) {
+      case j: BroadcastHashJoinExec if j.joinType.toString == "LeftAnti" => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledJoin
+        if j.joinType.toString == "LeftAnti" => j
+    }
+    assert(anti.nonEmpty, s"expected hash anti-join in:\n$p")
+  }
+
+  test("seq packing: window partitioning is reused by the bin aggregate") {
+    // cumsum shuffles on source once; groupBy(source, bin) must ride the
+    // same hash partitioning (source ⊂ grouping key), so the whole query
+    // is window-exchange + output sort — never a third shuffle
+    val p = executed(SparkEntry.queries("tx_seq_pack")(spark, d))
+    val shuffles = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2, s"seq packing re-shuffles after the window:\n$p")
+  }
+
+  test("interval merge: both window passes and the merge agg share one exchange") {
+    val p = executed(SparkEntry.queries("x_merge_intervals")(spark, d))
+    val shuffles = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2, s"interval merge shuffles beyond user_id + sort:\n$p")
+  }
+
+  test("unpivot lowers to Expand: per-row expansion, no join anywhere") {
+    val p = executed(SparkEntry.queries("x_unpivot")(spark, d))
+    val expands = collectWithSubqueries(p) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.nonEmpty, s"expected ExpandExec for unpivot in:\n$p")
+    val joins = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"unpivot plan contains a join:\n$p")
+  }
+
   test("runtime bloom filter: selective dim filter prunes the fact scan at runtime") {
     // Catalyst's InjectRuntimeFilter builds a bloom filter from the
     // filtered (small) join side and pushes might_contain onto the fact
