@@ -217,9 +217,58 @@ object AnalyticsOps extends QueryModule {
        |ORDER BY user_id, t.event_type""".stripMargin
   }
 
+  /** Ordered funnel (view → click → purchase): users who viewed, then
+    * clicked AT OR AFTER their first view, then purchased at or after
+    * that first qualifying click. Each step is a per-user conditional
+    * minimum joined back onto the event stream — the staged-minima
+    * formulation, not a per-user event-array sort.
+    *
+    * Scale shape: three per-user partial aggregates plus two user_id
+    * equi-joins whose right side SHRINKS at every step (step n's user
+    * set ⊆ step n−1's); all joins and aggregates share one user_id
+    * hash partitioning, and the final output is three rows. µs-integer
+    * comparisons only. */
+  private def funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tbl.events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("t_us"))
+    val viewed = ev.where($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"t_us").as("t_view"))
+    val clicked = ev.where($"event_type" === "click")
+      .join(viewed, "user_id").where($"t_us" >= $"t_view")
+      .groupBy($"user_id").agg(min($"t_us").as("t_click"))
+    val purchased = ev.where($"event_type" === "purchase")
+      .join(clicked, "user_id").where($"t_us" >= $"t_click")
+      .groupBy($"user_id").agg(min($"t_us").as("t_purchase"))
+    viewed.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("step"), $"n_users")
+      .unionAll(clicked.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("step"), $"n_users"))
+      .unionAll(purchased.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("step"), $"n_users"))
+      .orderBy($"step")
+  }
+
+  private val funnelSql =
+    """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t_view
+      |           FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+      |      FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.t_view
+      |      GROUP BY 1),
+      |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+      |      FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t_click
+      |      GROUP BY 1)
+      |SELECT '1_view' AS step, count(*) AS n_users FROM v
+      |UNION ALL SELECT '2_click', count(*) FROM c
+      |UNION ALL SELECT '3_purchase', count(*) FROM p
+      |ORDER BY step""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pivot"           -> (pivotCounts _),
     "x_unpivot"         -> (unpivotCounts _),
+    "x_funnel"          -> (funnel _),
     "x_grouping_sets"   -> (groupingSets _),
     "x_percentiles"     -> (percentiles _),
     "x_approx_quantile" -> (approxQuantile _),
@@ -229,6 +278,7 @@ object AnalyticsOps extends QueryModule {
   override val oracles: Map[String, String] = Map(
     "x_pivot"           -> pivotCountsSql,
     "x_unpivot"         -> unpivotCountsSql,
+    "x_funnel"          -> funnelSql,
     "x_grouping_sets"   -> groupingSetsSql,
     "x_percentiles"     -> percentilesSql,
     "x_approx_quantile" -> approxQuantileSql,

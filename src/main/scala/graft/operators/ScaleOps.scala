@@ -124,15 +124,66 @@ object ScaleOps extends QueryModule {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY cohort""".stripMargin
 
+  private val ZBits = 5 // 5-bit cell coords → 10-bit curve positions
+
+  /** Z-order (Morton) clustering — the multi-dimensional layout
+    * primitive behind `OPTIMIZE ZORDER` in modern lakehouse tables:
+    * interleave the bits of two cell coordinates so curve-adjacent rows
+    * are spatially adjacent in BOTH dimensions, then range-partition on
+    * the curve position (the write-side clustering step) and profile
+    * each curve block's bounding box. Every block covers a tight 8×8
+    * cell square — the property that lets min/max column stats prune a
+    * 2-D predicate on EITHER dimension, where row-major layout gives
+    * 32×2 stripes that only prune one.
+    *
+    * The interleave is a closed-form integer sum (no UDF, codegen'd,
+    * exact on both engines); `repartitionByRange(z)` is the actual
+    * layout action — at 100 TB this is the last exchange before the
+    * partitioned write, and the block profile is the min/max footer
+    * stats that write would produce. */
+  private def zorder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val zExpr = (0 until ZBits).map { b =>
+      s"((cx div ${1L << b}) % 2) * ${1L << (2 * b)} + " +
+      s"((cy div ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+    }.mkString(" + ")
+    Tbl.events(s, d)
+      .select(($"user_id" % 32).cast("long").as("cx"),
+              ($"event_id" % 32).cast("long").as("cy"))
+      .withColumn("z", expr(zExpr))
+      .repartitionByRange(8, $"z")
+      .groupBy(expr("z div 64").as("z_block"))
+      .agg(count(lit(1)).as("n"),
+           min($"cx").as("min_x"), max($"cx").as("max_x"),
+           min($"cy").as("min_y"), max($"cy").as("max_y"))
+      .orderBy($"z_block")
+  }
+
+  private val zorderSql = {
+    val zExpr = (0 until ZBits).map { b =>
+      s"((cx // ${1L << b}) % 2) * ${1L << (2 * b)} + " +
+      s"((cy // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+    }.mkString(" + ")
+    s"""SELECT z // 64 AS z_block, count(*) AS n,
+       |  min(cx) AS min_x, max(cx) AS max_x,
+       |  min(cy) AS min_y, max(cy) AS max_y
+       |FROM (SELECT cx, cy, $zExpr AS z
+       |      FROM (SELECT user_id % 32 AS cx, event_id % 32 AS cy
+       |            FROM events))
+       |GROUP BY 1 ORDER BY z_block""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_salted_join"       -> (saltedJoin _),
     "x_topk_aggregator"   -> (topkAggregator _),
     "x_bucketed_join"     -> (bucketedJoin _),
+    "x_zorder"            -> (zorder _),
     "x_partition_pruning" -> (partitionPruning _))
 
   override val oracles: Map[String, String] = Map(
     "x_salted_join"       -> saltedJoinSql,
     "x_topk_aggregator"   -> topkAggregatorSql,
     "x_bucketed_join"     -> bucketedJoinSql,
+    "x_zorder"            -> zorderSql,
     "x_partition_pruning" -> partitionPruningSql)
 }

@@ -221,6 +221,15 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(joins.isEmpty, s"unpivot plan contains a join:\n$p")
   }
 
+  test("media phash near-dup is band-blocked: equi-join only, no all-pairs product") {
+    val p = executed(SparkEntry.queries("mm_phash_neardup")(spark, d))
+    val nested = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nested.isEmpty, s"phash candidate join is not an equi-join:\n$p")
+  }
+
   test("runtime bloom filter: selective dim filter prunes the fact scan at runtime") {
     // Catalyst's InjectRuntimeFilter builds a bloom filter from the
     // filtered (small) join side and pushes might_contain onto the fact
