@@ -371,7 +371,65 @@ object CurationOps extends QueryModule {
       |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
       |FROM documents GROUP BY 1, 2 ORDER BY source, len_bucket""".stripMargin
 
+  private val KAnonThreshold = 5L
+
+  /** k-anonymity risk profile — the governance pass a training corpus
+    * runs over its quasi-identifiers before release: bucket documents
+    * by the (source, lang, length-band) combination and flag every
+    * equivalence class smaller than k, whose members a re-identifier
+    * could single out. One scan, one low-cardinality shuffle; the
+    * flagged classes are the rows a suppression/generalization pass
+    * would rewrite. */
+  private def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.documents(s, d)
+      .groupBy($"source", $"lang",
+               expr("n_chars div 100").as("len_band"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk", $"n_docs" < KAnonThreshold)
+      .orderBy($"source", $"lang", $"len_band")
+  }
+
+  private val kAnonymitySql =
+    s"""SELECT source, lang, CAST(n_chars // 100 AS BIGINT) AS len_band,
+       |       count(*) AS n_docs,
+       |       count(*) < $KAnonThreshold AS at_risk
+       |FROM documents
+       |GROUP BY 1, 2, 3 ORDER BY source, lang, len_band""".stripMargin
+
+  /** Order-independent table checksum: per event_type, XOR-fold a
+    * 32-bit word of each row's content hash. Two snapshots of a table
+    * on different clusters (or before/after a migration) compare by
+    * exchanging one row per slice — the 100 TB equality check that
+    * never moves data. XOR is commutative/associative, so partition
+    * order, partial aggregation, and shuffle layout can't perturb it;
+    * the row rendering is integers-and-strings only (no float
+    * formatting anywhere). */
+  private def tableChecksum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .select($"event_type",
+              expr("""cast(conv(substring(md5(concat_ws('|',
+                     |  event_id, user_id, unix_micros(ts),
+                     |  cast(round(value*100) as bigint), event_type)),
+                     |  1, 8), 16, 10) as bigint)""".stripMargin).as("w"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(w)").as("checksum"))
+      .orderBy($"event_type")
+  }
+
+  private val tableChecksumSql =
+    """SELECT event_type, count(*) AS n,
+      |  bit_xor(CAST('0x' || substr(md5(
+      |    event_id || '|' || user_id || '|' || epoch_us(ts) || '|' ||
+      |    CAST(round(value*100) AS BIGINT) || '|' || event_type),
+      |    1, 8) AS BIGINT)) AS checksum
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_k_anonymity"       -> (kAnonymity _),
+    "x_table_checksum"    -> (tableChecksum _),
     "x_reservoir_sample"  -> (reservoirSample _),
     "x_curation_pipeline" -> (curationPipeline _),
     "dd_chunk_dedup"      -> (chunkDedup _),
@@ -382,6 +440,8 @@ object CurationOps extends QueryModule {
     "x_stratified_sample" -> (stratifiedSample _))
 
   override val oracles: Map[String, String] = Map(
+    "x_k_anonymity"       -> kAnonymitySql,
+    "x_table_checksum"    -> tableChecksumSql,
     "x_reservoir_sample"  -> reservoirSampleSql,
     "x_curation_pipeline" -> curationPipelineSql,
     "dd_chunk_dedup"      -> chunkDedupSql,
