@@ -651,6 +651,88 @@ object SimilarityOps extends QueryModule {
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   }
 
+  private val SemDedupCosine = 0.3 // corpus demo threshold, see embeddingNeardup
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the corpus with the coarse quantizer (the same literal-centroid
+    * assignment the IVF index uses), then within each cluster mark every
+    * vector that has a LOWER-id cluster-mate above the cosine threshold
+    * as a duplicate of the smallest such mate. Keeps exactly one
+    * representative per semantic neighborhood without any cross-cluster
+    * comparison.
+    *
+    * Scale shape: assignment is the shuffle-free literal projection;
+    * the within-cell self-join is quadratic in CELL size only — the
+    * quantizer's k grows with the corpus (k ≈ √n keeps cells ~√n), so
+    * the pair count is n·cell_size, not n². The equi-join key is the
+    * cell id; at production k (thousands of cells) key skew disappears —
+    * at the demo k=16 the join is deliberately tiny. */
+  private def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assigned = Tbl.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+              cellCol(constVectors(s, d, NumCentroids)).as("cell"))
+      .persist()
+    val dups = assigned.as("l")
+      .join(assigned.as("r"),
+            $"l.cell" === $"r.cell" && $"l.vec_id" < $"r.vec_id")
+      .where(cos6(dot($"l.embedding", $"r.embedding")) >= SemDedupCosine)
+      .groupBy($"r.vec_id".as("vec_id"))
+      .agg(min($"l.vec_id").as("dup_of"))
+    assigned.select($"vec_id", $"cell")
+      .join(dups, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell",
+              $"dup_of".isNotNull.as("is_dup"), $"dup_of")
+      .orderBy($"vec_id")
+  }
+
+  private val semanticDedupSql =
+    s"""WITH assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.vec_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos6Sql(dotSql("e.embedding", "c.embedding"))} DESC,
+       |                 c.vec_id) AS rka
+       |    FROM embeddings e, embeddings c WHERE c.vec_id < $NumCentroids)
+       |  WHERE rka = 1),
+       |dups AS (
+       |  SELECT r.vec_id AS vec_id, min(l.vec_id) AS dup_of
+       |  FROM assigned l JOIN assigned r
+       |    ON l.cell = r.cell AND l.vec_id < r.vec_id
+       |  WHERE ${cos6Sql(dotSql("l.embedding", "r.embedding"))} >= $SemDedupCosine
+       |  GROUP BY r.vec_id)
+       |SELECT a.vec_id, a.cell, d.dup_of IS NOT NULL AS is_dup, d.dup_of
+       |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
+  private val RangeMinCosine = 0.2
+
+  /** Cosine range (radius) search — the fixed-threshold companion to
+    * top-k: every corpus vector within cosine ≥ τ of each query, however
+    * many there are. Same scale shape as `sim_topk_brute`: the query set
+    * broadcasts, the corpus is scanned once and never shuffles, and the
+    * variable-size result is bounded by the match density, not by k. */
+  private def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tbl.embeddings(s, d)
+    val queries = emb.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    emb.crossJoin(broadcast(queries))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+              cos6(dot($"q_emb", $"embedding")).as("cosine"))
+      .where($"cosine" >= RangeMinCosine)
+      .orderBy($"q_id", $"vec_id")
+  }
+
+  private val rangeSearchSql =
+    s"""SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |  ${cos6Sql(dotSql("q.embedding", "e.embedding"))} AS cosine
+       |FROM embeddings e, embeddings q
+       |WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id
+       |  AND ${cos6Sql(dotSql("q.embedding", "e.embedding"))} >= $RangeMinCosine
+       |ORDER BY q_id, vec_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute"   -> (topkBrute _),
     "sim_lsh_ann"      -> (lshAnn _),
@@ -660,6 +742,8 @@ object SimilarityOps extends QueryModule {
     "sim_pq_ann"       -> (pqAnn _),
     "sim_kmeans_refine" -> (kmeansRefine _),
     "sim_ivf_trained"  -> (ivfTrained _),
+    "sim_semantic_dedup" -> (semanticDedup _),
+    "sim_range_search" -> (rangeSearch _),
     "sim_emb_neardup"  -> (embeddingNeardup _))
 
   override val oracles: Map[String, String] = Map(
@@ -671,5 +755,7 @@ object SimilarityOps extends QueryModule {
     "sim_pq_ann"       -> pqAnnSql,
     "sim_kmeans_refine" -> kmeansRefineSql,
     "sim_ivf_trained"  -> ivfTrainedSql,
+    "sim_semantic_dedup" -> semanticDedupSql,
+    "sim_range_search" -> rangeSearchSql,
     "sim_emb_neardup"  -> embeddingNeardupSql)
 }

@@ -222,6 +222,145 @@ object TextOps extends QueryModule {
     * vocabulary is millions of rows, trivially driver-safe, while the
     * corpus itself is never re-shuffled. Ordering (count desc, token)
     * makes the K-th boundary deterministic on both engines. */
+  /** Domain-mixture rebalancing (the DoReMi/data-mixing surface): per
+    * source, the corpus share vs a uniform target mixture and the
+    * sampling weight that would rebalance to it — the knob a training-
+    * data pipeline turns to re-weight web/books/code domains. Kept-doc
+    * counts use downsample-only weights (min(weight, 1)).
+    *
+    * Scale shape: one source-keyed partial agg (domain cardinality is
+    * tiny) + a single-row total broadcast back — no data-sized shuffle.
+    * All shares/weights are integer ppm via floor division on exact
+    * counts (the quality_ppm discipline). */
+  private def domainMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tbl.documents(s, d)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+    val tot = per.agg(sum($"n_docs").as("total"),
+                      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"n_chars",
+              expr("n_docs * 1000000 div total").as("share_ppm"),
+              expr("1000000 div n_sources").as("target_ppm"),
+              expr("total * 1000000 div (n_docs * n_sources)").as("weight_ppm"),
+              expr("least(n_docs, total div n_sources)").as("kept_docs"))
+      .orderBy($"source")
+  }
+
+  private val domainMixSql =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+      |               count(*) AS n_sources FROM per)
+      |SELECT source, n_docs, n_chars,
+      |  CAST(n_docs * 1000000 // total AS BIGINT) AS share_ppm,
+      |  CAST(1000000 // n_sources AS BIGINT) AS target_ppm,
+      |  CAST(total * 1000000 // (n_docs * n_sources) AS BIGINT) AS weight_ppm,
+      |  CAST(least(n_docs, total // n_sources) AS BIGINT) AS kept_docs
+      |FROM per, tot ORDER BY source""".stripMargin
+
+  private val VocabK = 100
+
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * top-100 token vocabulary — the coverage statistic that drives
+    * tokenizer-vocabulary sizing. Two-phase: the vocabulary is a
+    * vocabulary-sized agg (deterministic K-boundary: count desc, token
+    * asc — same discipline as `tx_heavy_hitters`), broadcast back
+    * against the token stream; per-doc re-agg is one constant-width
+    * shuffle on doc_id. */
+  private def oovRate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tbl.documents(s, d)
+      .select($"doc_id", explode(split(TextNorm.norm($"text"), " ")).as("token"))
+      .where($"token" =!= "")
+    val vocab = tok.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token").limit(VocabK)
+      .select($"token", lit(1).as("in_v"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), count($"in_v").as("n_in_vocab"))
+      .select($"doc_id", $"n_tokens",
+              expr("(n_tokens - n_in_vocab) * 1000000 div n_tokens").as("oov_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  private val oovRateSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(${TextNorm.normSql}, ' ')) AS token
+       |  FROM documents),
+       |tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+       |vocab AS (
+       |  SELECT token FROM (
+       |    SELECT token, count(*) AS cnt FROM tok2 GROUP BY token
+       |    ORDER BY cnt DESC, token LIMIT $VocabK)),
+       |agg AS (
+       |  SELECT t.doc_id, count(*) AS n_tokens,
+       |         count(v.token) AS n_in_vocab
+       |  FROM tok2 t LEFT JOIN vocab v ON t.token = v.token
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, n_tokens,
+       |  CAST((n_tokens - n_in_vocab) * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  private val ChunkTokens = 32
+  private val ChunkStride = 24
+
+  /** Overlapping fixed-size token-window chunking — the context-window
+    * splitter that precedes embedding / training-sequence construction:
+    * 32-token chunks on a 24-token stride (8-token overlap), each chunk
+    * identified by an md5 over its reassembled text (the key
+    * `dd_chunk_dedup`-style boilerplate removal groups on).
+    *
+    * Scale shape: pure per-row explode — fan-out is ceil(tokens/stride)
+    * per doc, no shuffle anywhere except the output sort; chunk hashes
+    * are 16 bytes regardless of chunk text.
+    *
+    * Chunk-count arithmetic stays CASE-guarded non-negative: Spark `div`
+    * truncates toward zero while DuckDB `//` floors, so a negative
+    * numerator would silently disagree by one. */
+  private def chunkSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nChunks = expr(
+      s"""CASE WHEN size(words) <= $ChunkTokens THEN 1
+         |ELSE (size(words) - $ChunkTokens + ${ChunkStride - 1}) div $ChunkStride + 1
+         |END""".stripMargin)
+    Tbl.documents(s, d)
+      .where(TextNorm.norm($"text") =!= "")
+      .select($"doc_id", split(TextNorm.norm($"text"), " ").as("words"))
+      .select($"doc_id", $"words",
+              explode(sequence(lit(0), nChunks.cast("int") - 1)).as("chunk_idx"))
+      .select($"doc_id", $"chunk_idx",
+              ($"chunk_idx" * ChunkStride).as("start_tok"),
+              least(lit(ChunkTokens),
+                    size($"words") - $"chunk_idx" * ChunkStride).as("n_chunk_tokens"),
+              md5(concat_ws(" ",
+                slice($"words", $"chunk_idx" * ChunkStride + 1, lit(ChunkTokens))))
+                .as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  private val chunkSplitSql = {
+    val ct = ChunkTokens; val st = ChunkStride
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(${TextNorm.normSql}, ' ') AS words
+       |  FROM documents WHERE ${TextNorm.normSql} <> ''),
+       |idx AS (
+       |  SELECT doc_id, words,
+       |    unnest(generate_series(0,
+       |      CASE WHEN len(words) <= $ct THEN 0
+       |           ELSE (len(words) - $ct + ${st - 1}) // $st END)) AS chunk_idx
+       |  FROM base)
+       |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       |  CAST(chunk_idx * $st AS INT) AS start_tok,
+       |  CAST(least($ct, len(words) - chunk_idx * $st) AS INT) AS n_chunk_tokens,
+       |  md5(array_to_string(words[chunk_idx*$st+1 : chunk_idx*$st+$ct], ' ')) AS chunk_md5
+       |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   private def heavyHitters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tbl.documents(s, d)
@@ -358,6 +497,9 @@ object TextOps extends QueryModule {
     "tx_quality_score" -> (qualityScore _),
     "tx_lang_id"       -> (langId _),
     "tx_fingerprint"   -> (fingerprint _),
+    "tx_domain_mix"    -> (domainMix _),
+    "tx_oov_rate"      -> (oovRate _),
+    "tx_chunk_split"   -> (chunkSplit _),
     "tx_heavy_hitters" -> (heavyHitters _),
     "tx_bpe_pairs"     -> (bpePairs _),
     "tx_decontaminate" -> (decontaminate _),
@@ -369,6 +511,9 @@ object TextOps extends QueryModule {
     "tx_quality_score" -> qualityScoreSql,
     "tx_lang_id"       -> langIdSql,
     "tx_fingerprint"   -> fingerprintSql,
+    "tx_domain_mix"    -> domainMixSql,
+    "tx_oov_rate"      -> oovRateSql,
+    "tx_chunk_split"   -> chunkSplitSql,
     "tx_heavy_hitters" -> heavyHittersSql,
     "tx_bpe_pairs"     -> bpePairsSql,
     "tx_decontaminate" -> decontaminateSql,
