@@ -265,7 +265,55 @@ object AnalyticsOps extends QueryModule {
       |UNION ALL SELECT '3_purchase', count(*) FROM p
       |ORDER BY step""".stripMargin
 
+  /** Type-2 slowly-changing dimension build — the merge/upsert surface
+    * of a warehouse pipeline, derived from an event log: per user, each
+    * run of a distinct event_type becomes one dimension version with
+    * [valid_from, valid_to) micros and an is_current flag on the open
+    * row. Change detection is a lag() over (ts, event_id) — the same
+    * total order both engines walk — and versions are re-numbered over
+    * the change rows only.
+    *
+    * Scale shape: one shuffle on the dimension key, two in-partition
+    * window passes (detect, then number/close) — the x_sessionize
+    * lag→flag shape applied to dimension maintenance; no self-join, no
+    * driver loop, version count bounded by change count. */
+  private def scd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Window.partitionBy($"user_id").orderBy($"t_us", $"event_id")
+    Tbl.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("t_us"),
+              $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(ord))
+      .where($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      .withColumn("version", row_number().over(ord))
+      .withColumn("valid_to_us", lead($"t_us", 1).over(ord))
+      .select($"user_id", $"version", $"event_type".as("state"),
+              $"t_us".as("valid_from_us"), $"valid_to_us",
+              $"valid_to_us".isNull.as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
+
+  private val scd2Sql =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t_us, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, t_us, event_id, event_type FROM ordered
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS INT) AS version,
+      |  event_type AS state,
+      |  t_us AS valid_from_us,
+      |  lead(t_us) OVER w AS valid_to_us,
+      |  (lead(t_us) OVER w) IS NULL AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_scd2"            -> (scd2 _),
     "x_pivot"           -> (pivotCounts _),
     "x_unpivot"         -> (unpivotCounts _),
     "x_funnel"          -> (funnel _),
@@ -276,6 +324,7 @@ object AnalyticsOps extends QueryModule {
     "x_merge_intervals" -> (mergeIntervals _))
 
   override val oracles: Map[String, String] = Map(
+    "x_scd2"            -> scd2Sql,
     "x_pivot"           -> pivotCountsSql,
     "x_unpivot"         -> unpivotCountsSql,
     "x_funnel"          -> funnelSql,

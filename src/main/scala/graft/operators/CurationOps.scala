@@ -427,7 +427,59 @@ object CurationOps extends QueryModule {
       |FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Deterministic pseudonymization (keyed tokenization): user ids are
+    * replaced by md5 of a versioned pepper + the id — re-runs, backfills,
+    * and every table in the lake derive the SAME token for the same
+    * user, so referential integrity survives de-identification (the
+    * output proves it: per-token aggregates are exactly the per-user
+    * aggregates re-keyed). Rotating the pepper string re-keys the whole
+    * lake. Pure per-row projection + one agg on the 16-byte token — the
+    * shuffle key never carries the raw id. */
+  private def pseudonymize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .groupBy(md5(concat_ws(":", lit("graft-pepper-v1"), $"user_id"))
+                 .as("user_token"))
+      .agg(count(lit(1)).as("n_events"),
+           count_distinct($"event_type").as("n_types"),
+           min(unix_micros($"ts")).as("first_us"),
+           max(unix_micros($"ts")).as("last_us"))
+      .orderBy($"user_token")
+  }
+
+  private val pseudonymizeSql =
+    """SELECT md5('graft-pepper-v1:' || user_id) AS user_token,
+      |  count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+      |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+      |FROM events GROUP BY 1 ORDER BY user_token""".stripMargin
+
+  private val LDiversityL = 3L
+
+  /** l-diversity risk profile — the k-anonymity companion: within each
+    * quasi-identifier group (event_type × hour-of-day), how many
+    * DISTINCT sensitive values (user ids) appear; a group whose l falls
+    * below the threshold is re-identifiable even when k-anonymous (all
+    * its rows point at the same few people). Same scale shape as
+    * `x_k_anonymity`: one group-sized agg, nothing row-sized moves. */
+  private def lDiversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .groupBy($"event_type", hour($"ts").as("hh"))
+      .agg(count(lit(1)).as("n_rows"),
+           count_distinct($"user_id").as("l_val"))
+      .withColumn("at_risk", $"l_val" < LDiversityL)
+      .orderBy($"event_type", $"hh")
+  }
+
+  private val lDiversitySql =
+    s"""SELECT event_type, hour(ts) AS hh, count(*) AS n_rows,
+       |  count(DISTINCT user_id) AS l_val,
+       |  count(DISTINCT user_id) < $LDiversityL AS at_risk
+       |FROM events GROUP BY 1, 2 ORDER BY event_type, hh""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pseudonymize"      -> (pseudonymize _),
+    "x_l_diversity"       -> (lDiversity _),
     "x_k_anonymity"       -> (kAnonymity _),
     "x_table_checksum"    -> (tableChecksum _),
     "x_reservoir_sample"  -> (reservoirSample _),
@@ -440,6 +492,8 @@ object CurationOps extends QueryModule {
     "x_stratified_sample" -> (stratifiedSample _))
 
   override val oracles: Map[String, String] = Map(
+    "x_pseudonymize"      -> pseudonymizeSql,
+    "x_l_diversity"       -> lDiversitySql,
     "x_k_anonymity"       -> kAnonymitySql,
     "x_table_checksum"    -> tableChecksumSql,
     "x_reservoir_sample"  -> reservoirSampleSql,

@@ -173,7 +173,50 @@ object ScaleOps extends QueryModule {
        |GROUP BY 1 ORDER BY z_block""".stripMargin
   }
 
+  private val SkewTopK = 10
+
+  /** Join-key skew diagnostic — the measurement that decides when the
+    * salted-join rewrite above is worth its dim-side explosion: per-key
+    * frequencies of the fact join key, the top-10 heaviest keys with
+    * their corpus share, and the max/mean skew factor. At 100 TB this is
+    * the profile run before picking salt counts / enabling AQE skew
+    * handling.
+    *
+    * Scale shape: one key-sized partial agg (map-side combine collapses
+    * the fact table to distinct keys), a 10-row deterministic top-K
+    * (count desc, key asc), and a single-row total broadcast back —
+    * never a data-sized shuffle. */
+  private def skewProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tbl.events(s, d).groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+    val tot = per.agg(count(lit(1)).as("n_keys"), sum($"cnt").as("n_rows"),
+                      max($"cnt").as("max_cnt"))
+    per.orderBy($"cnt".desc, $"user_id").limit(SkewTopK)
+      .crossJoin(broadcast(tot))
+      .select($"user_id", $"cnt",
+              expr("cnt * 1000000 div n_rows").as("share_ppm"),
+              $"n_keys", $"n_rows",
+              expr("max_cnt * 1000 div (n_rows div n_keys)").as("skew_x1000"))
+      .orderBy($"cnt".desc, $"user_id")
+  }
+
+  private val skewProfileSql =
+    s"""WITH per AS (
+       |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+       |tot AS (
+       |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |         max(cnt) AS max_cnt FROM per),
+       |top AS (
+       |  SELECT user_id, cnt FROM per ORDER BY cnt DESC, user_id
+       |  LIMIT $SkewTopK)
+       |SELECT user_id, cnt,
+       |  CAST(cnt * 1000000 // n_rows AS BIGINT) AS share_ppm,
+       |  n_keys, n_rows,
+       |  CAST(max_cnt * 1000 // (n_rows // n_keys) AS BIGINT) AS skew_x1000
+       |FROM top, tot ORDER BY cnt DESC, user_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_skew_profile"      -> (skewProfile _),
     "x_salted_join"       -> (saltedJoin _),
     "x_topk_aggregator"   -> (topkAggregator _),
     "x_bucketed_join"     -> (bucketedJoin _),
@@ -181,6 +224,7 @@ object ScaleOps extends QueryModule {
     "x_partition_pruning" -> (partitionPruning _))
 
   override val oracles: Map[String, String] = Map(
+    "x_skew_profile"      -> skewProfileSql,
     "x_salted_join"       -> saltedJoinSql,
     "x_topk_aggregator"   -> topkAggregatorSql,
     "x_bucketed_join"     -> bucketedJoinSql,

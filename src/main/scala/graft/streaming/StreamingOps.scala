@@ -747,7 +747,70 @@ object StreamingOps extends QueryModule {
        |ORDER BY mmsi, timestamp_utc, longitude, latitude, speed_over_ground""".stripMargin
   }
 
+  /** Stream-static LEFT ANTI join — the streaming blocklist filter: the
+    * event stream drops every row whose user sits in a static exclusion
+    * dimension (here: one market segment of `customer`). Stateless and
+    * append-safe — the static side broadcasts, so at 100 TB/day the
+    * stream never shuffles and the blocklist refreshes per micro-batch
+    * (static-side re-resolution is Structured Streaming's contract). */
+  private def streamAntiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val block = broadcast(Tbl.customer(s, d)
+      .where($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey"))
+    val joined = eventStream(s, d)
+      .join(block, $"user_id" === $"c_custkey", "left_anti")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+    runToTable(s, joined, "s_anti_join", OutputMode.Append())
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val streamAntiJoinSql =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+      |WHERE user_id NOT IN (SELECT c_custkey FROM customer
+      |                      WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** CHAINED stateful aggregations in one streaming query (append-mode
+    * multi-stateful, a Spark ≥3.4 capability): per-(1-minute window,
+    * user) counts re-aggregated into 5-minute roll-ups — the streaming
+    * form of the pre-agg → re-agg cascade every metrics pipeline runs.
+    * The second groupBy windows over the FIRST agg's window struct, so
+    * event-time semantics and watermark gating propagate through both
+    * stateful operators; a far-future sentinel (see eventStream) flushes
+    * both state stores and is excluded by its impossible window start.
+    * Scale shape: the first agg collapses events to (window, user)
+    * partials map-side; the second shuffles only window-count rows. */
+  private def streamChainedAgg(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) {
+      import s.implicits._
+      val agg1 = eventStream(s, d, Seq("view"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 minute"), $"user_id")
+        .agg(count(lit(1)).as("n1"))
+      val agg2 = agg1
+        .groupBy(window($"window", "5 minutes"))
+        .agg(sum($"n1").as("n_events"), count(lit(1)).as("n_user_windows"))
+        .select(unix_micros($"window.start").as("ws_us"),
+                $"n_events", $"n_user_windows")
+      runToTable(s, agg2, "s_chained_agg", OutputMode.Append())
+        .where($"ws_us" < 6000000000000000000L) // sentinel's 2191 window
+        .orderBy($"ws_us")
+    }
+
+  private val streamChainedAggSql =
+    """WITH w1 AS (
+      |  SELECT (epoch_us(ts) // 60000000) * 60000000 AS w1s_us,
+      |         user_id, count(*) AS n1
+      |  FROM events GROUP BY 1, 2)
+      |SELECT (w1s_us // 300000000) * 300000000 AS ws_us,
+      |       CAST(sum(n1) AS BIGINT) AS n_events,
+      |       count(*) AS n_user_windows
+      |FROM w1 GROUP BY 1 ORDER BY ws_us""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_stream_anti_join"  -> (streamAntiJoin _),
+    "s20_stream_chained_agg" -> (streamChainedAgg _),
     "s1_stream_window_agg"  -> (streamWindowAgg _),
     "s2_stream_last3"       -> (streamLast3 _),
     "s3_stream_gap_fill"    -> (streamGapFill _),
@@ -769,6 +832,8 @@ object StreamingOps extends QueryModule {
     "s14_stream_dedup_wm"   -> (streamDedupWm _))
 
   override val oracles: Map[String, String] = Map(
+    "s19_stream_anti_join"  -> streamAntiJoinSql,
+    "s20_stream_chained_agg" -> streamChainedAggSql,
     "s1_stream_window_agg"  -> windowAggSql,
     "s2_stream_last3"       -> last3Sql,
     "s3_stream_gap_fill"    -> gapFillSql,

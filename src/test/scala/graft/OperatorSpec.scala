@@ -135,6 +135,74 @@ class OperatorSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("sim_semantic_dedup: one row per vector; dup_of is an earlier same-cell mate") {
+    val df = SparkEntry.queries("sim_semantic_dedup")(spark, d).persist()
+    assert(df.count() == Tbl.embeddings(spark, d).count())
+    // a duplicate always points at a strictly earlier keeper
+    assert(df.where($"is_dup" && ($"dup_of".isNull || $"dup_of" >= $"vec_id"))
+             .count() == 0)
+    assert(df.where(!$"is_dup" && $"dup_of".isNotNull).count() == 0)
+    // the keeper sits in the same quantizer cell (SemDeDup never
+    // compares across clusters)
+    val keeperCells = df.select($"vec_id".as("dup_of"), $"cell".as("keeper_cell"))
+    assert(df.where($"is_dup").join(keeperCells, "dup_of")
+             .where($"cell" =!= $"keeper_cell").count() == 0)
+    df.unpersist()
+  }
+
+  test("tx_chunk_split: contiguous chunk ids; strides cover every token exactly once") {
+    val df = SparkEntry.queries("tx_chunk_split")(spark, d).persist()
+    val byDoc = df.groupBy($"doc_id").agg(
+      count(lit(1)).as("n"), min($"chunk_idx").as("mini"),
+      max($"chunk_idx").as("maxi"),
+      max($"start_tok" + $"n_chunk_tokens").as("covered"))
+    assert(byDoc.where($"mini" =!= 0 || $"maxi" =!= $"n" - 1).count() == 0)
+    // the final chunk ends exactly at the document's token count — no
+    // token dropped, none fabricated
+    val toks = Tbl.documents(spark, d)
+      .where(graft.operators.TextNorm.norm($"text") =!= "")
+      .select($"doc_id",
+              size(split(graft.operators.TextNorm.norm($"text"), " ")).as("n_tokens"))
+    assert(byDoc.join(toks, "doc_id").where($"covered" =!= $"n_tokens").count() == 0)
+    // stride < chunk size ⇒ no chunk can shrink below the overlap margin
+    assert(df.where($"n_chunk_tokens" < 8).count() == 0)
+    df.unpersist()
+  }
+
+  test("x_pseudonymize: tokenization is a bijection; aggregates survive re-keying") {
+    val df = SparkEntry.queries("x_pseudonymize")(spark, d).persist()
+    val ev = Tbl.events(spark, d)
+    assert(df.count() == ev.select($"user_id").distinct().count())
+    assert(df.agg(sum($"n_events")).collect().head.getLong(0) == ev.count())
+    df.unpersist()
+  }
+
+  test("x_scd2: versions contiguous from 1; exactly one open row per user; intervals ordered") {
+    val df = SparkEntry.queries("x_scd2")(spark, d).persist()
+    val byUser = df.groupBy($"user_id").agg(
+      count(lit(1)).as("n"), min($"version").as("minv"), max($"version").as("maxv"),
+      sum(when($"is_current", 1L).otherwise(0L)).as("open"))
+    assert(byUser.where($"minv" =!= 1 || $"maxv" =!= $"n" || $"open" =!= 1)
+                 .count() == 0)
+    assert(df.where($"valid_to_us".isNotNull && $"valid_from_us" >= $"valid_to_us")
+             .count() == 0)
+    df.unpersist()
+  }
+
+  test("tx_domain_mix + x_skew_profile: shares bounded and ordered") {
+    val mix = SparkEntry.queries("tx_domain_mix")(spark, d).persist()
+    val n = mix.count()
+    // floor-divided shares lose at most 1 ppm each
+    val total = mix.agg(sum($"share_ppm")).collect().head.getLong(0)
+    assert(total <= 1000000L && total >= 1000000L - n)
+    assert(mix.where($"kept_docs" > $"n_docs").count() == 0)
+    mix.unpersist()
+    val skew = SparkEntry.queries("x_skew_profile")(spark, d).persist()
+    assert(skew.count() <= 10)
+    assert(skew.where($"share_ppm" > 1000000L || $"skew_x1000" < 1000L).count() == 0)
+    skew.unpersist()
+  }
+
   test("mm_decode_features: mapPartitions md5 equals SQL md5") {
     val mp = SparkEntry.queries("mm_decode_features")(spark, d)
       .select($"media_id", $"content_md5")

@@ -250,6 +250,41 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("semantic dedup is cell-blocked: equi-join only, no all-pairs product") {
+    // SemDeDup's pair generation must stay an equi-join on the quantizer
+    // cell — a nested-loop fallback here is the n² scan the clustering
+    // exists to avoid
+    val p = executed(SparkEntry.queries("sim_semantic_dedup")(spark, d))
+    val nested = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        if j.joinType != org.apache.spark.sql.catalyst.plans.LeftOuter => j
+    }
+    assert(nested.isEmpty, s"semantic-dedup pair join is not an equi-join:\n$p")
+  }
+
+  test("range search: corpus scans once, only the output sort shuffles") {
+    val p = executed(SparkEntry.queries("sim_range_search")(spark, d))
+    val shuffles = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 1,
+           s"range search shuffles beyond the output sort:\n$p")
+  }
+
+  test("OOV rate: the vocabulary broadcasts back, token stream never shuffles for it") {
+    val p = executed(SparkEntry.queries("tx_oov_rate")(spark, d))
+    val bhj = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected broadcast vocab join in:\n$p")
+    val streamedShuffles = bhj.flatMap { j =>
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+        case _                                                  => j.right
+      }
+      collect(streamed) { case e: ShuffleExchangeLike => e }
+    }
+    assert(streamedShuffles.isEmpty,
+           s"token stream shuffles before the vocab join:\n$p")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
