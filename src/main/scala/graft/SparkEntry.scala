@@ -32,9 +32,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalOps.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every query runs with the engine's optimizer extensions live
+    * (currently the rank-limit → native-top-K lowering): the driver
+    * constructs its own SparkSession without `spark.sql.extensions`,
+    * so the session is enrolled imperatively here — one line, every
+    * entry point, no per-query opt-in. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+    modules.flatMap(_.queries).toMap.map { case (name, fn) =>
+      name -> { (s: SparkSession, d: String) =>
+        org.apache.spark.sql.graft.RankLimitToTopK.ensureRegistered(s)
+        fn(s, d)
+      }
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -92,6 +92,8 @@ object DotProductFloat {
   * server, notebooks). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RankLimitToTopK)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectFunction((
       FunctionIdentifier(DotProductFloat.name),
       new ExpressionInfo(classOf[DotProductFloat].getName, DotProductFloat.name),

@@ -285,6 +285,20 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
            s"token stream shuffles before the vocab join:\n$p")
   }
 
+  test("rank-limit auto-rewrite: the plain window idiom lowers to the native heap operator") {
+    // a3 is written as row_number().over(window).where(rn <= 3) — the
+    // stock idiom. Catalyst infers a WindowGroupLimit; RankLimitToTopK
+    // lowers it to TopKPerKeyExec (partial heap before the exchange,
+    // final after), so users get the native operator without asking.
+    val p = executed(SparkEntry.queries("a3_top3_per_key")(spark, d))
+    val topk = collectWithSubqueries(p) {
+      case e: org.apache.spark.sql.graft.TopKPerKeyExec => e
+    }
+    assert(topk.size == 2, s"expected partial+final TopKPerKeyExec in:\n$p")
+    assert(topk.exists(_.partial) && topk.exists(!_.partial),
+           s"expected one partial and one final instance in:\n$p")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
