@@ -105,6 +105,51 @@ object MultimodalOps extends QueryModule {
 
   /** Ingest: binary + typed metadata, content fingerprinted — pure
     * column expressions, no codec needed. */
+  /** Image-text pair construction (the LAION-style multimodal curation
+    * pass): each image joins its caption document, and the pair carries
+    * the prefilter statistics a CLIP-scoring stage consumes — caption
+    * token count, media byte budget, aspect ratio — plus the kept flag
+    * under the stock thresholds (≥5 caption tokens, ≥64 px sides,
+    * aspect within [1:3, 3:1]).
+    *
+    * Scale shape: a 1:1 equi-join on the id (both sides hash-partition
+    * once; content bytes stay in the media scan — only id + length
+    * travel), then pure per-row arithmetic. Aspect is exact integer
+    * per-mille — no float ratio to round. */
+  private def mmCaptionPair(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = Tbl.documents(s, d).select(
+      $"doc_id".as("media_id"),
+      size(split(TextNorm.norm($"text"), " ")).as("cap_tokens"))
+    media(s, d).where($"kind" === "image")
+      .select($"media_id", length($"content").as("n_bytes"),
+              $"width", $"height")
+      .join(cap, "media_id")
+      .withColumn("aspect_pm",
+                  expr("width * 1000 div greatest(height, 1)"))
+      .withColumn("kept",
+        $"cap_tokens" >= 5 && $"width" >= 64 && $"height" >= 64 &&
+        $"aspect_pm".between(333, 3000))
+      .select($"media_id", $"cap_tokens", $"n_bytes", $"width", $"height",
+              $"aspect_pm", $"kept")
+      .orderBy($"media_id")
+  }
+
+  private val mmCaptionPairSql = {
+    val capTokens =
+      s"len(string_split(${TextNorm.normSql}, ' '))"
+    s"""SELECT doc_id AS media_id,
+       |  CAST($capTokens AS INT) AS cap_tokens,
+       |  octet_length(encode(text)) AS n_bytes,
+       |  CAST(n_chars % 640 AS INT) AS width,
+       |  CAST(n_chars % 480 AS INT) AS height,
+       |  CAST((n_chars % 640) * 1000 // greatest(n_chars % 480, 1) AS BIGINT) AS aspect_pm,
+       |  ($capTokens >= 5 AND n_chars % 640 >= 64 AND n_chars % 480 >= 64
+       |   AND (n_chars % 640) * 1000 // greatest(n_chars % 480, 1)
+       |       BETWEEN 333 AND 3000) AS kept
+       |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin
+  }
+
   private def mmIngest(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     media(s, d)
@@ -295,6 +340,7 @@ object MultimodalOps extends QueryModule {
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_caption_pair"    -> (mmCaptionPair _),
     "mm_ingest"          -> (mmIngest _),
     "mm_phash_neardup"   -> (mmPhashNearDup _),
     "mm_dedup"           -> (mmDedup _),
@@ -303,6 +349,7 @@ object MultimodalOps extends QueryModule {
     "mm_frame_sample"    -> (mmFrameSample _))
 
   override val oracles: Map[String, String] = Map(
+    "mm_caption_pair"    -> mmCaptionPairSql,
     "mm_ingest"          -> mmIngestSql,
     "mm_phash_neardup"   -> mmPhashNearDupSql,
     "mm_dedup"           -> mmDedupSql,
