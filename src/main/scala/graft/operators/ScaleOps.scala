@@ -215,7 +215,45 @@ object ScaleOps extends QueryModule {
        |  CAST(max_cnt * 1000 // (n_rows // n_keys) AS BIGINT) AS skew_x1000
        |FROM top, tot ORDER BY cnt DESC, user_id""".stripMargin
 
+  /** Incremental aggregate maintenance — the materialized-view merge
+    * law, stated as a query: a stored per-key aggregate snapshot plus a
+    * small delta batch merge into EXACTLY the aggregate a full recompute
+    * yields (count/sum add, min/max re-minimize). The oracle states the
+    * full recompute, so the equivalence is hash-checked.
+    *
+    * At 100 TB the snapshot side is a stored MV (keys-sized, not
+    * data-sized) — each refresh shuffles ONLY the delta through partial
+    * aggregation and merges key-to-key; the corpus is never re-read.
+    * Every aggregate here is decomposable (self-merging partials);
+    * avg-style metrics ride as (sum, count) pairs. */
+  private def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tbl.events(s, d)
+      .select($"event_type", $"event_id", Tbl.cents($"value").as("v_c"),
+              unix_micros($"ts").as("t_us"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"v_c").as("v_c"),
+             min($"t_us").as("min_us"), max($"t_us").as("max_us"))
+    val snapshot = partial(ev.where($"event_id" % 10 =!= 0)) // the stored MV
+    val delta    = partial(ev.where($"event_id" % 10 === 0)) // the new batch
+    snapshot.unionByName(delta)
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n"), sum($"v_c").as("v_c"),
+           min($"min_us").as("min_us"), max($"max_us").as("max_us"))
+      .select($"event_type", $"n", round($"v_c" / 100.0, 2).as("sum_value"),
+              $"min_us", $"max_us")
+      .orderBy($"event_type")
+  }
+
+  private val incrementalAggSql =
+    """SELECT event_type, count(*) AS n,
+      |  round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value,
+      |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_incremental_agg"   -> (incrementalAgg _),
     "x_skew_profile"      -> (skewProfile _),
     "x_salted_join"       -> (saltedJoin _),
     "x_topk_aggregator"   -> (topkAggregator _),
@@ -224,6 +262,7 @@ object ScaleOps extends QueryModule {
     "x_partition_pruning" -> (partitionPruning _))
 
   override val oracles: Map[String, String] = Map(
+    "x_incremental_agg"   -> incrementalAggSql,
     "x_skew_profile"      -> skewProfileSql,
     "x_salted_join"       -> saltedJoinSql,
     "x_topk_aggregator"   -> topkAggregatorSql,

@@ -651,6 +651,72 @@ object SimilarityOps extends QueryModule {
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   }
 
+  private val MrlDims = 16 // truncated prefix dims for the coarse pass
+  private val MrlTopM = 20 // coarse survivors per query, reranked exactly
+
+  /** Truncated-dimension ANN (Matryoshka-representation retrieval): the
+    * coarse pass scores only the FIRST 16 of 64 dims — with MRL-trained
+    * embeddings the information-dense prefix — then the top-M survivors
+    * per query are reranked at full dimension. A 4× scan-bandwidth cut
+    * on the corpus pass, same two-phase shape as `sim_sq_ann` (which
+    * cuts precision instead of dimension; the two compose).
+    *
+    * Scale shape: coarse pass = one corpus scan against the broadcast
+    * query set, no shuffle; rerank joins the |Q|·M candidate list back
+    * by id — broadcast at any scale. Prefix slicing is positional, so
+    * coarse scores are pure IEEE folds, floor-truncated before ranking
+    * like every cosine here. */
+  private def mrlAnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tbl.embeddings(s, d)
+    val sub = emb.select($"vec_id", slice($"embedding", 1, MrlDims).as("sub"))
+    val queries = sub.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"sub".as("q_sub"))
+    val wc = Window.partitionBy($"q_id").orderBy($"cdot".desc, $"vec_id")
+    val cand = sub.crossJoin(broadcast(queries))
+      .where($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", cos6(dot($"q_sub", $"sub")).as("cdot"))
+      .withColumn("crk", row_number().over(wc))
+      .where($"crk" <= MrlTopM)
+      .select($"q_id", $"vec_id", $"cdot")
+    val wr = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    val withQ = emb.select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .join(broadcast(cand), "q_id")
+    emb.select($"vec_id", $"embedding")
+      .join(broadcast(withQ), "vec_id")
+      .select($"q_id", $"vec_id", $"cdot",
+              cos6(dot($"q_emb", $"embedding")).as("cosine"))
+      .withColumn("rk", row_number().over(wr))
+      .where($"rk" <= TopK)
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val mrlAnnSql = {
+    val cdot =
+      s"""list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+         | for i in generate_series(1, $MrlDims)])""".stripMargin
+    s"""WITH cand AS (
+       |  SELECT q_id, vec_id, cdot FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |      ${cos6Sql(cdot)} AS cdot,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY ${cos6Sql(cdot)} DESC, c.vec_id) AS crk
+       |    FROM embeddings c, embeddings q
+       |    WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
+       |  WHERE crk <= $MrlTopM)
+       |SELECT q_id, vec_id, cdot, cosine, rk FROM (
+       |  SELECT co.q_id, co.vec_id, co.cdot,
+       |    ${cos6Sql(dotSql("eq.embedding", "ec.embedding"))} AS cosine,
+       |    row_number() OVER (PARTITION BY co.q_id
+       |      ORDER BY ${cos6Sql(dotSql("eq.embedding", "ec.embedding"))} DESC,
+       |               co.vec_id) AS rk
+       |  FROM cand co
+       |  JOIN embeddings eq ON eq.vec_id = co.q_id
+       |  JOIN embeddings ec ON ec.vec_id = co.vec_id)
+       |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+  }
+
   private val SemDedupCosine = 0.3 // corpus demo threshold, see embeddingNeardup
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
@@ -742,6 +808,7 @@ object SimilarityOps extends QueryModule {
     "sim_pq_ann"       -> (pqAnn _),
     "sim_kmeans_refine" -> (kmeansRefine _),
     "sim_ivf_trained"  -> (ivfTrained _),
+    "sim_mrl_ann"      -> (mrlAnn _),
     "sim_semantic_dedup" -> (semanticDedup _),
     "sim_range_search" -> (rangeSearch _),
     "sim_emb_neardup"  -> (embeddingNeardup _))
@@ -755,6 +822,7 @@ object SimilarityOps extends QueryModule {
     "sim_pq_ann"       -> pqAnnSql,
     "sim_kmeans_refine" -> kmeansRefineSql,
     "sim_ivf_trained"  -> ivfTrainedSql,
+    "sim_mrl_ann"      -> mrlAnnSql,
     "sim_semantic_dedup" -> semanticDedupSql,
     "sim_range_search" -> rangeSearchSql,
     "sim_emb_neardup"  -> embeddingNeardupSql)

@@ -203,6 +203,20 @@ class OperatorSpec extends SparkSpec {
     skew.unpersist()
   }
 
+  test("sim_mrl_ann: full top-k per query, reranked cosine never exceeds brute's same rank") {
+    val mrl = SparkEntry.queries("sim_mrl_ann")(spark, d)
+      .select($"q_id", $"rk", $"cosine".as("mrl_cos")).persist()
+    val perQ = mrl.groupBy($"q_id").agg(count(lit(1)).as("n"), max($"rk").as("maxrk"))
+    assert(perQ.where($"n" =!= 5 || $"maxrk" =!= 5).count() == 0)
+    // exact rerank of a candidate subset can tie but never beat the
+    // exhaustive scan at the same rank
+    val brute = SparkEntry.queries("sim_topk_brute")(spark, d)
+      .select($"q_id", $"rk", $"cosine".as("brute_cos"))
+    assert(mrl.join(brute, Seq("q_id", "rk"))
+              .where($"mrl_cos" > $"brute_cos").count() == 0)
+    mrl.unpersist()
+  }
+
   test("mm_decode_features: mapPartitions md5 equals SQL md5") {
     val mp = SparkEntry.queries("mm_decode_features")(spark, d)
       .select($"media_id", $"content_md5")
