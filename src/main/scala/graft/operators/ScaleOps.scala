@@ -185,7 +185,9 @@ object ScaleOps extends QueryModule {
     * Scale shape: one key-sized partial agg (map-side combine collapses
     * the fact table to distinct keys), a 10-row deterministic top-K
     * (count desc, key asc), and a single-row total broadcast back —
-    * never a data-sized shuffle. */
+    * never a data-sized shuffle. Bound: `cnt · 10⁶` is BIGINT-exact to
+    * ~9.2e12 rows per key (DuckDB promotes to HUGEINT) — beyond any
+    * key frequency a 100 TB fact table can hold. */
   private def skewProfile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val per = Tbl.events(s, d).groupBy($"user_id").agg(count(lit(1)).as("cnt"))

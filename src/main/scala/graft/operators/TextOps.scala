@@ -231,7 +231,10 @@ object TextOps extends QueryModule {
     * Scale shape: one source-keyed partial agg (domain cardinality is
     * tiny) + a single-row total broadcast back — no data-sized shuffle.
     * All shares/weights are integer ppm via floor division on exact
-    * counts (the quality_ppm discipline). */
+    * counts (the quality_ppm discipline). Bound: `total · 10⁶` rides a
+    * BIGINT on the Spark side (DuckDB promotes to HUGEINT), so the ppm
+    * math is exact to ~9.2e12 documents per mixture job — two orders
+    * past a 100 TB corpus of short documents. */
   private def domainMix(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val per = Tbl.documents(s, d)
