@@ -364,6 +364,57 @@ object TextOps extends QueryModule {
        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** Model-based quality filtering, deployment-shaped: a LINEAR
+    * classifier (weights learned offline — fastText-style quality
+    * filters reduce to exactly this at serving time) folded into a pure
+    * column expression. At 100 TB the model ships INTO the scan as
+    * codegen arithmetic — no model service, no UDF, no batch boundary;
+    * retraining redeploys by editing literals.
+    *
+    * Every feature and the score are exact integers (per-term floor
+    * division, non-negative numerators), so the kept/dropped decision
+    * boundary is bit-identical across engines — a float dot product
+    * here would make borderline documents flip per platform. */
+  private def modelFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nW = size($"words").cast("long")
+    val len = greatest(length($"text").cast("long"), lit(1L))
+    Tbl.documents(s, d)
+      .withColumn("words", split(norm($"text"), " ")) // materialized attr
+      .select($"doc_id", nW.as("n_words"),
+        (size(array_distinct($"words")).cast("long") * 1000000L / nW)
+          .cast("long").as("uniq_ppm"),
+        (size(filter($"words", w => w.isInCollection(stop))).cast("long")
+          * 1000000L / nW).cast("long").as("stop_ppm"),
+        ((length($"text") - length(regexp_replace($"text", "[0-9]", ""))).cast("long")
+          * 1000000L / len).cast("long").as("digit_ppm"))
+      .select($"doc_id", $"n_words", $"uniq_ppm", $"stop_ppm", $"digit_ppm",
+        expr("least(n_words, 200) * 800 + uniq_ppm div 2" +
+             " + stop_ppm div 4 - digit_ppm div 2").as("score_u"))
+      .withColumn("kept", $"score_u" >= 400000L)
+      .orderBy($"doc_id")
+  }
+
+  private val modelFilterSql = {
+    val words = s"string_split($normSql, ' ')"
+    val nW = s"len($words)"
+    val nStop = s"len(list_filter($words, w -> w IN $stopSqlList))"
+    val nDigit = s"(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
+    val len = "greatest(length(text), 1)"
+    s"""SELECT doc_id, n_words, uniq_ppm, stop_ppm, digit_ppm,
+       |  CAST(least(n_words, 200) * 800 + uniq_ppm // 2
+       |       + stop_ppm // 4 - digit_ppm // 2 AS BIGINT) AS score_u,
+       |  (least(n_words, 200) * 800 + uniq_ppm // 2
+       |   + stop_ppm // 4 - digit_ppm // 2) >= 400000 AS kept
+       |FROM (
+       |  SELECT doc_id, CAST($nW AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct($words)) * 1000000 // $nW AS BIGINT) AS uniq_ppm,
+       |    CAST($nStop * 1000000 // $nW AS BIGINT) AS stop_ppm,
+       |    CAST($nDigit * 1000000 // $len AS BIGINT) AS digit_ppm
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def heavyHitters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tbl.documents(s, d)
@@ -500,6 +551,7 @@ object TextOps extends QueryModule {
     "tx_quality_score" -> (qualityScore _),
     "tx_lang_id"       -> (langId _),
     "tx_fingerprint"   -> (fingerprint _),
+    "tx_model_filter"  -> (modelFilter _),
     "tx_domain_mix"    -> (domainMix _),
     "tx_oov_rate"      -> (oovRate _),
     "tx_chunk_split"   -> (chunkSplit _),
@@ -514,6 +566,7 @@ object TextOps extends QueryModule {
     "tx_quality_score" -> qualityScoreSql,
     "tx_lang_id"       -> langIdSql,
     "tx_fingerprint"   -> fingerprintSql,
+    "tx_model_filter"  -> modelFilterSql,
     "tx_domain_mix"    -> domainMixSql,
     "tx_oov_rate"      -> oovRateSql,
     "tx_chunk_split"   -> chunkSplitSql,
