@@ -201,6 +201,40 @@ object CurationOps extends QueryModule {
       |      < CASE event_type WHEN 'click' THEN 50 WHEN 'purchase' THEN 25 ELSE 10 END
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Deterministic train/val/test split assignment (90/5/5): the split
+    * is a pure function of a salted md5 bucket over the doc key — no RNG
+    * state, so re-runs, backfills, and different clusters assign every
+    * document identically, and a document's split NEVER changes as the
+    * corpus grows (the property that keeps eval sets honest across
+    * dataset versions; rotating the salt re-splits). Assignment is a
+    * per-row projection; the summary is a split×lang-sized agg.
+    * Companion to `tx_decontaminate`, which then checks the test split's
+    * shingles never leak into train. */
+  private def datasetSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket =
+      conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 8),
+           16, 10).cast("long") % 100
+    Tbl.documents(s, d)
+      .withColumn("split", when(bucket < 90, "train")
+                             .when(bucket < 95, "val").otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      .orderBy($"split", $"lang")
+  }
+
+  private val datasetSplitSql = {
+    val bucket =
+      "CAST(('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8)) AS BIGINT) % 100"
+    s"""SELECT split, lang, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM (SELECT lang, n_chars,
+       |        CASE WHEN $bucket < 90 THEN 'train'
+       |             WHEN $bucket < 95 THEN 'val' ELSE 'test' END AS split
+       |      FROM documents)
+       |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+  }
+
   /** Per-doc stateless quality signals (n_words, uniq_ppm) — shared by
     * the batch verdict pipeline and its streaming twin (s13). */
   private[graft] def qualitySignals(df: DataFrame): DataFrame =
@@ -478,6 +512,7 @@ object CurationOps extends QueryModule {
        |FROM events GROUP BY 1, 2 ORDER BY event_type, hh""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dataset_split"     -> (datasetSplit _),
     "x_pseudonymize"      -> (pseudonymize _),
     "x_l_diversity"       -> (lDiversity _),
     "x_k_anonymity"       -> (kAnonymity _),
@@ -492,6 +527,7 @@ object CurationOps extends QueryModule {
     "x_stratified_sample" -> (stratifiedSample _))
 
   override val oracles: Map[String, String] = Map(
+    "x_dataset_split"     -> datasetSplitSql,
     "x_pseudonymize"      -> pseudonymizeSql,
     "x_l_diversity"       -> lDiversitySql,
     "x_k_anonymity"       -> kAnonymitySql,
