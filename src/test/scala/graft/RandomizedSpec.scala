@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Seeded-random differential tests: registered operators run against
+  * GENERATED tables rather than the driver corpus, and are checked
+  * against an independent formulation or algebraic invariants. The point
+  * is edge shapes the fixed corpus never produces — exact-duplicate
+  * timestamps across a key, single-event users, 0/1/boundary-length
+  * documents — where an off-by-one survives every oracle run. Seeds are
+  * fixed, so a failure reproduces deterministically.
+  */
+class RandomizedSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Random events table in the driver's wire shape (ts = NANOS long).
+    * Second-granularity timestamps over a 1 h span force plenty of exact
+    * ts collisions per user — the tie shapes ranking/session/SCD code
+    * must break deterministically. */
+  private def randomEventsDir(seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    val dir = Tbl.scratchDir("rand_ev")
+    val n = 80 + rnd.nextInt(120)
+    val rows = (0 until n.toInt).map { i =>
+      (i.toLong,
+       1700000000000000000L + rnd.nextInt(3600).toLong * 1000000000L,
+       rnd.nextInt(8).toLong,
+       Seq("click", "view", "purchase")(rnd.nextInt(3)),
+       rnd.nextInt(10000) / 100.0,
+       "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  /** Random documents table hitting every chunk/tokenize boundary:
+    * 0, 1, stride−1, chunk, chunk+1, … word counts. */
+  private def randomDocsDir(seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    val dir = Tbl.scratchDir("rand_doc")
+    val counts = Seq(0, 1, 2, 23, 24, 25, 31, 32, 33, 56, 57, 200) ++
+      Seq.fill(20)(rnd.nextInt(120))
+    val rows = counts.zipWithIndex.map { case (c, i) =>
+      val text = Seq.fill(c)("w" + rnd.nextInt(30)).mkString(" ")
+      (i.toLong, text, "en", "src" + (i % 3), text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def assertSameRows(a: DataFrame, b: DataFrame, hint: String): Unit = {
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, hint)
+  }
+
+  test("TopKPerKey ≡ ranking window on random data, for several k") {
+    for (seed <- 1 to 2; k <- Seq(1, 3, 7)) {
+      val d = randomEventsDir(seed)
+      val ev = Tbl.events(spark, d).select($"event_id", $"ts", $"user_id")
+      val native = org.apache.spark.sql.graft.TopKPerKey(
+          ev, k, Seq("user_id"), Seq(("ts", true), ("event_id", true)))
+        .select($"user_id", $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      val ref = ev.withColumn("rn", row_number().over(w))
+        .where($"rn" <= k).select($"user_id", $"event_id")
+      assertSameRows(native, ref, s"seed=$seed k=$k")
+    }
+  }
+
+  test("interval merge on random data: disjoint, ordered, strict gaps, lossless counts") {
+    val d = randomEventsDir(7)
+    val df = SparkEntry.queries("x_merge_intervals")(spark, d).persist()
+    val w = Window.partitionBy($"user_id").orderBy($"ws_us")
+    val bad = df.withColumn("pwe", lag($"we_us", 1).over(w))
+      .where($"we_us" <= $"ws_us" || ($"pwe".isNotNull && $"ws_us" <= $"pwe"))
+    assert(bad.count() == 0, "overlapping or inverted merged intervals")
+    val lost = df.groupBy($"user_id").agg(sum($"n_events").as("m"))
+      .join(Tbl.events(spark, d).groupBy($"user_id").count(), "user_id")
+      .where($"m" =!= $"count")
+    assert(lost.count() == 0, "merge dropped or duplicated events")
+    df.unpersist()
+  }
+
+  test("SCD2 on random data (heavy ts ties): versions contiguous, one open row, intervals chain") {
+    val d = randomEventsDir(11)
+    val df = SparkEntry.queries("x_scd2")(spark, d).persist()
+    val byUser = df.groupBy($"user_id").agg(
+      count(lit(1)).as("n"), min($"version").as("minv"), max($"version").as("maxv"),
+      sum(when($"is_current", 1L).otherwise(0L)).as("open"))
+    assert(byUser.where($"minv" =!= 1 || $"maxv" =!= $"n" || $"open" =!= 1).count() == 0)
+    // each closed row's valid_to equals the next version's valid_from
+    val w = Window.partitionBy($"user_id").orderBy($"version")
+    val chain = df.withColumn("nextFrom", lead($"valid_from_us", 1).over(w))
+      .where($"valid_to_us".isNotNull && $"valid_to_us" =!= $"nextFrom")
+    assert(chain.count() == 0, "validity intervals do not chain")
+    df.unpersist()
+  }
+
+  test("incremental agg ≡ direct agg on random data") {
+    val d = randomEventsDir(13)
+    val inc = SparkEntry.queries("x_incremental_agg")(spark, d)
+    val ref = Tbl.events(spark, d)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           round(sum(Tbl.cents($"value")) / 100.0, 2).as("sum_value"),
+           min(unix_micros($"ts")).as("min_us"),
+           max(unix_micros($"ts")).as("max_us"))
+    assertSameRows(inc, ref.select(inc.columns.map(col): _*), "MV merge law broken")
+  }
+
+  test("chunk split on boundary-length random docs: exact coverage, no phantom chunks") {
+    val d = randomDocsDir(17)
+    val df = SparkEntry.queries("tx_chunk_split")(spark, d).persist()
+    val byDoc = df.groupBy($"doc_id").agg(
+      count(lit(1)).as("n"), min($"chunk_idx").as("mini"),
+      max($"chunk_idx").as("maxi"),
+      max($"start_tok" + $"n_chunk_tokens").as("covered"))
+    assert(byDoc.where($"mini" =!= 0 || $"maxi" =!= $"n" - 1).count() == 0)
+    val toks = Tbl.documents(spark, d)
+      .where(graft.operators.TextNorm.norm($"text") =!= "")
+      .select($"doc_id",
+              size(split(graft.operators.TextNorm.norm($"text"), " ")).as("n_tokens"))
+    assert(byDoc.join(toks, "doc_id").where($"covered" =!= $"n_tokens").count() == 0)
+    // the empty doc (0 words) must produce NO chunks at all
+    assert(df.join(toks, Seq("doc_id"), "left_anti").count() == 0)
+    df.unpersist()
+  }
+
+  test("dataset split on random docs: partition is total and rerun-stable") {
+    val d = randomDocsDir(19)
+    val a = SparkEntry.queries("x_dataset_split")(spark, d)
+    val total = a.agg(sum($"n_docs")).collect().head.getLong(0)
+    assert(total == Tbl.documents(spark, d).count(), "split is not a partition")
+    val b = SparkEntry.queries("x_dataset_split")(spark, d)
+    assertSameRows(a, b, "split assignment not deterministic across runs")
+  }
+}
