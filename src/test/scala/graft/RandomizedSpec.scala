@@ -31,8 +31,17 @@ class RandomizedSpec extends SparkSpec {
        rnd.nextInt(10000) / 100.0,
        "{}")
     }
+    // single FILE named events.parquet, mirroring the driver layout —
+    // the streaming file source symlinks this exact path and must not
+    // meet a nested directory there
+    val tmp = Tbl.scratchDir("rand_stage")
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(fail("no part file written"))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
     dir
   }
 
@@ -127,6 +136,59 @@ class RandomizedSpec extends SparkSpec {
     // the empty doc (0 words) must produce NO chunks at all
     assert(df.join(toks, Seq("doc_id"), "left_anti").count() == 0)
     df.unpersist()
+  }
+
+  /** Random docs with PLANTED duplicate structure: doc 3k+1 and 3k+2
+    * copy doc 3k's text; singletons fill the rest. The dedup family must
+    * recover exactly the planted groups — a differential no corpus run
+    * provides, since the driver corpus's duplicates are incidental. */
+  private def plantedDupDir(seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    val dir = Tbl.scratchDir("rand_dup")
+    val texts = (0 until 12).map(g =>
+      Seq.fill(10 + rnd.nextInt(20))("w" + rnd.nextInt(50)).mkString(" "))
+    val rows = (0 until 36).map { i =>
+      val t = texts(i / 3) // triplets: (0,1,2) share texts(0), (3,4,5) texts(1), …
+      (i.toLong, t, "en", "src", t.length.toLong)
+    } ++ (36 until 50).map { i =>
+      val t = Seq.fill(10 + rnd.nextInt(20))("u" + i + "x" + rnd.nextInt(50)).mkString(" ")
+      (i.toLong, t, "en", "src", t.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup recovers planted duplicate groups precisely") {
+    val d = plantedDupDir(23)
+    val df = SparkEntry.queries("dd_exact")(spark, d)
+    // keepers are the group minima: docs 0,3,6,...,33 carry n_copies=3,
+    // singletons carry 1
+    val trip = df.where($"n_copies" === 3)
+    assert(trip.count() == 12, "expected 12 planted triplet groups")
+    assert(trip.where($"keeper" % 3 =!= 0).count() == 0,
+           "keeper is not the smallest planted id")
+    assert(df.where($"n_copies" =!= 3 && $"n_copies" =!= 1).count() == 0,
+           "phantom duplicate group")
+    // total docs accounted for
+    assert(df.agg(sum($"n_copies")).collect().head.getLong(0) == 50)
+  }
+
+  test("streaming twins ≡ batch on random data: dedup and sessionization") {
+    val d = randomEventsDir(29)
+    // streaming distinct vs batch distinct
+    val sDedup = SparkEntry.queries("s4_stream_dedup")(spark, d)
+    val bDedup = Tbl.events(spark, d)
+      .select($"user_id", $"event_type").distinct()
+    assertSameRows(sDedup, bDedup.select(sDedup.columns.map(col): _*),
+                   "stream dedup diverges from batch distinct")
+    spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+    // streaming session windows vs batch sessionize
+    val sSess = SparkEntry.queries("s10_stream_session")(spark, d)
+    val bSess = SparkEntry.queries("x_sessionize")(spark, d)
+    assertSameRows(sSess, bSess.select(sSess.columns.map(col): _*),
+                   "stream sessionization diverges from batch")
+    spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
   }
 
   test("dataset split on random docs: partition is total and rerun-stable") {
