@@ -191,6 +191,23 @@ class RandomizedSpec extends SparkSpec {
     spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
   }
 
+  test("streaming twins ≡ batch on random data: kinematic window agg and stateful last-3") {
+    val d = randomEventsDir(31)
+    // 7-agg sliding window: update-mode streaming state vs batch window —
+    // random exact-ts collisions stress the arg_max composite tie-break
+    val sWin = SparkEntry.queries("s1_stream_window_agg")(spark, d)
+    val bWin = SparkEntry.queries("a1_sliding_window")(spark, d)
+    assertSameRows(sWin, bWin.select(sWin.columns.map(col): _*),
+                   "stream window agg diverges from batch")
+    spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+    // flatMapGroupsWithState last-3 vs ranking window
+    val sL3 = SparkEntry.queries("s2_stream_last3")(spark, d)
+    val bL3 = SparkEntry.queries("a3_top3_per_key")(spark, d)
+    assertSameRows(sL3, bL3.select(sL3.columns.map(col): _*),
+                   "stateful last-3 diverges from ranking window")
+    spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+  }
+
   test("dataset split on random docs: partition is total and rerun-stable") {
     val d = randomDocsDir(19)
     val a = SparkEntry.queries("x_dataset_split")(spark, d)
