@@ -208,6 +208,30 @@ class RandomizedSpec extends SparkSpec {
     spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
   }
 
+  test("streaming twins ≡ batch on random data: gap-fill and RocksDB running totals") {
+    val d = randomEventsDir(37)
+    // keyed-state interpolation vs batch lag/sequence formulation
+    val sGap = SparkEntry.queries("s3_stream_gap_fill")(spark, d)
+    val bGap = SparkEntry.queries("a5_gap_fill")(spark, d)
+    assertSameRows(sGap, bGap.select(sGap.columns.map(col): _*),
+                   "stream gap-fill diverges from batch")
+    spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+    // transformWithState running totals vs cumulative window
+    val sRun = SparkEntry.queries("s11_stream_tws")(spark, d)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bRun = Tbl.events(spark, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+              Tbl.cents($"value").as("v_c"))
+      .select($"user_id", $"event_id", $"ts_us",
+              count(lit(1)).over(w).as("run_n"),
+              round(sum($"v_c").over(w) / 100.0, 2).as("run_sum"))
+    assertSameRows(sRun, bRun.select(sRun.columns.map(col): _*),
+                   "transformWithState totals diverge from cumulative window")
+    spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+  }
+
   test("dataset split on random docs: partition is total and rerun-stable") {
     val d = randomDocsDir(19)
     val a = SparkEntry.queries("x_dataset_split")(spark, d)
