@@ -285,6 +285,27 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
            s"token stream shuffles before the vocab join:\n$p")
   }
 
+  test("rank-limit auto-rewrite fires on the SQL-string surface too") {
+    // same engine semantics through spark.sql over a temp view — the
+    // rule lowers Catalyst's inferred group limit regardless of which
+    // API authored the plan
+    org.apache.spark.sql.graft.RankLimitToTopK.ensureRegistered(spark)
+    Tbl.events(spark, d).createOrReplaceTempView("rank_rw_events")
+    try {
+      val df = spark.sql(
+        """SELECT user_id, event_id, rn FROM (
+          |  SELECT user_id, event_id,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM rank_rw_events) WHERE rn <= 3""".stripMargin)
+      val p = executed(df)
+      val topk = collectWithSubqueries(p) {
+        case e: org.apache.spark.sql.graft.TopKPerKeyExec => e
+      }
+      assert(topk.size == 2, s"SQL path did not lower to TopKPerKeyExec:\n$p")
+    } finally spark.catalog.dropTempView("rank_rw_events")
+  }
+
   test("rank-limit auto-rewrite: the plain window idiom lowers to the native heap operator") {
     // a3 is written as row_number().over(window).where(rn <= 3) — the
     // stock idiom. Catalyst infers a WindowGroupLimit; RankLimitToTopK
