@@ -312,7 +312,41 @@ object AnalyticsOps extends QueryModule {
       |WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  /** Cohort retention: users grouped by first-activity hour (the
+    * cohort), counted again at each subsequent hour offset they remain
+    * active — the activation/retention matrix every product-analytics
+    * stack derives from an event log. Hour indices are exact integer
+    * floor divisions of epoch micros; offset 0 row = cohort size.
+    *
+    * Scale shape: first-seen is one user-keyed min agg; activity
+    * distincts to (user, hour); the cohort join is user-keyed (both
+    * sides already hash-partitioned by user) and the matrix agg is
+    * cohort×offset-sized — row counts shrink at every step, nothing
+    * data-sized moves twice. */
+  private def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourIdx = expr("unix_micros(ts) div 3600000000")
+    val activity = Tbl.events(s, d)
+      .select($"user_id", hourIdx.as("h")).distinct()
+    val cohort = activity.groupBy($"user_id").agg(min($"h").as("c_h"))
+    activity.join(cohort, "user_id")
+      .groupBy($"c_h".as("cohort_h"), ($"h" - $"c_h").as("offset_h"))
+      .agg(count_distinct($"user_id").as("n_users"))
+      .orderBy($"cohort_h", $"offset_h")
+  }
+
+  private val cohortRetentionSql =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS h FROM events),
+      |cohort AS (SELECT user_id, min(h) AS c_h FROM activity GROUP BY user_id)
+      |SELECT CAST(c.c_h AS BIGINT) AS cohort_h,
+      |       CAST(a.h - c.c_h AS BIGINT) AS offset_h,
+      |       count(DISTINCT a.user_id) AS n_users
+      |FROM activity a JOIN cohort c ON a.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_h, offset_h""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_cohort_retention" -> (cohortRetention _),
     "x_scd2"            -> (scd2 _),
     "x_pivot"           -> (pivotCounts _),
     "x_unpivot"         -> (unpivotCounts _),
@@ -324,6 +358,7 @@ object AnalyticsOps extends QueryModule {
     "x_merge_intervals" -> (mergeIntervals _))
 
   override val oracles: Map[String, String] = Map(
+    "x_cohort_retention" -> cohortRetentionSql,
     "x_scd2"            -> scd2Sql,
     "x_pivot"           -> pivotCountsSql,
     "x_unpivot"         -> unpivotCountsSql,

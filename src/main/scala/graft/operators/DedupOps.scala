@@ -362,6 +362,58 @@ object DedupOps extends QueryModule {
        |SELECT node AS doc_id, least(node, min(r)) AS cluster
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  private val SpanW = 8 // words per rolling span
+
+  /** Duplicate-SPAN detection (the ExactSubstr lineage — Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better"):
+    * every OVERLAPPING 8-word span of every document is fingerprinted,
+    * and a span whose fingerprint occurs more than once corpus-wide is a
+    * duplicated span; each doc reports its duplicated-span ppm — the
+    * repeated-passage statistic that whole-doc and fixed-chunk dedup
+    * both miss (a quote or boilerplate paragraph INSIDE otherwise-unique
+    * documents). The suffix-array formulation of the paper is
+    * single-machine; rolling fixed-width fingerprints are its
+    * shuffle-friendly corpus-scale shape.
+    *
+    * Scale shape: span fan-out is ~1 row per word (16-byte hash + two
+    * ids, never text); corpus-wide df is one hash-keyed agg, and the
+    * df join back is hash-to-hash. The within-doc span build is a
+    * per-row HOF over a materialized `words` attribute (TextNorm
+    * discipline). */
+  private def dupSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sp = Tbl.documents(s, d)
+      .withColumn("words", split(norm($"text"), " "))
+      .where(size($"words") >= SpanW)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(1, size(words) - ${SpanW - 1})," +
+        s" i -> md5(concat_ws(' ', slice(words, i, $SpanW))))")).as("h"))
+      .persist() // both the df agg and the join-back read it
+    val df = sp.groupBy($"h").agg(count(lit(1)).as("df"))
+    sp.join(df, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when($"df" > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ppm", expr("n_dup_spans * 1000000 div n_spans"))
+      .orderBy($"doc_id")
+  }
+
+  private val dupSpansSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+       |sp AS (
+       |  SELECT doc_id,
+       |         md5(array_to_string(words[i : i + ${SpanW - 1}], ' ')) AS h
+       |  FROM w, LATERAL unnest(generate_series(1, len(words) - ${SpanW - 1})) t(i)
+       |  WHERE len(words) >= $SpanW),
+       |df AS (SELECT h, count(*) AS df FROM sp GROUP BY h)
+       |SELECT sp.doc_id, count(*) AS n_spans,
+       |  CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |  CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+       |       AS BIGINT) AS dup_ppm
+       |FROM sp JOIN df ON sp.h = df.h
+       |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin
+
   /** Incremental (cross-snapshot) dedup: a NEW batch of documents
     * (doc_id odd) lands against an already-deduplicated CORPUS (doc_id
     * even) — keep only batch docs whose content hash appears nowhere in
@@ -401,6 +453,7 @@ object DedupOps extends QueryModule {
       |GROUP BY 1 ORDER BY keeper""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_dup_spans"     -> (dupSpans _),
     "dd_exact"         -> (exactDedup _),
     "dd_incremental"   -> (incrementalDedup _),
     "dd_norm_dedup"    -> (normDedup _),
@@ -411,6 +464,7 @@ object DedupOps extends QueryModule {
     "dd_ngram_jaccard" -> (ngramJaccard _))
 
   override val oracles: Map[String, String] = Map(
+    "dd_dup_spans"     -> dupSpansSql,
     "dd_exact"         -> exactDedupSql,
     "dd_incremental"   -> incrementalDedupSql,
     "dd_norm_dedup"    -> normDedupSql,
