@@ -771,6 +771,55 @@ object SimilarityOps extends QueryModule {
        |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  private val NumNegatives = 8
+
+  /** Deterministic negative sampling for contrastive training (the
+    * DPR/retriever data-prep step): for each anchor query, draw K
+    * negatives from OUTSIDE its coarse-quantizer cell — same-cell
+    * vectors are likely positives, so excluding the cell is the cheap
+    * hard-negative guard — ordered by a salted per-(anchor, candidate)
+    * hash. No RNG state: re-runs, backfills, and shards draw identical
+    * negatives, and rotating the salt redraws the whole epoch.
+    *
+    * Scale shape: cell assignment is the literal projection; candidates
+    * are one corpus scan against the broadcast anchor set; the rank is
+    * a per-anchor window over hash-ordered rows. */
+  private def negativeSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val assigned = Tbl.embeddings(s, d)
+      .select($"vec_id", cellCol(constVectors(s, d, NumCentroids)).as("cell"))
+    val queries = assigned.where($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"cell".as("q_cell"))
+    val w = Window.partitionBy($"q_id").orderBy($"r", $"vec_id")
+    assigned.crossJoin(broadcast(queries))
+      .where($"cell" =!= $"q_cell")
+      .select($"q_id", $"vec_id", $"cell",
+              md5(concat_ws(":", lit("neg-v1"), $"q_id", $"vec_id")).as("r"))
+      .withColumn("neg_rank", row_number().over(w))
+      .where($"neg_rank" <= NumNegatives)
+      .select($"q_id", $"neg_rank", $"vec_id", $"cell")
+      .orderBy($"q_id", $"neg_rank")
+  }
+
+  private val negativeSampleSql =
+    s"""WITH assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.vec_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos6Sql(dotSql("e.embedding", "c.embedding"))} DESC,
+       |                 c.vec_id) AS rka
+       |    FROM embeddings e, embeddings c WHERE c.vec_id < $NumCentroids)
+       |  WHERE rka = 1)
+       |SELECT q_id, neg_rank, vec_id, cell FROM (
+       |  SELECT q.vec_id AS q_id, a.vec_id AS vec_id, a.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY md5('neg-v1:' || q.vec_id || ':' || a.vec_id),
+       |               a.vec_id) AS neg_rank
+       |  FROM assigned a JOIN assigned q
+       |    ON q.vec_id < $NumQueries AND a.cell <> q.cell)
+       |WHERE neg_rank <= $NumNegatives ORDER BY q_id, neg_rank""".stripMargin
+
   private val RangeMinCosine = 0.2
 
   /** Cosine range (radius) search — the fixed-threshold companion to
@@ -811,6 +860,7 @@ object SimilarityOps extends QueryModule {
     "sim_mrl_ann"      -> (mrlAnn _),
     "sim_semantic_dedup" -> (semanticDedup _),
     "sim_range_search" -> (rangeSearch _),
+    "sim_negative_sample" -> (negativeSample _),
     "sim_emb_neardup"  -> (embeddingNeardup _))
 
   override val oracles: Map[String, String] = Map(
@@ -825,5 +875,6 @@ object SimilarityOps extends QueryModule {
     "sim_mrl_ann"      -> mrlAnnSql,
     "sim_semantic_dedup" -> semanticDedupSql,
     "sim_range_search" -> rangeSearchSql,
+    "sim_negative_sample" -> negativeSampleSql,
     "sim_emb_neardup"  -> embeddingNeardupSql)
 }
