@@ -232,6 +232,27 @@ class RandomizedSpec extends SparkSpec {
     spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
   }
 
+  test("stream-stream LEFT OUTER join ≡ batch outer join on random data") {
+    // the watermark-sentinel end-of-stream flush is the riskiest
+    // streaming machinery in the engine: verify the unmatched-row set
+    // against a plain batch outer join on data the corpus never shaped
+    val d = randomEventsDir(41)
+    val sOut = SparkEntry.queries("s14_stream_outer_join")(spark, d)
+    val ev = Tbl.events(spark, d)
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id".as("cu"), $"event_id".as("click_id"), $"ts".as("cts"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"event_id".as("purchase_id"), $"ts".as("pts"))
+    val ref = clicks.join(purchases,
+        $"cu" === $"pu" && $"pts" >= $"cts" &&
+        $"pts" <= $"cts" + expr("INTERVAL 10 MINUTES"), "left_outer")
+      .select($"cu".as("user_id"), $"click_id", $"purchase_id",
+              (unix_micros($"pts") - unix_micros($"cts")).as("lag_us"))
+    assertSameRows(sOut, ref.select(sOut.columns.map(col): _*),
+                   "streaming outer join diverges from batch outer join")
+    spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+  }
+
   test("dataset split on random docs: partition is total and rerun-stable") {
     val d = randomDocsDir(19)
     val a = SparkEntry.queries("x_dataset_split")(spark, d)
