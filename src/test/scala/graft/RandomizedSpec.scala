@@ -253,6 +253,26 @@ class RandomizedSpec extends SparkSpec {
     spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
   }
 
+  test("pipecsv DSv2 round-trip preserves random rows exactly (empty strings, negatives)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(43)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("v_c", LongType)))
+    val rows = (0 until 300).map { i =>
+      val et = Seq("", "a", "click view", "z" * 40, i.toString)(rnd.nextInt(5))
+      Row(i.toLong, rnd.nextInt(1000).toLong, et, rnd.nextLong() % 1000000L)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val dir = Tbl.scratchDir("rand_pipecsv")
+    df.write.format("pipecsv").option("frameLen", 200).mode("append").save(dir)
+    val back = spark.read.format("pipecsv").schema(schema)
+      .option("frameLen", 200).load(dir)
+    assertSameRows(back, df, "pipecsv round-trip not lossless")
+  }
+
   test("dataset split on random docs: partition is total and rerun-stable") {
     val d = randomDocsDir(19)
     val a = SparkEntry.queries("x_dataset_split")(spark, d)
