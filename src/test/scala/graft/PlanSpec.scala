@@ -285,6 +285,29 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
            s"token stream shuffles before the vocab join:\n$p")
   }
 
+  test("rank-limit lowering declines rank(): ties must keep more than K rows") {
+    // the heap exec emits EXACTLY k rows per key — row_number semantics.
+    // rank()/dense_rank() keep every tied row at the boundary, so the
+    // rule must leave them on the stock path; this pin guards the
+    // RowNumber-only match from being silently widened
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    org.apache.spark.sql.graft.RankLimitToTopK.ensureRegistered(spark)
+    val w = Window.partitionBy($"user_id").orderBy($"event_type") // heavy ties
+    val df = Tbl.events(spark, d)
+      .withColumn("rk", org.apache.spark.sql.functions.rank().over(w))
+      .where($"rk" <= 3)
+    val p = executed(df)
+    val topk = collectWithSubqueries(p) {
+      case e: org.apache.spark.sql.graft.TopKPerKeyExec => e
+    }
+    assert(topk.isEmpty, s"rule must not fire on rank():\n$p")
+    // rank ≤ 3 with ties keeps more rows than 3 distinct keys × 3
+    val perKey = df.groupBy($"user_id").count()
+    assert(perKey.where($"count" > 3).count() > 0,
+           "fixture produced no rank ties — tie guard untested")
+  }
+
   test("rank-limit auto-rewrite fires on the SQL-string surface too") {
     // same engine semantics through spark.sql over a temp view — the
     // rule lowers Catalyst's inferred group limit regardless of which
