@@ -150,14 +150,69 @@ object SourceOps extends QueryModule {
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** JSON-lines source/sink round trip — the file-based form of the
+    * reference's JSON envelope transport (its Kafka values are exactly
+    * these objects): events written as ndjson, read back under an
+    * EXPLICIT schema (schema inference over 100 TB of JSON is a full
+    * extra scan — never at scale), aggregated against the parquet
+    * truth. Values ride as exact cents so JSON double formatting can't
+    * perturb the hash. */
+  private def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = Tbl.scratchDir("jsonl")
+    Tbl.events(s, d)
+      .select($"event_id", $"user_id", $"event_type",
+              Tbl.cents($"value").as("v_c"))
+      .write.mode("overwrite").json(dir)
+    s.read.schema(frameSchema).json(dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_v_c"),
+           min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+
+  /** ORC source/sink round trip — the second columnar format Spark
+    * ships natively; same scan/pushdown machinery class as parquet, so
+    * a lake migrating between the two keeps every plan shape. The
+    * filter proves predicate evaluation over the ORC scan. */
+  private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = Tbl.scratchDir("orc_rt")
+    Tbl.events(s, d)
+      .select($"event_id", $"user_id", $"event_type",
+              Tbl.cents($"value").as("v_c"))
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .where($"user_id" % 2 === 0)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_v_c"))
+      .orderBy($"event_type")
+  }
+
+  private val jsonlRoundtripSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val orcRoundtripSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v_c
+      |FROM events WHERE user_id % 2 = 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> (csvRoundtrip _),
+    "src_jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "src_orc_roundtrip" -> (orcRoundtrip _),
     "src_seed_union"    -> (seedUnion _),
     "src_dsv2_pipecsv"  -> (dsv2Pipecsv _),
     "src_dsv2_write"    -> (dsv2WriteRoundtrip _))
 
   override val oracles: Map[String, String] = Map(
     "src_csv_roundtrip" -> csvRoundtripSql,
+    "src_jsonl_roundtrip" -> jsonlRoundtripSql,
+    "src_orc_roundtrip" -> orcRoundtripSql,
     "src_seed_union"    -> seedUnionSql,
     "src_dsv2_pipecsv"  -> dsv2PipecsvSql,
     "src_dsv2_write"    -> dsv2WriteRoundtripSql)
