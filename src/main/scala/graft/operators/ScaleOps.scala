@@ -254,7 +254,40 @@ object ScaleOps extends QueryModule {
       |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Inline data-quality observation (`Dataset.observe` →
+    * `CollectMetrics`): corpus health metrics — row count, exact value
+    * total, id range, null count — piggyback on a pass that is running
+    * ANYWAY, at zero extra scan. At 100 TB this is how per-batch QC
+    * dashboards exist without doubling cluster load; the `Observation`
+    * handle blocks until the action lands the metrics. CollectMetrics
+    * only admits deterministic non-distinct aggregates — exactly the
+    * exact-arithmetic subset the oracle discipline wants. */
+  private def observeQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = new org.apache.spark.sql.Observation()
+    val ev = Tbl.events(s, d).observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(Tbl.cents($"value")).as("sum_v_c"),
+      sum(when($"value".isNull, 1L).otherwise(0L)).as("n_null_value"),
+      min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+    ev.write.mode("overwrite").format("noop").save() // the host pass
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_v_c").asInstanceOf[Long],
+         m("n_null_value").asInstanceOf[Long], m("min_id").asInstanceOf[Long],
+         m("max_id").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_v_c", "n_null_value", "min_id", "max_id")
+  }
+
+  private val observeQualitySql =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+      |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_null_value,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_observe_quality"   -> (observeQuality _),
     "x_incremental_agg"   -> (incrementalAgg _),
     "x_skew_profile"      -> (skewProfile _),
     "x_salted_join"       -> (saltedJoin _),
@@ -264,6 +297,7 @@ object ScaleOps extends QueryModule {
     "x_partition_pruning" -> (partitionPruning _))
 
   override val oracles: Map[String, String] = Map(
+    "x_observe_quality"   -> observeQualitySql,
     "x_incremental_agg"   -> incrementalAggSql,
     "x_skew_profile"      -> skewProfileSql,
     "x_salted_join"       -> saltedJoinSql,
