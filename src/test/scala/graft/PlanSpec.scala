@@ -285,6 +285,30 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
            s"token stream shuffles before the vocab join:\n$p")
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // the 100 TB story leans on AQE re-planning (skew splits, partition
+    // coalescing); pin that the engine's queries actually run under an
+    // adaptive plan and that a tiny shuffle collapses below the static
+    // partition count instead of scheduling empty reducers
+    import spark.implicits._
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.shuffle.partitions" -> "64") {
+      import org.apache.spark.sql.functions.{count, lit}
+      val df = Tbl.events(spark, d)
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      df.collect() // materialize so AQE finalizes the plan
+      val p = df.queryExecution.executedPlan
+      val reads = collectWithSubqueries(p) {
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+      }
+      assert(reads.nonEmpty, s"no adaptive shuffle read in:\n$p")
+      assert(reads.forall(_.partitionSpecs.size < 64),
+             s"AQE did not coalesce below the static 64:\n$p")
+    }
+  }
+
   test("rank-limit lowering declines rank(): ties must keep more than K rows") {
     // the heap exec emits EXACTLY k rows per key — row_number semantics.
     // rank()/dense_rank() keep every tied row at the boundary, so the
