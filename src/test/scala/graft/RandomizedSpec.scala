@@ -56,8 +56,16 @@ class RandomizedSpec extends SparkSpec {
       val text = Seq.fill(c)("w" + rnd.nextInt(30)).mkString(" ")
       (i.toLong, text, "en", "src" + (i % 3), text.length.toLong)
     }
+    // single-file staging, like randomEventsDir: the document stream
+    // symlinks this exact path
+    val tmp = Tbl.scratchDir("rand_doc_stage")
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(fail("no part file written"))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
     dir
   }
 
@@ -282,6 +290,30 @@ class RandomizedSpec extends SparkSpec {
     val back = spark.read.format("pipecsv").schema(schema)
       .option("frameLen", 200).load(dir)
     assertSameRows(back, df, "pipecsv round-trip not lossless")
+  }
+
+  test("streaming twins ≡ batch on random data: pipecsv micro-batch replay and curation") {
+    val d = randomEventsDir(47)
+    // multi-batch admission-controlled replay through the custom DSv2
+    // source — random row counts force a partial final batch
+    val sPipe = SparkEntry.queries("s15_stream_pipecsv")(spark, d)
+    val bPipe = Tbl.events(spark, d)
+      .select($"event_type", Tbl.cents($"value").as("v_c"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_v_c"))
+    assertSameRows(sPipe, bPipe.select(sPipe.columns.map(col): _*),
+                   "pipecsv micro-batch replay diverges from batch")
+    spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+    // stateless streaming curation on random docs (0/1-word edges)
+    val dd = randomDocsDir(53)
+    val sCur = SparkEntry.queries("s13_stream_curation")(spark, dd)
+    val bCur = graft.operators.CurationOps.qualitySignals(
+        Tbl.documents(spark, dd))
+      .select($"doc_id", $"lang", $"n_words", $"uniq_ppm",
+              graft.operators.CurationOps.statelessVerdict.as("verdict"))
+    assertSameRows(sCur, bCur.select(sCur.columns.map(col): _*),
+                   "stream curation diverges from batch signals")
+    spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
   }
 
   test("dataset split on random docs: partition is total and rerun-stable") {
