@@ -319,6 +319,21 @@ object DedupOps extends QueryModule {
   private def dupClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = minhashLsh(s, d).select($"a", $"b").persist()
+    // the label/edge relations are PAIR-GRAPH-sized (near-dup density ×
+    // corpus, orders below the corpus itself) and each propagation round
+    // is a few joins over them: run the loop at a partition count sized
+    // to that volume, not the session default — the same
+    // measure-then-size lesson as the streaming state knob. Restored
+    // after the loop; at a 100 TB pair graph raise it with the graph.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try dupClustersLoop(s, pairs)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def dupClustersLoop(s: SparkSession,
+                              pairs: DataFrame): DataFrame = {
+    import s.implicits._
     val edges = pairs.union(pairs.select($"b", $"a")).toDF("src", "dst").persist()
     var labels = edges.select($"src".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("cluster")).persist()
