@@ -116,6 +116,57 @@ object WindowOps extends QueryModule {
   /** A4: rolling 3-row average per key (row frame) — the "series of
     * rolling window aggregate functions on the kinematic features"
     * (`README.md:98`). */
+  private val EwmaDepth = 16 // contributions beyond 2^-16 are sub-cent
+
+  /** Exponential-decay smoothing (EWMA, α = 1/2) — the classic
+    * kinematic smoother beside the boxcar (`a4_rolling_avg`): each
+    * event's smoothed value halves every step into the past. The decayed
+    * sum is Σ v_cents[t−k] div 2^k over a bounded 16-step history —
+    * per-term integer floor division by a power of two, so every term
+    * and the sum are exact longs on both engines (no float pow, no
+    * geometric-series rounding), with the normalizing weight-sum emitted
+    * beside it so the caller can finish the division at display time.
+    *
+    * Scale shape: one window spec, 16 lag() expressions over it — a
+    * single shuffle on user_id and one in-partition pass, identical cost
+    * class to the boxcar window. */
+  private def ewmaDecay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // arithmetic right shift = floor division by 2^k for either sign —
+    // the same semantics as the oracle's `//` (Spark's long `/` is
+    // double division and `div` truncates toward zero on negatives)
+    val terms = (0 until EwmaDepth).map { k =>
+      shiftright(coalesce(lag($"v_c", k).over(w), lit(0L)), k)
+    }
+    val weights = (0 until EwmaDepth).map { k =>
+      when(lag($"v_c", k).over(w).isNotNull, lit(1000000L / (1L << k)))
+        .otherwise(lit(0L))
+    }
+    Tbl.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+              Tbl.cents($"value").as("v_c"), $"ts")
+      .select($"user_id", $"event_id", $"ts_us",
+              terms.reduce(_ + _).as("decayed_c"),
+              weights.reduce(_ + _).as("weight_ppm"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val ewmaDecaySql = {
+    val w = "PARTITION BY user_id ORDER BY ts, event_id"
+    val vc = "CAST(round(value*100) AS BIGINT)"
+    val terms = (0 until EwmaDepth).map { k =>
+      s"coalesce(lag($vc, $k) OVER ($w), 0) // ${1L << k}"
+    }.mkString(" + ")
+    val weights = (0 until EwmaDepth).map { k =>
+      s"CASE WHEN lag($vc, $k) OVER ($w) IS NOT NULL THEN ${1000000L / (1L << k)} ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |  CAST($terms AS BIGINT) AS decayed_c,
+       |  CAST($weights AS BIGINT) AS weight_ppm
+       |FROM events ORDER BY user_id, event_id""".stripMargin
+  }
+
   private def rollingAvg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -342,6 +393,7 @@ object WindowOps extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_sliding_window"  -> (slidingWindow _),
+    "a7_ewma_decay"      -> (ewmaDecay _),
     "a4_rolling_avg"     -> (rollingAvg _),
     "a4_range_window"    -> (rangeWindow _),
     "a5_gap_fill"        -> (gapFill _),
@@ -353,6 +405,7 @@ object WindowOps extends QueryModule {
 
   override val oracles: Map[String, String] = Map(
     "a1_sliding_window"  -> slidingWindowSql,
+    "a7_ewma_decay"      -> ewmaDecaySql,
     "a4_rolling_avg"     -> rollingAvgSql,
     "a4_range_window"    -> rangeWindowSql,
     "a5_gap_fill"        -> gapFillSql,
