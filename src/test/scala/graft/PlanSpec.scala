@@ -285,6 +285,15 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
            s"token stream shuffles before the vocab join:\n$p")
   }
 
+  test("EWMA: sixteen lag terms share one window exchange") {
+    // all 32 window expressions ride the same (partition, order) spec —
+    // a second Exchange would mean the spec was accidentally forked
+    val p = executed(SparkEntry.queries("a7_ewma_decay")(spark, d))
+    val shuffles = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2,
+           s"EWMA shuffles beyond window partition + output sort:\n$p")
+  }
+
   test("AQE coalesces undersized shuffle partitions at runtime") {
     // the 100 TB story leans on AQE re-planning (skew splits, partition
     // coalescing); pin that the engine's queries actually run under an

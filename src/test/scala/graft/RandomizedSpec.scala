@@ -316,6 +316,31 @@ class RandomizedSpec extends SparkSpec {
     spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
   }
 
+  test("EWMA decay on random data ≡ a literal Scala fold over each user's history") {
+    val d = randomEventsDir(59)
+    val got = SparkEntry.queries("a7_ewma_decay")(spark, d)
+      .select($"user_id", $"event_id", $"decayed_c", $"weight_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent reference: sort each user's events in plain Scala and
+    // fold the shifted terms by hand — catches any window-frame
+    // off-by-one the SQL-vs-SQL oracle could share
+    val ev = Tbl.events(spark, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+              Tbl.cents($"value").as("v_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val hist = rows.sortBy(r => (r._3, r._2)) // (ts, event_id)
+      hist.zipWithIndex.foreach { case ((u, id, _, _), i) =>
+        val window = hist.slice(math.max(0, i - 15), i + 1).reverse
+        val expDecayed = window.zipWithIndex.map { case (r, k) => r._4 >> k }.sum
+        val expWeight = window.zipWithIndex.map { case (_, k) => 1000000L / (1L << k) }.sum
+        assert(got((u, id)) == ((expDecayed, expWeight)),
+               s"user=$u event=$id: got ${got((u, id))}, expected ($expDecayed, $expWeight)")
+      }
+    }
+  }
+
   test("dataset split on random docs: partition is total and rerun-stable") {
     val d = randomDocsDir(19)
     val a = SparkEntry.queries("x_dataset_split")(spark, d)
