@@ -395,25 +395,103 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
-  private val modelFilterSql = {
+  /** The model-filter feature subquery + score expression, shared by
+    * `tx_model_filter` and the corpus sampler's oracle — one definition
+    * so the linear model can never silently fork between them. */
+  private val modelFeaturesSql = {
     val words = s"string_split($normSql, ' ')"
     val nW = s"len($words)"
     val nStop = s"len(list_filter($words, w -> w IN $stopSqlList))"
     val nDigit = s"(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
     val len = "greatest(length(text), 1)"
-    s"""SELECT doc_id, n_words, uniq_ppm, stop_ppm, digit_ppm,
-       |  CAST(least(n_words, 200) * 800 + uniq_ppm // 2
-       |       + stop_ppm // 4 - digit_ppm // 2 AS BIGINT) AS score_u,
-       |  (least(n_words, 200) * 800 + uniq_ppm // 2
-       |   + stop_ppm // 4 - digit_ppm // 2) >= 400000 AS kept
-       |FROM (
-       |  SELECT doc_id, CAST($nW AS BIGINT) AS n_words,
+    s"""SELECT doc_id, source, CAST($nW AS BIGINT) AS n_words,
        |    CAST(len(list_distinct($words)) * 1000000 // $nW AS BIGINT) AS uniq_ppm,
        |    CAST($nStop * 1000000 // $nW AS BIGINT) AS stop_ppm,
        |    CAST($nDigit * 1000000 // $len AS BIGINT) AS digit_ppm
-       |  FROM documents)
-       |ORDER BY doc_id""".stripMargin
+       |  FROM documents""".stripMargin
   }
+  private val modelScoreSql =
+    "least(n_words, 200) * 800 + uniq_ppm // 2 + stop_ppm // 4 - digit_ppm // 2"
+
+  private val modelFilterSql =
+    s"""SELECT doc_id, n_words, uniq_ppm, stop_ppm, digit_ppm,
+       |  CAST($modelScoreSql AS BIGINT) AS score_u,
+       |  ($modelScoreSql) >= 400000 AS kept
+       |FROM ($modelFeaturesSql)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Corpus-assembly sampler — the step that turns curation signals
+    * into the training corpus: per-doc keep = (linear quality score
+    * passes) AND (deterministic md5 draw under the source's
+    * downsample-to-target mixture weight). Composes `tx_model_filter`
+    * and `tx_domain_mix` semantics in one pass — the application step
+    * of a DoReMi-style mixture atop a fastText-style filter. The target
+    * mixture is priority-weighted (priority = a deterministic function
+    * of the source id, standing in for the learned domain weights), so
+    * low-priority sources genuinely downsample (40%/80% classes on this
+    * corpus) rather than saturating at 1. No RNG state anywhere:
+    * re-runs select identical documents, and the rates are exact ppm.
+    *
+    * Scale shape: mixture weights are a source-sized agg broadcast
+    * back; everything else is the per-row score + one md5 — a single
+    * corpus scan. */
+  private def corpusSampler(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val prio = (substring($"source", 4, 8).cast("long") % 4L + 1L).as("prio")
+    val per = Tbl.documents(s, d).groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), first(prio).as("prio"))
+    val tot = per.agg(sum($"n_docs").as("total"), sum($"prio").as("sum_prio"))
+    val weights = per.crossJoin(broadcast(tot))
+      .select($"source",
+        expr("least(1000000, prio * total * 1000000 div (sum_prio * n_docs))")
+          .as("weight_ppm"))
+    val nW = size($"words").cast("long")
+    val len = greatest(length($"text").cast("long"), lit(1L))
+    Tbl.documents(s, d)
+      .withColumn("words", split(norm($"text"), " "))
+      .select($"doc_id", $"source",
+        nW.as("n_words"),
+        (size(array_distinct($"words")).cast("long") * 1000000L / nW)
+          .cast("long").as("uniq_ppm"),
+        (size(filter($"words", w => w.isInCollection(stop))).cast("long")
+          * 1000000L / nW).cast("long").as("stop_ppm"),
+        ((length($"text") - length(regexp_replace($"text", "[0-9]", ""))).cast("long")
+          * 1000000L / len).cast("long").as("digit_ppm"))
+      .select($"doc_id", $"source",
+        expr("least(n_words, 200) * 800 + uniq_ppm div 2" +
+             " + stop_ppm div 4 - digit_ppm div 2").as("score_u"))
+      .join(broadcast(weights), "source")
+      .withColumn("draw",
+        conv(substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 8),
+             16, 10).cast("long") % 1000000L)
+      .select($"doc_id", $"source", $"score_u", $"weight_ppm",
+              ($"draw" < $"weight_ppm").as("sampled"),
+              ($"draw" < $"weight_ppm" && $"score_u" >= 400000L).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  private val corpusSamplerSql =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS prio
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+       |               CAST(sum(prio) AS BIGINT) AS sum_prio FROM per),
+       |weights AS (
+       |  SELECT source,
+       |    CAST(least(1000000, prio * total * 1000000 // (sum_prio * n_docs))
+       |         AS BIGINT) AS weight_ppm
+       |  FROM per, tot),
+       |scored AS (
+       |  SELECT doc_id, source, CAST($modelScoreSql AS BIGINT) AS score_u,
+       |    CAST(('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8)) AS BIGINT)
+       |      % 1000000 AS draw
+       |  FROM ($modelFeaturesSql))
+       |SELECT s.doc_id, s.source, s.score_u, w.weight_ppm,
+       |  s.draw < w.weight_ppm AS sampled,
+       |  (s.draw < w.weight_ppm AND s.score_u >= 400000) AS kept
+       |FROM scored s JOIN weights w ON s.source = w.source
+       |ORDER BY doc_id""".stripMargin
 
   private def heavyHitters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -552,6 +630,7 @@ object TextOps extends QueryModule {
     "tx_lang_id"       -> (langId _),
     "tx_fingerprint"   -> (fingerprint _),
     "tx_model_filter"  -> (modelFilter _),
+    "tx_corpus_sampler" -> (corpusSampler _),
     "tx_domain_mix"    -> (domainMix _),
     "tx_oov_rate"      -> (oovRate _),
     "tx_chunk_split"   -> (chunkSplit _),
@@ -567,6 +646,7 @@ object TextOps extends QueryModule {
     "tx_lang_id"       -> langIdSql,
     "tx_fingerprint"   -> fingerprintSql,
     "tx_model_filter"  -> modelFilterSql,
+    "tx_corpus_sampler" -> corpusSamplerSql,
     "tx_domain_mix"    -> domainMixSql,
     "tx_oov_rate"      -> oovRateSql,
     "tx_chunk_split"   -> chunkSplitSql,
