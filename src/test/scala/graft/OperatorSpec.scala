@@ -217,6 +217,16 @@ class OperatorSpec extends SparkSpec {
     mrl.unpersist()
   }
 
+  test("tx_corpus_sampler: kept implies sampled and passing score; draw honors the weight") {
+    val df = SparkEntry.queries("tx_corpus_sampler")(spark, d).persist()
+    assert(df.where($"kept" && !$"sampled").count() == 0)
+    assert(df.where($"kept" && $"score_u" < 400000L).count() == 0)
+    assert(df.where($"sampled" && $"score_u" >= 400000L && !$"kept").count() == 0)
+    // a full-weight source keeps every draw
+    assert(df.where($"weight_ppm" === 1000000L && !$"sampled").count() == 0)
+    df.unpersist()
+  }
+
   test("mm_decode_features: mapPartitions md5 equals SQL md5") {
     val mp = SparkEntry.queries("mm_decode_features")(spark, d)
       .select($"media_id", $"content_md5")
