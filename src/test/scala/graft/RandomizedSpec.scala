@@ -341,6 +341,44 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream FULL OUTER and SEMI joins ≡ batch on random data") {
+    val d = randomEventsDir(61)
+    val ev = Tbl.events(spark, d)
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id".as("cu"), $"event_id".as("click_id"), $"ts".as("cts"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"event_id".as("purchase_id"), $"ts".as("pts"))
+    val cond = $"cu" === $"pu" && $"pts" >= $"cts" &&
+      $"pts" <= $"cts" + expr("INTERVAL 10 MINUTES")
+    val sFull = SparkEntry.queries("s16_stream_full_outer")(spark, d)
+    val bFull = clicks.join(purchases, cond, "full_outer")
+      .select(coalesce($"cu", $"pu").as("user_id"), $"click_id", $"purchase_id",
+              (unix_micros($"pts") - unix_micros($"cts")).as("lag_us"))
+    assertSameRows(sFull, bFull.select(sFull.columns.map(col): _*),
+                   "streaming full outer diverges from batch")
+    spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+    val sSemi = SparkEntry.queries("s18_stream_semi_join")(spark, d)
+    val bSemi = clicks.join(purchases, cond, "left_semi")
+      .select($"cu".as("user_id"), $"click_id", unix_micros($"cts").as("ts_us"))
+    assertSameRows(sSemi, bSemi.select(sSemi.columns.map(col): _*),
+                   "streaming semi join diverges from batch")
+    spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+  }
+
+  test("chained stateful aggregation ≡ batch window-over-window on random data") {
+    val d = randomEventsDir(67)
+    val sCh = SparkEntry.queries("s20_stream_chained_agg")(spark, d)
+    val w1 = Tbl.events(spark, d)
+      .groupBy(expr("(unix_micros(ts) div 60000000) * 60000000").as("w1_us"),
+               $"user_id")
+      .agg(count(lit(1)).as("n1"))
+    val bCh = w1.groupBy(expr("(w1_us div 300000000) * 300000000").as("ws_us"))
+      .agg(sum($"n1").as("n_events"), count(lit(1)).as("n_user_windows"))
+    assertSameRows(sCh, bCh.select(sCh.columns.map(col): _*),
+                   "chained streaming agg diverges from batch rollup")
+    spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+  }
+
   test("dataset split on random docs: partition is total and rerun-stable") {
     val d = randomDocsDir(19)
     val a = SparkEntry.queries("x_dataset_split")(spark, d)
