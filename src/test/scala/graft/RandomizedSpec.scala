@@ -193,6 +193,27 @@ class RandomizedSpec extends SparkSpec {
     assert(df.agg(sum($"n_copies")).collect().head.getLong(0) == 50)
   }
 
+  test("binary media dedup recovers the planted duplicate groups too") {
+    // media content = UTF-8 bytes of doc text, so planted text triplets
+    // are planted BINARY triplets — exercises the md5-of-binary path and
+    // its keeper/copy-count bookkeeping on known structure
+    val d = plantedDupDir(71)
+    val df = SparkEntry.queries("mm_dedup")(spark, d).persist()
+    // groups split by kind (media kind cycles with id % 3), so each
+    // planted text-triplet lands as 3 single-kind groups... unless two
+    // members share a kind: ids 3k,3k+1,3k+2 → kinds image/audio/video,
+    // one per member ⇒ every planted group is 3 singleton byte-groups
+    // per kind pairing (kind is part of neither hash nor grouping —
+    // verify against first principles instead: per content hash, copies
+    // count 3 for planted, 1 for fillers)
+    val byHash = df.groupBy($"h").agg(sum($"n_copies").as("n"))
+    assert(byHash.where($"n" =!= 3 && $"n" =!= 1).count() == 0,
+           "unexpected copy multiplicity")
+    assert(byHash.where($"n" === 3).count() == 12, "expected 12 planted groups")
+    assert(df.agg(sum($"n_copies")).collect().head.getLong(0) == 50)
+    df.unpersist()
+  }
+
   test("streaming twins ≡ batch on random data: dedup and sessionization") {
     val d = randomEventsDir(29)
     // streaming distinct vs batch distinct
