@@ -44,7 +44,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"stat":"min"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"stat":"min"}"""
+    println(line)
+    // ALSO land the line in a file: the driver's stdout harvester has
+    // truncated the sbt tail before (BENCH_r04 kept 63/135 timings), and
+    // per-query history is the regression signal — it must survive
+    // verbatim (round-4 VERDICT item #4)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"bench file write failed: $e") }
     spark.stop()
   }
 }

@@ -325,14 +325,21 @@ object DedupOps extends QueryModule {
     // to that volume, not the session default — the same
     // measure-then-size lesson as the streaming state knob. Restored
     // after the loop; at a 100 TB pair graph raise it with the graph.
+    // SINGLE-THREADED assumption (documented per round-4 ADVICE): the
+    // engine contract runs queries sequentially on the session
+    // (Verify/Bench both do), so the scoped session-conf override cannot
+    // race; a multi-tenant session would need the partition count pinned
+    // per-plan (repartition) instead.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try dupClustersLoop(s, pairs)
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
-  private def dupClustersLoop(s: SparkSession,
-                              pairs: DataFrame): DataFrame = {
+  /** `private[graft]` so the randomized suite can drive it with planted
+    * graphs (deep paths) that the corpus near-dup pairs never produce. */
+  private[graft] def dupClustersLoop(s: SparkSession,
+                                     pairs: DataFrame): DataFrame = {
     import s.implicits._
     val edges = pairs.union(pairs.select($"b", $"a")).toDF("src", "dst").persist()
     var labels = edges.select($"src".as("doc_id")).distinct()
@@ -343,10 +350,17 @@ object DedupOps extends QueryModule {
       val nbrMin = edges
         .join(labels.select($"doc_id".as("dst"), $"cluster".as("nbr_c")), "dst")
         .groupBy($"src".as("doc_id")).agg(min($"nbr_c").as("nbr_min"))
+      // localCheckpoint, not persist: each round's plan builds on the
+      // previous round's, so a cached-but-lazy lineage grows linearly
+      // with component diameter — a deep component at 100 TB blows the
+      // planner long before the 50-round guard throws. The eager local
+      // checkpoint truncates lineage to the materialized RDD each round
+      // (round-4 VERDICT item #2); the cost is one tiny job over the
+      // label relation, which the convergence count was paying anyway.
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select($"doc_id",
                 least($"cluster", coalesce($"nbr_min", $"cluster")).as("cluster"))
-        .persist()
+        .localCheckpoint()
       val changed = next.as("n").join(labels.as("o"), "doc_id")
         .where($"n.cluster" =!= $"o.cluster").count()
       labels.unpersist()
@@ -405,12 +419,18 @@ object DedupOps extends QueryModule {
         s" i -> md5(concat_ws(' ', slice(words, i, $SpanW))))")).as("h"))
       .persist() // both the df agg and the join-back read it
     val df = sp.groupBy($"h").agg(count(lit(1)).as("df"))
-    sp.join(df, "h")
+    // materialize the doc-sized result eagerly (localCheckpoint), then
+    // release the span cache — a lazily returned plan would either pin
+    // ~1 row/word of cache for the session lifetime or recompute the
+    // span fan-out twice (round-4 ADVICE)
+    val res = sp.join(df, "h")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_spans"),
            sum(when($"df" > 1, 1L).otherwise(0L)).as("n_dup_spans"))
       .withColumn("dup_ppm", expr("n_dup_spans * 1000000 div n_spans"))
-      .orderBy($"doc_id")
+      .localCheckpoint()
+    sp.unpersist()
+    res.orderBy($"doc_id")
   }
 
   private val dupSpansSql =

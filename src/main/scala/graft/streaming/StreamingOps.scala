@@ -77,10 +77,18 @@ object StreamingOps extends QueryModule {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Run a streaming DF to completion into a memory sink, return the
-    * resulting table. AvailableNow + a fresh checkpoint dir per run. */
-  private def runToTable(s: SparkSession, df: DataFrame, name: String,
-                         mode: OutputMode): DataFrame = {
+  /** Engine streaming posture, applied before every query start.
+    *
+    * State-store provider: `RocksDBStateStoreProvider` is the ENGINE
+    * DEFAULT (overridable via `spark.graft.stateStoreProvider`). The
+    * Spark default, HDFSBackedStateStoreProvider, holds every version of
+    * every partition's state in executor heap — a hard ceiling once
+    * state outgrows memory; RocksDB spills to local disk and is the only
+    * provider that survives 100 TB-scale keyed state. Changelog
+    * checkpointing keeps per-batch commits delta-sized (full .zip
+    * snapshot uploads are deferred to the maintenance pass, which
+    * throwaway AvailableNow runs never need). */
+  private[graft] def configureStreaming(s: SparkSession): Unit = {
     // checkpoint checksums add ~1s fixed cost per query on local FS;
     // irrelevant for throwaway AvailableNow checkpoints
     s.conf.set("spark.sql.streaming.checkpointFileChecksum.enabled", "false")
@@ -90,10 +98,29 @@ object StreamingOps extends QueryModule {
     // roaming multi-second stalls that grew with every streaming query
     // added. Throwaway checkpoints never benefit from snapshots.
     s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      s.conf.getOption("spark.graft.stateStoreProvider").getOrElse(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    s.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+  }
+
+  /** Checkpoint root of the most recent runToTable stream — lets specs
+    * assert the state store artifacts the engine defaults actually
+    * produced (RocksDB changelogs vs heap-provider .delta files). */
+  @volatile private[graft] var lastCheckpointDir: String = ""
+
+  /** Run a streaming DF to completion into a memory sink, return the
+    * resulting table. AvailableNow + a fresh checkpoint dir per run. */
+  private def runToTable(s: SparkSession, df: DataFrame, name: String,
+                         mode: OutputMode): DataFrame = {
+    configureStreaming(s)
+    val ckpt = Tbl.scratchDir(s"ckpt_$name")
+    lastCheckpointDir = ckpt
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode)
-      .option("checkpointLocation",
-              Tbl.scratchDir(s"ckpt_$name"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     q.stop()
@@ -264,6 +291,7 @@ object StreamingOps extends QueryModule {
     * back. Single batch ⇒ equals the global aggregate. */
   private def foreachBatchAgg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    configureStreaming(s)
     val outDir = Tbl.scratchDir("febatch")
     val q = eventStream(s, d)
       .writeStream
@@ -378,33 +406,28 @@ object StreamingOps extends QueryModule {
   }
 
   /** transformWithState (Spark 4 arbitrary-state API): running per-user
-    * (count, sum) via a ValueState handle over RocksDB — the modern twin
-    * of s2/s3's flatMapGroupsWithState. Single AvailableNow batch ⇒
-    * output equals the batch cumulative window (the oracle). */
+    * (count, sum) via a ValueState handle — the modern twin of s2/s3's
+    * flatMapGroupsWithState. Runs on RocksDB like every stateful stream
+    * (engine default via configureStreaming; transformWithState REQUIRES
+    * that provider, so the former per-query override is now redundant).
+    * Single AvailableNow batch ⇒ output equals the batch cumulative
+    * window (the oracle). */
   private def streamRunningTotals(s: SparkSession, d: String): DataFrame =
     withStatePartitions(s) { streamRunningTotalsInner(s, d) }
 
   private def streamRunningTotalsInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import StatefulOps._
-    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val typed = eventStream(s, d)
-        .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id", $"value")
-        .as[Ev]
-        .groupByKey(_.user_id)
-        .transformWithState(new RunningTotals,
-          TimeMode.None(), OutputMode.Update())
-      runToTable(s, typed.toDF(), "s_running_totals", OutputMode.Update())
-        .select($"user_id", $"event_id", $"ts_us", $"run_n",
-                round($"run_sum_c" / 100.0, 2).as("run_sum"))
-        .orderBy($"user_id", $"ts_us", $"event_id")
-    } finally prevProvider match {
-      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+    val typed = eventStream(s, d)
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id", $"value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotals,
+        TimeMode.None(), OutputMode.Update())
+    runToTable(s, typed.toDF(), "s_running_totals", OutputMode.Update())
+      .select($"user_id", $"event_id", $"ts_us", $"run_n",
+              round($"run_sum_c" / 100.0, 2).as("run_sum"))
+      .orderBy($"user_id", $"ts_us", $"event_id")
   }
 
   private val runningTotalsSql =
@@ -537,6 +560,7 @@ object StreamingOps extends QueryModule {
   private def streamPipeCsvSink(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.sources.SourceOps
+    configureStreaming(s)
     val inDir = SourceOps.stageFrames(s, d)
     val outDir = Tbl.scratchDir("pipecsv_sink")
     val perTrigger = math.max(1L, (SourceOps.frameCount(inDir) + 7) / 8)
@@ -678,6 +702,7 @@ object StreamingOps extends QueryModule {
     * read it back with a declared schema, aggregate. */
   private def streamCsvSink(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    configureStreaming(s)
     val outDir = Tbl.scratchDir("csv_sink")
     val q = eventStream(s, d)
       .select($"user_id", $"event_type")
@@ -794,7 +819,11 @@ object StreamingOps extends QueryModule {
         .select(unix_micros($"window.start").as("ws_us"),
                 $"n_events", $"n_user_windows")
       runToTable(s, agg2, "s_chained_agg", OutputMode.Append())
-        .where($"ws_us" < 6000000000000000000L) // sentinel's 2191 window
+        // exclude the sentinel's own window (start ≈ 7.0e15 µs, year
+        // ~2191). The threshold is MICROS-scale: a prior nanos-scale 6e18
+        // constant excluded nothing and correctness silently rested on
+        // append-mode watermark gating alone (round-4 ADVICE)
+        .where($"ws_us" < 6900000000000000L)
         .orderBy($"ws_us")
     }
 

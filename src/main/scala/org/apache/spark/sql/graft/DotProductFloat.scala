@@ -92,7 +92,13 @@ object DotProductFloat {
   * server, notebooks). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectOptimizerRule(_ => RankLimitToTopK)
+    // No injectOptimizerRule(RankLimitToTopK) here: injected rules run in
+    // the 'Operator Optimization' batches, BEFORE SparkOptimizer's 'Infer
+    // window group limit' batch creates the WindowGroupLimit node the
+    // rule matches — via this path it would silently never fire (round-4
+    // ADVICE). The rank-limit lowering for extensions sessions is anchored
+    // in TopKPerKeyStrategy instead, which matches WindowGroupLimit on
+    // the fully optimized plan (pinned by PlanSpec's extensions-path test).
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectFunction((
       FunctionIdentifier(DotProductFloat.name),

@@ -37,7 +37,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object RankLimitToTopK extends Rule[LogicalPlan] {
 
-  private val MaxK = 1024
+  private[graft] val MaxK = 1024
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case WindowGroupLimit(parts, order, _: RowNumber, k, child)

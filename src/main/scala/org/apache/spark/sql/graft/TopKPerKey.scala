@@ -86,10 +86,28 @@ case class TopKPerKeyExec(k: Int, keyExprs: Seq[Expression],
 }
 
 object TopKPerKeyStrategy extends SparkStrategy {
+  import org.apache.spark.sql.catalyst.expressions.RowNumber
+  import org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(k, keys, order, child) =>
       TopKPerKeyExec(k, keys, order, partial = false,
         TopKPerKeyExec(k, keys, order, partial = true,
+          planLater(child))) :: Nil
+    // Catalyst's InferWindowGroupLimit node, matched DIRECTLY at the
+    // planner: injected optimizer rules run in the 'Operator
+    // Optimization' batches, BEFORE SparkOptimizer's 'Infer window group
+    // limit' batch creates this node — so via the `spark.sql.extensions`
+    // path (thrift server, notebooks) RankLimitToTopK never sees it and
+    // the lowering silently misses. The strategy sees the FULLY optimized
+    // plan, so matching here covers both registration paths; the same
+    // scope guards as the rule apply (RowNumber-only, non-empty
+    // partition spec, bounded K), with Spark's stock sort-based
+    // WindowGroupLimitExec as the fall-through.
+    case WindowGroupLimit(parts, order, _: RowNumber, k, child)
+        if parts.nonEmpty && k > 0 && k <= RankLimitToTopK.MaxK =>
+      TopKPerKeyExec(k, parts, order, partial = false,
+        TopKPerKeyExec(k, parts, order, partial = true,
           planLater(child))) :: Nil
     case _ => Nil
   }

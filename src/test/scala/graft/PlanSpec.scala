@@ -376,6 +376,55 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
            s"expected one partial and one final instance in:\n$p")
   }
 
+  test("rank-limit lowering fires via the spark.sql.extensions path too") {
+    // extensions-built sessions (thrift server, notebooks) never call
+    // ensureRegistered, and an injected optimizer rule runs in the
+    // 'Operator Optimization' batches — BEFORE InferWindowGroupLimit
+    // creates the node it matches (round-4 ADVICE). The lowering is
+    // therefore anchored in TopKPerKeyStrategy, which sees the fully
+    // optimized plan; this pin builds a genuine extensions session (no
+    // imperative registration anywhere) and asserts the native exec.
+    import org.apache.spark.sql.SparkSession
+    spark // force the shared session (and its SparkContext) to exist first
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // `spark.sql.extensions` is a STATIC conf read off the SparkContext's
+    // conf at session build — it cannot be injected into a JVM whose
+    // context already runs. `withExtensions` feeds the identical
+    // GraftExtensions instance through the identical injection points,
+    // so it is the in-process embodiment of the launch-time conf.
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions()(_))
+      .getOrCreate() // fresh session state on the existing SparkContext
+    try {
+      assert(ext ne spark, "extensions test must not reuse the shared session")
+      assert(ext.experimental.extraStrategies.isEmpty,
+             "session must rely on the extensions conf alone")
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      import ext.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      val df = Tbl.events(ext, d)
+        .withColumn("rn", row_number().over(w)).where($"rn" <= 3)
+        .select($"user_id", $"event_id", $"rn")
+      val p = executed(df)
+      val topk = collectWithSubqueries(p) {
+        case e: org.apache.spark.sql.graft.TopKPerKeyExec => e
+      }
+      assert(topk.size == 2,
+             s"extensions path did not lower to TopKPerKeyExec:\n$p")
+      // and dot_f arrived through injectFunction, not ensureRegistered
+      assert(ext.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f")))
+    } finally {
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

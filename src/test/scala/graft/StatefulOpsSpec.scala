@@ -106,6 +106,27 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("engine default: stateful streams run on the RocksDB state store") {
+    // drive a stateful query through the real engine entry point, then
+    // inspect the checkpoint it wrote: RocksDB (with changelog
+    // checkpointing) leaves {version}.changelog / .zip artifacts under
+    // state/, while the heap-backed HDFS provider writes {version}.delta
+    // — so the artifact shapes pin WHICH provider actually ran, not just
+    // which conf was requested
+    SparkEntry.queries("s4_stream_dedup")(spark, "/root/testdata/sf0.001").count()
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    val ckpt = graft.streaming.StreamingOps.lastCheckpointDir
+    assert(ckpt.nonEmpty, "runToTable recorded no checkpoint dir")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk) else Seq(f)
+    val names = walk(new java.io.File(ckpt, "state")).map(_.getName)
+    assert(names.exists(n => n.endsWith(".changelog") || n.endsWith(".zip")),
+      s"no RocksDB state artifacts under $ckpt/state: ${names.take(20)}")
+    assert(!names.exists(_.endsWith(".delta")),
+      s"heap-provider .delta files under $ckpt/state: ${names.take(20)}")
+  }
+
   test("last3PerKey: merge keeps ts-desc order with event_id tiebreak") {
     val st = new FakeState[Top3State]
     val out = last3PerKey(9L,
