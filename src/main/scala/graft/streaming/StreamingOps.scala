@@ -104,6 +104,8 @@ object StreamingOps extends QueryModule {
     s.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       "true")
+    // default posture; runToTable re-sets this per query (flushFinal)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
   }
 
   /** Checkpoint root of the most recent runToTable stream — lets specs
@@ -112,10 +114,25 @@ object StreamingOps extends QueryModule {
   @volatile private[graft] var lastCheckpointDir: String = ""
 
   /** Run a streaming DF to completion into a memory sink, return the
-    * resulting table. AvailableNow + a fresh checkpoint dir per run. */
+    * resulting table. AvailableNow + a fresh checkpoint dir per run.
+    *
+    * `flushFinal`: whether the bounded run still needs the terminal
+    * NO-DATA micro-batch. That batch re-runs the full stateful DAG on
+    * zero rows purely to act on the watermark advanced by the last data
+    * batch — it is what emits watermark-gated output (outer-join nulls,
+    * closed append-mode windows), so queries with such output MUST keep
+    * it. Everything else (update/complete modes, eagerly-emitting
+    * inner/semi joins and dedup) produces its entire result in the data
+    * batches, and the no-data batch is ~1 s of pure state-machinery
+    * wall per query — measured on s12: batch0 2.0 s, no-data batch
+    * 1.0 s of which addBatch 0.8 s (round-4 VERDICT item #3). At a real
+    * deployment this knob is moot (an unbounded stream never ends);
+    * it prices only the bounded-replay embodiment. */
   private def runToTable(s: SparkSession, df: DataFrame, name: String,
-                         mode: OutputMode): DataFrame = {
+                         mode: OutputMode, flushFinal: Boolean = false): DataFrame = {
     configureStreaming(s)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+               flushFinal.toString)
     val ckpt = Tbl.scratchDir(s"ckpt_$name")
     lastCheckpointDir = ckpt
     val q = df.writeStream.format("memory").queryName(name)
@@ -123,6 +140,12 @@ object StreamingOps extends QueryModule {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // profiling tap (SPARK_GRAFT_STREAM_DEBUG=1): per-batch durationMs
+    // breakdown — how much of a stream's wall is planning vs state
+    // commit vs the actual work. Reads recentProgress before stop().
+    if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach(p => System.err.println(
+        s"[stream] $name batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}"))
     q.stop()
     // release this run's provider instances (maps/RocksDB handles) now
     // instead of leaving them for the maintenance pass to walk
@@ -541,7 +564,8 @@ object StreamingOps extends QueryModule {
         $"c_user" === $"p_user" &&
         $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 10 MINUTES"),
         "left_outer")
-      runToTable(s, joined, "s_ss_ljoin", OutputMode.Append())
+      runToTable(s, joined, "s_ss_ljoin", OutputMode.Append(),
+                 flushFinal = true) // unmatched-click nulls are watermark-gated
         .where($"c_user" >= 0) // drop the watermark sentinels
         .select($"c_user".as("user_id"), $"click_id", $"purchase_id",
                 (unix_micros($"p_ts") - unix_micros($"c_ts")).as("lag_us"))
@@ -616,7 +640,8 @@ object StreamingOps extends QueryModule {
         $"c_user" === $"p_user" &&
         $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 10 MINUTES"),
         "full_outer")
-      runToTable(s, joined, "s_ss_fjoin", OutputMode.Append())
+      runToTable(s, joined, "s_ss_fjoin", OutputMode.Append(),
+                 flushFinal = true) // both sides' unmatched rows are watermark-gated
         .where(coalesce($"c_user", $"p_user") >= 0) // drop both sentinels
         .select(coalesce($"c_user", $"p_user").as("user_id"),
                 $"click_id", $"purchase_id",
@@ -631,11 +656,13 @@ object StreamingOps extends QueryModule {
     * emits EAGERLY on its first match — the watermark's only job is
     * state eviction (a click older than watermark−interval can never
     * gain a first match and is dropped), so state stays bounded while
-    * output never waits on watermark passage. The sentinels keep the
-    * end-of-run eviction path exercised; they can't match (negative
-    * user_id) and semi output carries left columns only, so no output
-    * filter is even needed — kept anyway as a belt against schema
-    * drift. */
+    * output never waits on watermark passage. Since no output is
+    * watermark-gated, the bounded run also skips the terminal no-data
+    * batch (runToTable flushFinal default); the watermark-driven
+    * eviction machinery stays exercised by s14/s16, whose flush batch
+    * must run. The sentinels can't match (negative user_id) and semi
+    * output carries left columns only, so no output filter is even
+    * needed — kept anyway as a belt against schema drift. */
   private def streamSemiJoin(s: SparkSession, d: String): DataFrame =
     withStatePartitions(s) {
       import s.implicits._
@@ -818,7 +845,8 @@ object StreamingOps extends QueryModule {
         .agg(sum($"n1").as("n_events"), count(lit(1)).as("n_user_windows"))
         .select(unix_micros($"window.start").as("ws_us"),
                 $"n_events", $"n_user_windows")
-      runToTable(s, agg2, "s_chained_agg", OutputMode.Append())
+      runToTable(s, agg2, "s_chained_agg", OutputMode.Append(),
+                 flushFinal = true) // append-mode windows close on watermark
         // exclude the sentinel's own window (start ≈ 7.0e15 µs, year
         // ~2191). The threshold is MICROS-scale: a prior nanos-scale 6e18
         // constant excluded nothing and correctness silently rested on
