@@ -848,7 +848,47 @@ object SimilarityOps extends QueryModule {
        |  AND ${cos6Sql(dotSql("q.embedding", "e.embedding"))} >= $RangeMinCosine
        |ORDER BY q_id, vec_id""".stripMargin
 
+  /** Exact recall@3 of an ANN family against the brute-force truth, as
+    * integer ppm per query — the index-quality metric driver-visible
+    * through the oracle gate instead of living only in ScalaTest bounds
+    * (round-4 VERDICT item #5). Both the ANN result and the truth are
+    * the registry's own formulations, so the metric prices exactly what
+    * the registered queries ship; 3 hits per query keeps the join
+    * |Q|·3 rows — scale-free against any corpus.
+    *
+    * recall = |ann_top3 ∩ brute_top3| / 3, floor-ppm (`div`, both
+    * operands non-negative, so Spark's truncation ≡ DuckDB's floor). */
+  private def recallVsBrute(ann: (SparkSession, String) => DataFrame)
+                           (s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val brute3 = topkBrute(s, d).where($"rk" <= 3).select($"q_id", $"vec_id")
+    val ann3 = ann(s, d).where($"rk" <= 3)
+      .select($"q_id", $"vec_id", lit(1L).as("hit"))
+    brute3.join(ann3, Seq("q_id", "vec_id"), "left")
+      .groupBy($"q_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("hits"))
+      .select($"q_id", $"hits",
+              expr("hits * 1000000 div 3").as("recall_ppm"))
+      .orderBy($"q_id")
+  }
+
+  private def recallSql(annSql: String): String =
+    s"""WITH brute AS ($topkBruteSql),
+       |ann AS ($annSql),
+       |b3 AS (SELECT q_id, vec_id FROM brute WHERE rk <= 3),
+       |a3 AS (SELECT q_id, vec_id FROM ann WHERE rk <= 3)
+       |SELECT b3.q_id,
+       |  CAST(count(a3.vec_id) AS BIGINT) AS hits,
+       |  CAST(count(a3.vec_id) * 1000000 // 3 AS BIGINT) AS recall_ppm
+       |FROM b3 LEFT JOIN a3 ON b3.q_id = a3.q_id AND b3.vec_id = a3.vec_id
+       |GROUP BY b3.q_id ORDER BY b3.q_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_recall_lsh"   -> (recallVsBrute(lshAnn) _),
+    "sim_recall_ivf"   -> (recallVsBrute(ivfAnn) _),
+    "sim_recall_pq"    -> (recallVsBrute(pqAnn) _),
+    "sim_recall_sq"    -> (recallVsBrute(sqAnn) _),
+    "sim_recall_mrl"   -> (recallVsBrute(mrlAnn) _),
     "sim_topk_brute"   -> (topkBrute _),
     "sim_lsh_ann"      -> (lshAnn _),
     "sim_ivf_ann"      -> (ivfAnn _),
@@ -864,6 +904,11 @@ object SimilarityOps extends QueryModule {
     "sim_emb_neardup"  -> (embeddingNeardup _))
 
   override val oracles: Map[String, String] = Map(
+    "sim_recall_lsh"   -> recallSql(lshAnnSql),
+    "sim_recall_ivf"   -> recallSql(ivfAnnSql),
+    "sim_recall_pq"    -> recallSql(pqAnnSql),
+    "sim_recall_sq"    -> recallSql(sqAnnSql),
+    "sim_recall_mrl"   -> recallSql(mrlAnnSql),
     "sim_topk_brute"   -> topkBruteSql,
     "sim_lsh_ann"      -> lshAnnSql,
     "sim_ivf_ann"      -> ivfAnnSql,
