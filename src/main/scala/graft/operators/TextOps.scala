@@ -597,6 +597,122 @@ object TextOps extends QueryModule {
        |  WHERE len(w) >= 2)
        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT $BpeTopPairs""".stripMargin
 
+  private val BpeTrainMerges = 10
+
+  /** Full BPE trainer (Sennrich et al. 2016) on top of the `tx_bpe_pairs`
+    * scan: K merge rounds of count-adjacent-pairs → take the most
+    * frequent (ties to the lexicographically smallest pair — fully
+    * deterministic) → apply the merge corpus-wide → re-count. Output is
+    * the merge table itself, the artifact a tokenizer ships.
+    *
+    * Representation: the corpus collapses ONCE to word TYPES with
+    * occurrence counts (pair statistics are identical, and at 100 TB the
+    * loop then iterates over a vocabulary-sized relation, not the
+    * corpus); each word's symbol sequence is a single string with every
+    * symbol wrapped in `|` sentinels (`hello` → `|h||e||l||l||o|`,
+    * possible because normalized text is [a-z0-9 ] only). A merge of
+    * (a, b) is then `replace(s, '|a||b|', '|ab|')`: the wrapping makes a
+    * symbol-BOUNDARY match impossible to confuse with a symbol-content
+    * match (merging (b,a) can never fire inside `|ab||a|`), and both
+    * engines' left-to-right non-overlapping `replace` IS greedy BPE
+    * application (`aaa` under (a,a) → `aa a`, never `a aa`).
+    *
+    * Scale shape: each round is one map over the vocabulary + an
+    * alphabet²-sized pair agg; the 1-row argmax collect is the standard
+    * driver-side control step (same discipline as the IVF codebook
+    * collects); localCheckpoint per round keeps the 10-round lineage
+    * flat (the dupClustersLoop lesson). */
+  private[graft] def bpeMerges(s: SparkSession, docs: DataFrame,
+                               k: Int): Seq[(Int, String, String, String, Long)] = {
+    import s.implicits._
+    var words = docs
+      .select(explode(split(TextNorm.norm($"text"), " ")).as("w"))
+      .where(length($"w") >= 1)
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .select(expr("concat('|', array_join(transform(sequence(1, length(w))," +
+                   " i -> substring(w, i, 1)), '||'), '|')").as("s"), $"c")
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to k if !exhausted) {
+      val top = words
+        .withColumn("ss", split(expr("trim(BOTH '|' FROM s)"), "\\|\\|"))
+        .where(size($"ss") >= 2)
+        .select(explode(expr("transform(sequence(1, size(ss) - 1)," +
+          " i -> struct(element_at(ss, i) AS a, element_at(ss, i + 1) AS b))"))
+          .as("p"), $"c")
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"c").as("cnt"))
+        .orderBy($"cnt".desc, $"a", $"b")
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      top.headOption match {
+        case None => exhausted = true // corpus fully merged before K rounds
+        case Some((a, b, cnt)) =>
+          merges += ((step, a, b, a + b, cnt))
+          // symbols are [a-z0-9]+ so the inlined literals need no escaping
+          words = words
+            .select(expr(s"replace(s, '|$a||$b|', '|$a$b|')").as("s"), $"c")
+            .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeMerges(s, Tbl.documents(s, d), BpeTrainMerges)
+      .toDF("step", "lhs", "rhs", "merged", "cnt")
+      .orderBy($"step")
+  }
+
+  /** The same K rounds unrolled as chained CTEs — DuckDB has no loops,
+    * but the merge count is a fixed hyperparameter, so unrolling is
+    * faithful (and keeps the oracle a single statement). Every round CTE
+    * is MATERIALIZED: DuckDB inlines plain CTEs per REFERENCE, so a
+    * chain whose round reads its predecessor more than once would
+    * otherwise expand 2^K-fold (observed as 1024 opens of the same
+    * parquet file). */
+  private val bpeTrainSql = {
+    val base =
+      s"""base AS MATERIALIZED (
+         |  SELECT w, count(*) AS c FROM (
+         |    SELECT unnest(string_split(${TextNorm.normSql}, ' ')) AS w
+         |    FROM documents)
+         |  WHERE len(w) >= 1 GROUP BY w),
+         |w0 AS MATERIALIZED (
+         |  SELECT '|' || array_to_string(
+         |           [w[i] for i in generate_series(1, len(w))], '||') || '|' AS s, c
+         |  FROM base)""".stripMargin
+    val rounds = (1 to BpeTrainMerges).map { n =>
+      s"""p$n AS MATERIALIZED (
+         |  SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(la) AS a, unnest(lb) AS b, c FROM (
+         |      SELECT [ss[i] for i in generate_series(1, len(ss) - 1)] AS la,
+         |             [ss[i] for i in generate_series(2, len(ss))] AS lb, c
+         |      FROM (SELECT string_split(trim(s, '|'), '||') AS ss, c FROM w${n - 1})
+         |      WHERE len(ss) >= 2))
+         |  GROUP BY a, b),
+         |b$n AS MATERIALIZED (SELECT a, b, cnt FROM p$n ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$n AS MATERIALIZED (
+         |  SELECT replace(s, '|' || (SELECT a FROM b$n) || '||' ||
+         |                     (SELECT b FROM b$n) || '|',
+         |                 '|' || (SELECT a FROM b$n) ||
+         |                     (SELECT b FROM b$n) || '|') AS s, c
+         |  FROM w${n - 1})""".stripMargin
+    }
+    val steps = (1 to BpeTrainMerges).map { n =>
+      s"SELECT $n AS step, a AS lhs, b AS rhs, a || b AS merged, cnt FROM b$n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $base,
+       |${rounds.mkString(",\n")}
+       |SELECT step, lhs, rhs, merged, cnt FROM (
+       |  $steps)
+       |ORDER BY step""".stripMargin
+  }
+
   /** Per-(source, lang) corpus profile: document count, exact byte
     * budget, integer-exact mean length, and the exact-duplicate count
     * inside each stratum (count minus distinct md5 of the raw text) —
@@ -636,6 +752,7 @@ object TextOps extends QueryModule {
     "tx_chunk_split"   -> (chunkSplit _),
     "tx_heavy_hitters" -> (heavyHitters _),
     "tx_bpe_pairs"     -> (bpePairs _),
+    "tx_bpe_train"     -> (bpeTrain _),
     "tx_decontaminate" -> (decontaminate _),
     "tx_source_stats"  -> (sourceStats _))
 
@@ -652,6 +769,7 @@ object TextOps extends QueryModule {
     "tx_chunk_split"   -> chunkSplitSql,
     "tx_heavy_hitters" -> heavyHittersSql,
     "tx_bpe_pairs"     -> bpePairsSql,
+    "tx_bpe_train"     -> bpeTrainSql,
     "tx_decontaminate" -> decontaminateSql,
     "tx_source_stats"  -> sourceStatsSql)
 }

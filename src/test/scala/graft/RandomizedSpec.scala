@@ -92,6 +92,26 @@ class RandomizedSpec extends SparkSpec {
     assert(labels.size == 22)
   }
 
+  test("BPE trainer on a planted corpus matches the hand-computed merge table") {
+    // the oracle runs the SAME algorithm in DuckDB, so engine parity
+    // can't catch a shared misunderstanding of BPE itself; this pins the
+    // algorithm against a by-hand trace, including greedy-left merge
+    // application and early stop when the corpus is fully merged
+    val docs = Seq((1L, "abab abab abc")).toDF("doc_id", "text")
+    val merges = graft.operators.TextOps.bpeMerges(spark, docs, 10)
+    // abab×2, abc×1 → (a,b) appears 2×2+1 = 5; merge "ab"
+    // → [ab ab]×2, [ab c] → (ab,ab)=2 → "abab" → (ab,c)=1 → "abc"; stop
+    assert(merges == Seq(
+      (1, "a", "b", "ab", 5L),
+      (2, "ab", "ab", "abab", 2L),
+      (3, "ab", "c", "abc", 1L)))
+    // greedy-left: 'aaa' under (a,a) must become [aa, a], giving ONE
+    // (aa,a) pair next round — not the overlapping alternative
+    val aaa = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m2 = graft.operators.TextOps.bpeMerges(spark, aaa, 2)
+    assert(m2 == Seq((1, "a", "a", "aa", 4L), (2, "aa", "a", "aaa", 2L)))
+  }
+
   test("TopKPerKey ≡ ranking window on random data, for several k") {
     for (seed <- 1 to 2; k <- Seq(1, 3, 7)) {
       val d = randomEventsDir(seed)
