@@ -624,6 +624,18 @@ object TextOps extends QueryModule {
     * flat (the dupClustersLoop lesson). */
   private[graft] def bpeMerges(s: SparkSession, docs: DataFrame,
                                k: Int): Seq[(Int, String, String, String, Long)] = {
+    // pair aggs are alphabet²-sized: run the loop's shuffles at a
+    // partition count sized to that, not the session default (same
+    // scoped override + single-threaded-engine assumption as
+    // dupClusters; restored in finally)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try bpeMergesLoop(s, docs, k)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def bpeMergesLoop(s: SparkSession, docs: DataFrame,
+                            k: Int): Seq[(Int, String, String, String, Long)] = {
     import s.implicits._
     var words = docs
       .select(explode(split(TextNorm.norm($"text"), " ")).as("w"))
@@ -631,6 +643,10 @@ object TextOps extends QueryModule {
       .groupBy($"w").agg(count(lit(1)).as("c"))
       .select(expr("concat('|', array_join(transform(sequence(1, length(w))," +
                    " i -> substring(w, i, 1)), '||'), '|')").as("s"), $"c")
+      // the vocabulary relation is tiny (tens of thousands of short
+      // strings); 10 rounds × session-default partitions would be pure
+      // task overhead — at 100 TB size this to vocab volume, not corpus
+      .repartition(4)
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]

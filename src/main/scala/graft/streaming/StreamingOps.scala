@@ -144,8 +144,14 @@ object StreamingOps extends QueryModule {
     // breakdown — how much of a stream's wall is planning vs state
     // commit vs the actual work. Reads recentProgress before stop().
     if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
-      q.recentProgress.foreach(p => System.err.println(
-        s"[stream] $name batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}"))
+      q.recentProgress.foreach { p =>
+        System.err.println(
+          s"[stream] $name batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}")
+        p.stateOperators.foreach(so => System.err.println(
+          s"[stream]   state op=${so.operatorName} rows=${so.numRowsTotal} " +
+          s"updated=${so.numRowsUpdated} updMs=${so.allUpdatesTimeMs} " +
+          s"rmMs=${so.allRemovalsTimeMs} commitMs=${so.commitTimeMs}"))
+      }
     q.stop()
     // release this run's provider instances (maps/RocksDB handles) now
     // instead of leaving them for the maintenance pass to walk
@@ -505,7 +511,7 @@ object StreamingOps extends QueryModule {
     * socket replay loop (`server.py:41-57`, frames at a fixed rate)
     * rebuilt as a rate-limited micro-batch source: frame-count offsets,
     * `maxFramesPerTrigger` admission control, AvailableNow draining the
-    * snapshot in ~10 micro-batches here. Complete-mode aggregation over
+    * snapshot in ~4 micro-batches here. Complete-mode aggregation over
     * a genuinely multi-batch run — the memory sink's final table must
     * equal the batch aggregate regardless of how the frames were
     * sliced into batches. */
@@ -514,11 +520,12 @@ object StreamingOps extends QueryModule {
       import s.implicits._
       import graft.sources.SourceOps
       val dir = SourceOps.stageFrames(s, d)
-      // size the rate knob to the snapshot: ~8 micro-batches at ANY SF.
-      // The multi-batch admission-control path is what this query tests;
+      // size the rate knob to the snapshot: ~4 micro-batches at ANY SF.
+      // The multi-batch admission-control path is what this query tests
+      // (batch slicing itself is pinned exactly in PipeCsvSourceSpec);
       // a FIXED frame rate meant 98 batches at sf0.1 — 67 s of per-batch
       // state/checkpoint machinery for a 0.3 s aggregation.
-      val perTrigger = math.max(1L, (SourceOps.frameCount(dir) + 7) / 8)
+      val perTrigger = math.max(1L, (SourceOps.frameCount(dir) + 3) / 4)
       val stream = s.readStream.format("pipecsv")
         .schema(SourceOps.frameSchema)
         .option("frameLen", SourceOps.FrameLen)
@@ -575,7 +582,7 @@ object StreamingOps extends QueryModule {
   /** s17: frames in, frames out — the custom connector at BOTH ends of
     * a stream (the reference's full topology, `server.py` producer →
     * `client.py`/Kafka → consumer, minus the waived broker): pipecsv
-    * micro-batch source (~8 rate-limited epochs) through a stateless
+    * micro-batch source (~4 rate-limited epochs) through a stateless
     * pass into the pipecsv streaming SINK, whose deterministic
     * (epoch, partition) file names make replayed epochs idempotent.
     * The sink's output is then read back through the connector's batch
@@ -587,7 +594,7 @@ object StreamingOps extends QueryModule {
     configureStreaming(s)
     val inDir = SourceOps.stageFrames(s, d)
     val outDir = Tbl.scratchDir("pipecsv_sink")
-    val perTrigger = math.max(1L, (SourceOps.frameCount(inDir) + 7) / 8)
+    val perTrigger = math.max(1L, (SourceOps.frameCount(inDir) + 3) / 4)
     val q = s.readStream.format("pipecsv")
       .schema(SourceOps.frameSchema)
       .option("frameLen", SourceOps.FrameLen)
