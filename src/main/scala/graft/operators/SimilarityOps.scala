@@ -886,6 +886,8 @@ object SimilarityOps extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_recall_lsh"   -> (recallVsBrute(lshAnn) _),
     "sim_recall_ivf"   -> (recallVsBrute(ivfAnn) _),
+    "sim_recall_ivf2"  -> (recallVsBrute(ivfAnnNprobe2) _),
+    "sim_recall_ivft"  -> (recallVsBrute(ivfTrained) _),
     "sim_recall_pq"    -> (recallVsBrute(pqAnn) _),
     "sim_recall_sq"    -> (recallVsBrute(sqAnn) _),
     "sim_recall_mrl"   -> (recallVsBrute(mrlAnn) _),
@@ -906,6 +908,8 @@ object SimilarityOps extends QueryModule {
   override val oracles: Map[String, String] = Map(
     "sim_recall_lsh"   -> recallSql(lshAnnSql),
     "sim_recall_ivf"   -> recallSql(ivfAnnSql),
+    "sim_recall_ivf2"  -> recallSql(ivfAnnNprobe2Sql),
+    "sim_recall_ivft"  -> recallSql(ivfTrainedSql),
     "sim_recall_pq"    -> recallSql(pqAnnSql),
     "sim_recall_sq"    -> recallSql(sqAnnSql),
     "sim_recall_mrl"   -> recallSql(mrlAnnSql),

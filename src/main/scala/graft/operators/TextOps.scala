@@ -677,11 +677,82 @@ object TextOps extends QueryModule {
     merges.toSeq
   }
 
+  /** The trained merge table, memoized per dataset dir — the tokenizer
+    * artifact is built once per session and reused by train/apply
+    * queries, same discipline as the IVF codebook collects. */
+  private val mergeCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Int, String, String, String, Long)]]
+
+  private def trainedMerges(s: SparkSession, d: String) =
+    mergeCache.getOrElseUpdate(d,
+      bpeMerges(s, Tbl.documents(s, d), BpeTrainMerges))
+
   private def bpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    bpeMerges(s, Tbl.documents(s, d), BpeTrainMerges)
+    trainedMerges(s, d)
       .toDF("step", "lhs", "rhs", "merged", "cnt")
       .orderBy($"step")
+  }
+
+  /** Tokenizer APPLICATION — the serving half of the train→apply
+    * lifecycle: every document is segmented with the trained merge
+    * table (the same boundary-exact replace chain, folded into ONE
+    * codegen'd per-row expression — no UDF, no join), and reports its
+    * token count plus the compression the tokenizer achieves
+    * (tokens-per-character in floor ppm; 1e6 = character-level, lower is
+    * better). Scale shape: map-only until the doc_id agg — the merge
+    * table rides into the scan as 10 string literals. */
+  private def bpeApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chained = trainedMerges(s, d).foldLeft(
+      "concat('|', array_join(transform(sequence(1, length(w))," +
+        " i -> substring(w, i, 1)), '||'), '|')") {
+      case (e, (_, a, b, _, _)) => s"replace($e, '|$a||$b|', '|$a$b|')"
+    }
+    Tbl.documents(s, d)
+      .select($"doc_id", explode(split(TextNorm.norm($"text"), " ")).as("w"))
+      .where(length($"w") >= 1)
+      .select($"doc_id", length($"w").as("n_chars"),
+              expr(s"size(split(trim(BOTH '|' FROM $chained), '\\\\|\\\\|'))")
+                .as("n_sym"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           sum($"n_sym").as("n_tokens"),
+           sum($"n_chars".cast("long")).as("n_chars"))
+      .withColumn("tok_per_char_ppm",
+                  expr("n_tokens * 1000000 div n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the bpeTrain CTE chain (b1..bK hold the learned pairs) +
+    * the same replace chain via scalar subqueries. A bN that trained
+    * fewer than K merges would be empty → NULL pattern → NULL chain, so
+    * each pattern/replacement is coalesced to '~', a character that
+    * cannot occur in normalized text — the replace is then a no-op,
+    * matching Spark's shorter fold on early stop. */
+  private val bpeApplySql = {
+    val baseSql =
+      "'|' || array_to_string([w[i] for i in generate_series(1, len(w))], '||') || '|'"
+    val chained = (1 to BpeTrainMerges).foldLeft(baseSql) { (e, n) =>
+      s"""replace($e,
+         |  coalesce('|' || (SELECT a FROM b$n) || '||' || (SELECT b FROM b$n) || '|', '~'),
+         |  coalesce('|' || (SELECT a FROM b$n) || (SELECT b FROM b$n) || '|', '~'))""".stripMargin
+    }
+    s"""WITH $bpeTrainCtes,
+       |wapp AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(${TextNorm.normSql}, ' ')) AS w
+       |    FROM documents)
+       |  WHERE len(w) >= 1),
+       |tok AS (
+       |  SELECT doc_id, len(w) AS n_chars,
+       |    len(string_split(trim($chained, '|'), '||')) AS n_sym
+       |  FROM wapp)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_sym) * 1000000 // sum(n_chars) AS BIGINT) AS tok_per_char_ppm
+       |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** The same K rounds unrolled as chained CTEs — DuckDB has no loops,
@@ -691,7 +762,10 @@ object TextOps extends QueryModule {
     * chain whose round reads its predecessor more than once would
     * otherwise expand 2^K-fold (observed as 1024 opens of the same
     * parquet file). */
-  private val bpeTrainSql = {
+  /** The K training rounds as a chained-CTE prefix, shared by the train
+    * and apply oracles (b1..bK hold the learned pairs). Lazy: referenced
+    * by oracle vals declared in either order. */
+  private lazy val bpeTrainCtes = {
     val base =
       s"""base AS MATERIALIZED (
          |  SELECT w, count(*) AS c FROM (
@@ -719,11 +793,15 @@ object TextOps extends QueryModule {
          |                     (SELECT b FROM b$n) || '|') AS s, c
          |  FROM w${n - 1})""".stripMargin
     }
+    s"""$base,
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeTrainSql = {
     val steps = (1 to BpeTrainMerges).map { n =>
       s"SELECT $n AS step, a AS lhs, b AS rhs, a || b AS merged, cnt FROM b$n"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $base,
-       |${rounds.mkString(",\n")}
+    s"""WITH $bpeTrainCtes
        |SELECT step, lhs, rhs, merged, cnt FROM (
        |  $steps)
        |ORDER BY step""".stripMargin
@@ -769,6 +847,7 @@ object TextOps extends QueryModule {
     "tx_heavy_hitters" -> (heavyHitters _),
     "tx_bpe_pairs"     -> (bpePairs _),
     "tx_bpe_train"     -> (bpeTrain _),
+    "tx_bpe_apply"     -> (bpeApply _),
     "tx_decontaminate" -> (decontaminate _),
     "tx_source_stats"  -> (sourceStats _))
 
@@ -786,6 +865,7 @@ object TextOps extends QueryModule {
     "tx_heavy_hitters" -> heavyHittersSql,
     "tx_bpe_pairs"     -> bpePairsSql,
     "tx_bpe_train"     -> bpeTrainSql,
+    "tx_bpe_apply"     -> bpeApplySql,
     "tx_decontaminate" -> decontaminateSql,
     "tx_source_stats"  -> sourceStatsSql)
 }
