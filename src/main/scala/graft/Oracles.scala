@@ -92,6 +92,42 @@ object Oracles {
       |    FROM events))
       |GROUP BY user_id, sid ORDER BY user_id, ws_us""".stripMargin
 
+  /** DYNAMIC-gap sessionization (x_dynamic_session /
+    * s21_stream_dynamic_session): each event extends its session by a
+    * gap chosen from its own attributes (click 10 min, view 30 min,
+    * else 1 h), so the lag-vs-constant break test no longer works — a
+    * session ends only when the next event's start exceeds the RUNNING
+    * MAX of (event time + that event's gap) over everything before it
+    * (the interval-merge technique, x_merge_intervals). Merge-at-
+    * equality follows the fixed-gap convention the s10 oracle pinned
+    * (strictly-greater starts a new session). Ties walk by
+    * (t_us, event_id) on both engines. */
+  val dynamicSession: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+      |         CAST(round(value*100) AS BIGINT) AS v_c,
+      |         CASE event_type WHEN 'click' THEN 600000000
+      |                         WHEN 'view' THEN 1800000000
+      |                         ELSE 3600000000 END AS gap_us
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, t_us, v_c, gap_us,
+      |    CASE WHEN max(t_us + gap_us) OVER w IS NULL
+      |           OR t_us > max(t_us + gap_us) OVER w
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |s AS (
+      |  SELECT user_id, t_us, v_c, gap_us,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f)
+      |SELECT user_id, min(t_us) AS ws_us,
+      |  CAST(max(t_us + gap_us) AS BIGINT) AS we_us,
+      |  count(*) AS n, round(sum(v_c)/100.0, 2) AS sum_value
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, ws_us""".stripMargin
+
   /** events ⋈ customer rollup by segment (x_salted_join /
     * s6_stream_static_join — the salted and broadcast variants must
     * equal the plain join). */

@@ -144,6 +144,29 @@ object AnalyticsOps extends QueryModule {
   private val sessionizeSql =
     graft.Oracles.sessionize
 
+  /** DYNAMIC-gap sessionization via Spark's expression-gap
+    * `session_window` (Spark ≥3.2): each event extends its session by a
+    * gap drawn from its own attributes — a click expects a follow-up
+    * within 10 minutes, a view within 30, anything else within an hour.
+    * The constant-gap rule (x_sessionize) can't express this; the oracle
+    * is the running-max-of-ends interval-merge formulation. Same scale
+    * shape as every sessionizer here: one user_id shuffle, merge runs
+    * in-partition. */
+  private def dynamicSession(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gap = when($"event_type" === "click", "10 minutes")
+      .when($"event_type" === "view", "30 minutes")
+      .otherwise("1 hour")
+    Tbl.events(s, d)
+      .groupBy(session_window($"ts", gap), $"user_id")
+      .agg(count(lit(1)).as("n"), sum(Tbl.cents($"value")).as("v_c"))
+      .select($"user_id",
+              unix_micros($"session_window.start").as("ws_us"),
+              unix_micros($"session_window.end").as("we_us"),
+              $"n", round($"v_c" / 100.0, 2).as("sum_value"))
+      .orderBy($"user_id", $"ws_us")
+  }
+
   private val IntervalUs = 600000000L // each event opens a 10-min interval
 
   /** Overlapping-interval merge: each event opens a 10-minute activity
@@ -355,6 +378,7 @@ object AnalyticsOps extends QueryModule {
     "x_percentiles"     -> (percentiles _),
     "x_approx_quantile" -> (approxQuantile _),
     "x_sessionize"      -> (sessionize _),
+    "x_dynamic_session" -> (dynamicSession _),
     "x_merge_intervals" -> (mergeIntervals _))
 
   override val oracles: Map[String, String] = Map(
@@ -367,5 +391,6 @@ object AnalyticsOps extends QueryModule {
     "x_percentiles"     -> percentilesSql,
     "x_approx_quantile" -> approxQuantileSql,
     "x_sessionize"      -> sessionizeSql,
+    "x_dynamic_session" -> graft.Oracles.dynamicSession,
     "x_merge_intervals" -> mergeIntervalsSql)
 }

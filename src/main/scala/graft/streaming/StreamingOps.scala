@@ -434,6 +434,28 @@ object StreamingOps extends QueryModule {
       .orderBy($"user_id", $"ws_us")
   }
 
+  /** Streaming DYNAMIC-gap sessionization — `session_window` whose gap
+    * is an expression over each event's own attributes (click 10 min,
+    * view 30 min, else 1 h). Same complete-mode contract as s10; the
+    * batch twin x_dynamic_session shares the running-max-of-ends oracle. */
+  private def streamDynamicSession(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) {
+      import s.implicits._
+      val gap = when($"event_type" === "click", "10 minutes")
+        .when($"event_type" === "view", "30 minutes")
+        .otherwise("1 hour")
+      val agg = eventStream(s, d)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window($"ts", gap), $"user_id")
+        .agg(count(lit(1)).as("n"), sum(Tbl.cents($"value")).as("v_c"))
+      runToTable(s, agg, "s_dyn_session", OutputMode.Complete())
+        .select($"user_id",
+                unix_micros($"session_window.start").as("ws_us"),
+                unix_micros($"session_window.end").as("we_us"),
+                $"n", round($"v_c" / 100.0, 2).as("sum_value"))
+        .orderBy($"user_id", $"ws_us")
+    }
+
   /** transformWithState (Spark 4 arbitrary-state API): running per-user
     * (count, sum) via a ValueState handle — the modern twin of s2/s3's
     * flatMapGroupsWithState. Runs on RocksDB like every stateful stream
@@ -885,6 +907,7 @@ object StreamingOps extends QueryModule {
     "s8_ais_preprocess"     -> (streamAisPreprocess _),
     "s9_stream_csv_sink"    -> (streamCsvSink _),
     "s10_stream_session"    -> (streamSession _),
+    "s21_stream_dynamic_session" -> (streamDynamicSession _),
     "s11_stream_tws"        -> (streamRunningTotals _),
     "s12_stream_stream_join" -> (streamStreamJoin _),
     "s14_stream_outer_join" -> (streamOuterJoin _),
@@ -908,6 +931,7 @@ object StreamingOps extends QueryModule {
     "s8_ais_preprocess"     -> aisPreprocessSql,
     "s9_stream_csv_sink"    -> csvSinkSql,
     "s10_stream_session"    -> sessionSql,
+    "s21_stream_dynamic_session" -> graft.Oracles.dynamicSession,
     "s11_stream_tws"        -> runningTotalsSql,
     "s12_stream_stream_join" -> streamStreamJoinSql,
     "s14_stream_outer_join" -> streamOuterJoinSql,

@@ -376,6 +376,34 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
            s"expected one partial and one final instance in:\n$p")
   }
 
+  test("BPE apply is map-only until the doc agg: no join, no text in any exchange") {
+    // the trained merge table rides into the scan as string literals, so
+    // tokenization must stay a per-row projection; only (doc_id, longs)
+    // may reach an exchange — at 100 TB the corpus text never shuffles
+    val p = executed(SparkEntry.queries("tx_bpe_apply")(spark, d))
+    val joins = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"tokenizer application must not join:\n$p")
+    val stringShuffles = collectWithSubqueries(p) {
+      case e: ShuffleExchangeLike
+          if e.child.output.exists(_.dataType ==
+            org.apache.spark.sql.types.StringType) => e
+    }
+    assert(stringShuffles.isEmpty, s"text reached an exchange:\n$p")
+  }
+
+  test("ANN recall queries stay broadcast-shaped: corpus side never shuffles for a join") {
+    // recall = brute ∩ ann, both built on broadcast query sets; the only
+    // exchanges allowed are the per-query window/agg on |Q|-sized data
+    val p = executed(SparkEntry.queries("sim_recall_ivf")(spark, d))
+    val shuffledJoins = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledJoin => j
+    }
+    assert(shuffledJoins.isEmpty,
+           s"recall must join broadcast-side only:\n$p")
+  }
+
   test("rank-limit lowering fires via the spark.sql.extensions path too") {
     // extensions-built sessions (thrift server, notebooks) never call
     // ensureRegistered, and an injected optimizer rule runs in the

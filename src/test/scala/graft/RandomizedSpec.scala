@@ -268,6 +268,14 @@ class RandomizedSpec extends SparkSpec {
     assertSameRows(sSess, bSess.select(sSess.columns.map(col): _*),
                    "stream sessionization diverges from batch")
     spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+    // DYNAMIC-gap session windows: stream vs batch session_window —
+    // second-granularity random ts makes exact boundary-equality events
+    // (next.start == prev end) likely, the merge-at-equality shape
+    val sDyn = SparkEntry.queries("s21_stream_dynamic_session")(spark, d)
+    val bDyn = SparkEntry.queries("x_dynamic_session")(spark, d)
+    assertSameRows(sDyn, bDyn.select(sDyn.columns.map(col): _*),
+                   "dynamic-gap stream sessionization diverges from batch")
+    spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
   }
 
   test("streaming twins ≡ batch on random data: kinematic window agg and stateful last-3") {
