@@ -50,7 +50,7 @@ object SimilarityOps extends QueryModule {
   /** Brute-force cosine top-k: query set = vec_id < 10 (deterministic),
     * ranked per query on (rounded cosine desc, vec_id). Vectors are
     * unit-norm, so cosine = dot. */
-  private def topkBrute(s: SparkSession, d: String): DataFrame = {
+  private[graft] def topkBrute(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val emb = Tbl.embeddings(s, d)
@@ -858,8 +858,8 @@ object SimilarityOps extends QueryModule {
     *
     * recall = |ann_top3 ∩ brute_top3| / 3, floor-ppm (`div`, both
     * operands non-negative, so Spark's truncation ≡ DuckDB's floor). */
-  private def recallVsBrute(ann: (SparkSession, String) => DataFrame)
-                           (s: SparkSession, d: String): DataFrame = {
+  private[graft] def recallVsBrute(ann: (SparkSession, String) => DataFrame)
+                                  (s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val brute3 = topkBrute(s, d).where($"rk" <= 3).select($"q_id", $"vec_id")
     val ann3 = ann(s, d).where($"rk" <= 3)

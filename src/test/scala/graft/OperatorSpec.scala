@@ -71,6 +71,24 @@ class OperatorSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("recall metric self-consistency: brute vs itself is exactly 1.0; all recalls bounded") {
+    import graft.operators.SimilarityOps
+    // the metric pipeline itself must score a perfect index as perfect —
+    // a join/alias slip would silently deflate every published recall
+    val self = SimilarityOps.recallVsBrute(SimilarityOps.topkBrute)(spark, d)
+    assert(self.where($"recall_ppm" =!= 1000000L).count() == 0,
+           "recall of the truth against itself must be 1.0 for every query")
+    for (q <- Seq("sim_recall_lsh", "sim_recall_ivf", "sim_recall_ivf2",
+                  "sim_recall_ivft", "sim_recall_pq", "sim_recall_sq",
+                  "sim_recall_mrl")) {
+      val r = SparkEntry.queries(q)(spark, d)
+      assert(r.count() == 10, s"$q must emit one row per query vector")
+      assert(r.where($"hits" < 0L || $"hits" > 3L ||
+                     $"recall_ppm" < 0L || $"recall_ppm" > 1000000L).count() == 0,
+             s"$q out of bounds")
+    }
+  }
+
   test("sim_lsh_ann results are a subset of brute-force candidates' scores") {
     val brute = SparkEntry.queries("sim_topk_brute")(spark, d)
       .select($"q_id", $"vec_id", $"cosine")

@@ -376,6 +376,21 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
            s"expected one partial and one final instance in:\n$p")
   }
 
+  test("dynamic-gap session window: one user_id exchange feeds the session merge") {
+    // per-event gaps ride the scan as a projected column; the only
+    // exchange below the session aggregation clusters by user — the same
+    // single-shuffle shape as fixed-gap sessionize, so 100 TB of events
+    // shuffle once regardless of gap policy
+    val p = executed(SparkEntry.queries("x_dynamic_session")(spark, d))
+    val shuffles = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
+    // allow the output-ordering sort exchange; the merge itself gets one
+    assert(shuffles.size <= 2, s"dynamic session re-shuffles:\n$p")
+    val joins = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"dynamic session must not join:\n$p")
+  }
+
   test("BPE apply is map-only until the doc agg: no join, no text in any exchange") {
     // the trained merge table rides into the scan as string literals, so
     // tokenization must stay a per-row projection; only (doc_id, longs)
