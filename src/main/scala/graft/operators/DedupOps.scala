@@ -110,9 +110,12 @@ object DedupOps extends QueryModule {
       .select($"doc_id", $"sh")
       .persist()
     // the 64-char digest is staged ONCE per shingle; the 12 window mins
-    // then only slice it. sigs persisted: both band-join sides use it
-    val hxs = transform($"sh",
-      x => concat(md5(x), md5(concat(lit("s:"), x)))).as("hxs")
+    // then only slice it. sigs persisted: both band-join sides use it.
+    // Native kernel, not transform(x -> concat(md5(x), md5('s:'||x))):
+    // the HOF evaluates its lambda interpreted per element — the digest
+    // loop is the query's hot stage, and the codegen'd kernel computes
+    // the identical bytes (oracle untouched)
+    val hxs = org.apache.spark.sql.graft.Md5PairDigests.of($"sh").as("hxs")
     val sigs = docs.select($"doc_id", hxs)
       .select(($"doc_id" +:
         (0 until NumHashes).map(h => minhash($"hxs", h).as(s"mh_$h"))): _*)
@@ -414,9 +417,12 @@ object DedupOps extends QueryModule {
     val sp = Tbl.documents(s, d)
       .withColumn("words", split(norm($"text"), " "))
       .where(size($"words") >= SpanW)
-      .select($"doc_id", explode(expr(
-        s"transform(sequence(1, size(words) - ${SpanW - 1})," +
-        s" i -> md5(concat_ws(' ', slice(words, i, $SpanW))))")).as("h"))
+      // native rolling-span kernel (same bytes as the former
+      // transform(i -> md5(concat_ws(' ', slice(words, i, W)))) HOF,
+      // which ran interpreted per span — ~1 span per word of the corpus)
+      .select($"doc_id",
+              explode(org.apache.spark.sql.graft.SpanMd5s.of($"words", SpanW))
+                .as("h"))
       .persist() // both the df agg and the join-back read it
     val df = sp.groupBy($"h").agg(count(lit(1)).as("df"))
     // materialize the doc-sized result eagerly (localCheckpoint), then

@@ -1,0 +1,144 @@
+package org.apache.spark.sql.graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native digest kernels for the dedup family (extension path (b):
+  * custom `Expression` beats per-element HOF evaluation).
+  *
+  * Why: the shingle/span fingerprint stages were written as
+  * `transform(arr, x -> md5(...))` higher-order functions — Catalyst
+  * HOFs evaluate their lambda INTERPRETED, one expression-tree walk plus
+  * UTF8String allocations per element, outside whole-stage codegen.
+  * These expressions do the same arithmetic in a single tight Java loop
+  * per row with one reused `MessageDigest` instance; `doGenCode` emits a
+  * static call, so the surrounding projection stays inside codegen.
+  * Semantics are bit-identical to the HOF/SQL forms (md5 of UTF-8
+  * bytes, lowercase hex), so every DuckDB oracle is untouched.
+  */
+private[graft] object TextDigests {
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def md5ThreadLocal = threadMd5.get()
+  private val threadMd5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  private def hex(bytes: Array[Byte], out: Array[Byte], off: Int): Unit = {
+    var i = 0
+    while (i < 16) {
+      out(off + 2 * i) = hexChars((bytes(i) >> 4) & 0xf).toByte
+      out(off + 2 * i + 1) = hexChars(bytes(i) & 0xf).toByte
+      i += 1
+    }
+  }
+
+  private val SaltBytes = "s:".getBytes("UTF-8")
+
+  /** Per element x: hex(md5(x)) ++ hex(md5("s:" ++ x)) — the 64-char
+    * double digest the MinHash windows slice. */
+  def md5PairAll(arr: ArrayData): ArrayData = {
+    val md = md5ThreadLocal
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val bytes = s.getBytes
+      val o = new Array[Byte](64)
+      md.reset(); md.update(bytes); hex(md.digest(), o, 0)
+      md.reset(); md.update(SaltBytes); md.update(bytes); hex(md.digest(), o, 32)
+      out(i) = UTF8String.fromBytes(o)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val SpaceByte = ' '.toByte
+
+  /** Rolling fixed-width span fingerprints: for each start i in
+    * [0, n-w], hex(md5(words[i] ++ " " ++ ... ++ words[i+w-1])) — the
+    * md5(concat_ws(' ', slice(words, i, w))) of the HOF form. Returns an
+    * empty array when the document has fewer than `w` words. */
+  def spanMd5All(words: ArrayData, w: Int): ArrayData = {
+    val md = md5ThreadLocal
+    val n = words.numElements()
+    if (n < w) return new GenericArrayData(new Array[Any](0))
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { bytes(i) = words.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[Any](n - w + 1)
+    i = 0
+    while (i <= n - w) {
+      md.reset()
+      var j = 0
+      while (j < w) {
+        if (j > 0) md.update(SpaceByte)
+        md.update(bytes(i + j))
+        j += 1
+      }
+      val o = new Array[Byte](32)
+      hex(md.digest(), o, 0)
+      out(i) = UTF8String.fromBytes(o)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `md5_pair(arr)`: array<string> → array<string> of 64-char double
+  * digests. See [[TextDigests.md5PairAll]]. */
+case class Md5PairDigests(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "md5_pair"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextDigests.md5PairAll(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"org.apache.spark.sql.graft.TextDigests.md5PairAll($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PairDigests =
+    copy(child = newChild)
+}
+
+object Md5PairDigests {
+  def of(c: Column): Column =
+    ExpressionUtils.column(Md5PairDigests(ExpressionUtils.expression(c)))
+}
+
+/** `span_md5(words)`: array<string> → array<string> of md5 hex digests
+  * of every overlapping `w`-word window. See [[TextDigests.spanMd5All]]. */
+case class SpanMd5s(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(w >= 1, s"span width must be >= 1, got $w")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "span_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextDigests.spanMd5All(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"org.apache.spark.sql.graft.TextDigests.spanMd5All($a, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanMd5s =
+    copy(child = newChild)
+}
+
+object SpanMd5s {
+  def of(c: Column, w: Int): Column =
+    ExpressionUtils.column(SpanMd5s(ExpressionUtils.expression(c), w))
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The native digest kernels must be bit-identical to the interpreted
+  * HOF formulations they replaced — the DuckDB oracles still state the
+  * md5 arithmetic in the HOF shape, so any divergence here is an oracle
+  * break waiting for a corpus that exercises it. */
+class TextDigestsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomArrays(seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until 40).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, (0 until n).map(_ =>
+        rnd.alphanumeric.take(1 + rnd.nextInt(14)).mkString.toLowerCase))
+    }.toDF("id", "arr")
+  }
+
+  test("Md5PairDigests ≡ transform(x -> md5(x) || md5('s:' || x)), incl. empty arrays") {
+    val df = randomArrays(11)
+      .withColumn("native", org.apache.spark.sql.graft.Md5PairDigests.of($"arr"))
+      .withColumn("hof", transform($"arr",
+        x => concat(md5(x), md5(concat(lit("s:"), x)))))
+    assert(df.where(not($"native" <=> $"hof")).count() == 0)
+    // non-degenerate fixture: some empty and some populated arrays
+    assert(df.where(size($"arr") === 0).count() > 0)
+    assert(df.where(size($"arr") > 4).count() > 0)
+  }
+
+  test("SpanMd5s ≡ rolling md5(concat_ws) HOF, incl. boundary lengths n<w, n=w") {
+    val w = 3
+    val df = randomArrays(13)
+      .withColumn("native", org.apache.spark.sql.graft.SpanMd5s.of($"arr", w))
+      .withColumn("hof", when(size($"arr") >= w,
+          expr(s"transform(sequence(1, size(arr) - ${w - 1})," +
+               s" i -> md5(concat_ws(' ', slice(arr, i, $w))))"))
+        .otherwise(expr("array()")))
+    assert(df.where(not($"native" <=> $"hof")).count() == 0)
+    assert(df.where(size($"arr") < w).count() > 0, "needs n<w boundary rows")
+    assert(df.where(size($"arr") === w).count() > 0 ||
+           df.where(size($"arr") > w).count() > 0)
+  }
+
+  test("kernels run inside whole-stage codegen") {
+    // a range source, not a local relation — literal inputs constant-fold
+    // into a LocalTableScan before any codegen stage exists
+    val df = spark.range(64)
+      .select(expr(
+        "slice(split(md5(string(id)) || ' ' || md5(string(id + 1)) || ' ' ||" +
+        " md5(string(id + 2)), ' '), 1, int(id % 4))").as("arr"))
+      .select(org.apache.spark.sql.graft.Md5PairDigests.of($"arr").as("a"),
+              org.apache.spark.sql.graft.SpanMd5s.of($"arr", 3).as("b"))
+    val plan = df.queryExecution.executedPlan
+    val wsc = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, s"projection fell out of codegen:\n$plan")
+    df.count()
+  }
+}
