@@ -19,21 +19,18 @@ object TextNorm {
 
   /** Distinct word 3-shingles, staged through a `words` attribute: the
     * split/regex normalization must be a materialized column BEFORE the
-    * shingle lambda touches it — `element_at(<split-expr>, i)` inside a
-    * higher-order function re-evaluates the split per element (HOFs run
-    * interpreted, outside codegen CSE), which measured 8× slower at
-    * sf0.1. CollapseProject keeps the boundary because `words` is
-    * referenced many times and isn't cheap. */
-  def withShingles(df: DataFrame): DataFrame = {
-    val w = col("words")
-    val sh = when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ",
-          element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
-      .otherwise(array(concat_ws(" ", w)))
+    * shingle construction touches it (the original HOF form re-evaluated
+    * the split per element, measured 8× slower at sf0.1; the lesson
+    * stands for every HOF in the codebase). The construction itself is
+    * the native [[org.apache.spark.sql.graft.Shingles3]] kernel — the
+    * `array_distinct(transform(...concat_ws...))` HOF ran interpreted
+    * per window; the kernel emits identical bytes in one loop per row
+    * and keeps the projection inside whole-stage codegen
+    * (TextDigestsSpec pins bit-equality with the HOF form, which the
+    * DuckDB `shinglesSql` mirror still states). */
+  def withShingles(df: DataFrame): DataFrame =
     df.withColumn("words", split(norm(col("text")), " "))
-      .withColumn("sh", sh)
-  }
+      .withColumn("sh", org.apache.spark.sql.graft.Shingles3.of(col("words")))
   val shinglesSql: String = {
     val words = s"string_split($normSql, ' ')"
     s"""CASE WHEN len($words) >= 3 THEN

@@ -94,6 +94,72 @@ private[graft] object TextDigests {
   }
 }
 
+private[graft] object Shingles3Kernel {
+  private val Space = ' '.toByte
+
+  /** Distinct word 3-shingles in first-occurrence order — the kernel
+    * form of `array_distinct(transform(sequence(1, n-2), i ->
+    * concat_ws(' ', w[i], w[i+1], w[i+2])))` with the `< 3` fallback to
+    * a single all-words join (matching [[graft.operators.TextNorm]]'s
+    * HOF formulation byte for byte). */
+  def shingles3(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { bytes(i) = words.getUTF8String(i).getBytes; i += 1 }
+    def join(from: Int, count: Int): UTF8String = {
+      var len = if (count > 0) count - 1 else 0
+      var j = 0
+      while (j < count) { len += bytes(from + j).length; j += 1 }
+      val out = new Array[Byte](len)
+      var off = 0
+      j = 0
+      while (j < count) {
+        if (j > 0) { out(off) = Space; off += 1 }
+        val b = bytes(from + j)
+        System.arraycopy(b, 0, out, off, b.length)
+        off += b.length
+        j += 1
+      }
+      UTF8String.fromBytes(out)
+    }
+    if (n < 3) return new GenericArrayData(Array[Any](join(0, n)))
+    val seen = new java.util.HashSet[UTF8String]((n - 2) * 2)
+    val out = new java.util.ArrayList[Any](n - 2)
+    i = 0
+    while (i <= n - 3) {
+      val sh = join(i, 3)
+      if (seen.add(sh)) out.add(sh)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `shingles3(words)`: array<string> → array<string> of distinct word
+  * 3-shingles in first-occurrence order. See [[Shingles3Kernel]]. */
+case class Shingles3(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles3"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Shingles3Kernel.shingles3(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"org.apache.spark.sql.graft.Shingles3Kernel.shingles3($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+}
+
+object Shingles3 {
+  def of(c: Column): Column =
+    ExpressionUtils.column(Shingles3(ExpressionUtils.expression(c)))
+}
+
 /** `md5_pair(arr)`: array<string> → array<string> of 64-char double
   * digests. See [[TextDigests.md5PairAll]]. */
 case class Md5PairDigests(child: Expression)

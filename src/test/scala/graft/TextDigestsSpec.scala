@@ -43,6 +43,31 @@ class TextDigestsSpec extends SparkSpec {
            df.where(size($"arr") > w).count() > 0)
   }
 
+  test("Shingles3 ≡ array_distinct(transform) HOF, incl. n∈{0,1,2,3} and duplicate windows") {
+    val rnd = new scala.util.Random(19)
+    // tiny alphabet forces duplicate 3-windows (the distinct path) and
+    // boundary sizes hit the <3 fallback
+    val rows = (0 until 60).map { i =>
+      (i.toLong, (0 until (i % 7)).map(_ => "w" + rnd.nextInt(4)))
+    }
+    val df = rows.toDF("id", "arr")
+      .withColumn("native", org.apache.spark.sql.graft.Shingles3.of($"arr"))
+      .withColumn("hof", {
+        val w = $"arr"
+        when(size(w) >= 3,
+          array_distinct(transform(sequence(lit(1), size(w) - 2),
+            i => concat_ws(" ",
+              element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+          .otherwise(array(concat_ws(" ", w)))
+      })
+    assert(df.where(not($"native" <=> $"hof")).count() == 0)
+    // fixture really exercises both paths and the dedup
+    assert(rows.count(_._2.size < 3) > 0 && rows.count(_._2.size >= 5) > 0)
+    val dups = df.where(size($"arr") >= 5 &&
+      size($"native") < size($"arr") - lit(2))
+    assert(dups.count() > 0, "no duplicate windows generated — dedup untested")
+  }
+
   test("kernels run inside whole-stage codegen") {
     // a range source, not a local relation — literal inputs constant-fold
     // into a LocalTableScan before any codegen stage exists
