@@ -127,6 +127,43 @@ class StatefulOpsSpec extends SparkSpec {
       s"heap-provider .delta files under $ckpt/state: ${names.take(20)}")
   }
 
+  test("RocksDB state survives stop/restart: changelog recovery continues the aggregate") {
+    // the engine default commits per-batch CHANGELOGS (full snapshots are
+    // deferred to maintenance, which throwaway runs never execute) — so a
+    // restart must rebuild state by replaying changelogs. A complete-mode
+    // aggregate probes exactly that: run 2 reads ONLY the new file
+    // (source offset log), so its total can only include run 1's rows if
+    // the state store actually recovered.
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    graft.streaming.StreamingOps.configureStreaming(spark)
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    val srcDir = java.nio.file.Files.createTempDirectory("state_restart_src").toString
+    val ck = java.nio.file.Files.createTempDirectory("state_restart_ck").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("user", LongType)))
+    def stage(ids: Seq[Long]): Unit =
+      ids.toDF("id").withColumn("user", lit(7L)).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def run(name: String): (Long, Long) = {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .groupBy($"user").agg(count(lit(1)).as("n"), sum($"id").as("s"))
+        .writeStream.format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.stop()
+      val r = spark.table(name).head
+      (r.getAs[Long]("n"), r.getAs[Long]("s"))
+    }
+    stage(Seq(1L, 2L, 3L))
+    assert(run("t_restart1") == ((3L, 6L)))
+    stage(Seq(4L, 5L))
+    assert(run("t_restart2") == ((5L, 15L)),
+           "aggregate state was not recovered from the RocksDB checkpoint")
+  }
+
   test("last3PerKey: merge keeps ts-desc order with event_id tiebreak") {
     val st = new FakeState[Top3State]
     val out = last3PerKey(9L,
