@@ -49,11 +49,15 @@ object Bench {
     // ALSO land the line in a file: the driver's stdout harvester has
     // truncated the sbt tail before (BENCH_r04 kept 63/135 timings), and
     // per-query history is the regression signal — it must survive
-    // verbatim (round-4 VERDICT item #4)
+    // verbatim (round-4 VERDICT item #4). APPEND, not truncate: the file
+    // is JSONL, one line per run (latest = last line), so sequential
+    // runs — e.g. benching several scale factors — keep their history.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")),
-      (line + "\n").getBytes("UTF-8"))
+      (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     catch { case e: Throwable =>
       System.err.println(s"bench file write failed: $e") }
     spark.stop()

@@ -30,7 +30,13 @@ object TextNorm {
     * DuckDB `shinglesSql` mirror still states). */
   def withShingles(df: DataFrame): DataFrame =
     df.withColumn("words", split(norm(col("text")), " "))
-      .withColumn("sh", org.apache.spark.sql.graft.Shingles3.of(col("words")))
+      // coalesce: a NULL text row yields NULL words, and the former HOF
+      // formulation produced a single empty shingle for it (concat_ws
+      // never returns null) while the null-propagating kernel would drop
+      // the row — pin the old behavior at the boundary so the two can
+      // never diverge on a null-bearing corpus
+      .withColumn("sh", org.apache.spark.sql.graft.Shingles3.of(
+        coalesce(col("words"), array(lit("")))))
   val shinglesSql: String = {
     val words = s"string_split($normSql, ' ')"
     s"""CASE WHEN len($words) >= 3 THEN

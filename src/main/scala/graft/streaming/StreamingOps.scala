@@ -469,16 +469,29 @@ object StreamingOps extends QueryModule {
   private def streamRunningTotalsInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import StatefulOps._
-    val typed = eventStream(s, d)
-      .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id", $"value")
-      .as[Ev]
-      .groupByKey(_.user_id)
-      .transformWithState(new RunningTotals,
-        TimeMode.None(), OutputMode.Update())
-    runToTable(s, typed.toDF(), "s_running_totals", OutputMode.Update())
-      .select($"user_id", $"event_id", $"ts_us", $"run_n",
-              round($"run_sum_c" / 100.0, 2).as("run_sum"))
-      .orderBy($"user_id", $"ts_us", $"event_id")
+    // transformWithState REQUIRES RocksDB: pin it for this query even if
+    // the session overrode spark.graft.stateStoreProvider to the heap
+    // provider (runToTable's configureStreaming honors that override, so
+    // without this pin the override would crash s11 at query start);
+    // restored afterwards so the override still governs other streams
+    val prev = s.conf.getOption("spark.graft.stateStoreProvider")
+    s.conf.set("spark.graft.stateStoreProvider",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val typed = eventStream(s, d)
+        .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id", $"value")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningTotals,
+          TimeMode.None(), OutputMode.Update())
+      runToTable(s, typed.toDF(), "s_running_totals", OutputMode.Update())
+        .select($"user_id", $"event_id", $"ts_us", $"run_n",
+                round($"run_sum_c" / 100.0, 2).as("run_sum"))
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.graft.stateStoreProvider", p)
+      case None => s.conf.unset("spark.graft.stateStoreProvider")
+    }
   }
 
   private val runningTotalsSql =

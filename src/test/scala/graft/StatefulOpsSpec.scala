@@ -127,6 +127,25 @@ class StatefulOpsSpec extends SparkSpec {
       s"heap-provider .delta files under $ckpt/state: ${names.take(20)}")
   }
 
+  test("s11 pins RocksDB even when the session overrides the provider knob") {
+    // transformWithState cannot run on the heap provider; a session-wide
+    // spark.graft.stateStoreProvider override must not crash s11 (it
+    // pins RocksDB locally and restores the override afterwards)
+    val prev = spark.conf.getOption("spark.graft.stateStoreProvider")
+    spark.conf.set("spark.graft.stateStoreProvider",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    try {
+      val n = SparkEntry.queries("s11_stream_tws")(spark, "/root/testdata/sf0.001").count()
+      assert(n > 0)
+      assert(spark.conf.get("spark.graft.stateStoreProvider")
+               .contains("HDFSBackedStateStoreProvider"),
+             "session override must survive the s11-local pin")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.graft.stateStoreProvider", p)
+      case None => spark.conf.unset("spark.graft.stateStoreProvider")
+    }
+  }
+
   test("RocksDB state survives stop/restart: changelog recovery continues the aggregate") {
     // the engine default commits per-batch CHANGELOGS (full snapshots are
     // deferred to maintenance, which throwaway runs never execute) — so a

@@ -78,10 +78,19 @@ class TextDigestsSpec extends SparkSpec {
       .select(org.apache.spark.sql.graft.Md5PairDigests.of($"arr").as("a"),
               org.apache.spark.sql.graft.SpanMd5s.of($"arr", 3).as("b"))
     val plan = df.queryExecution.executedPlan
-    val wsc = plan.collect {
-      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
-    }
-    assert(wsc.nonEmpty, s"projection fell out of codegen:\n$plan")
+    // the KERNEL expressions themselves must sit inside a codegen
+    // subtree — a bare "some WholeStageCodegen exists" check would pass
+    // on the upstream range/md5 stage even if the kernel projection had
+    // silently fallen back to interpreted execution
+    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+    def holdsKernel(p: SparkPlan): Boolean =
+      p.expressions.exists(_.exists(e =>
+        e.isInstanceOf[org.apache.spark.sql.graft.Md5PairDigests] ||
+        e.isInstanceOf[org.apache.spark.sql.graft.SpanMd5s])) ||
+      p.children.exists(holdsKernel)
+    val wsc = plan.collect { case w: WholeStageCodegenExec => w }
+    assert(wsc.exists(holdsKernel),
+           s"kernel projection fell out of whole-stage codegen:\n$plan")
     df.count()
   }
 }
