@@ -44,7 +44,22 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"stat":"min"}"""
+    // provenance on every JSONL line (round-5 VERDICT item #8): the
+    // driver's stdout harvester truncates, so cross-round per-query
+    // diffs read this file — each line must say WHICH round/commit it
+    // measured. Round = the driver's correctness file counter + 1
+    // (CORRECTNESS_rNN.json are written at round end, so during round
+    // N the highest on disk is N-1); sha = current HEAD.
+    val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => "CORRECTNESS_r(\\d+)\\.json".r
+        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .maxOption.map(_ + 1).getOrElse(0)
+    val sha = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD").start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+    } catch { case scala.util.control.NonFatal(_) => "unknown" }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"stat":"min","round":$round,"sha":"$sha"}"""
     println(line)
     // ALSO land the line in a file: the driver's stdout harvester has
     // truncated the sbt tail before (BENCH_r04 kept 63/135 timings), and
@@ -58,7 +73,9 @@ object Bench {
       (line + "\n").getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
-    catch { case e: Throwable =>
+    // NonFatal only: a VM error (OOM...) must crash the bench, not be
+    // mistaken for a file-write hiccup (round-5 ADVICE)
+    catch { case e if scala.util.control.NonFatal(e) =>
       System.err.println(s"bench file write failed: $e") }
     spark.stop()
   }

@@ -7,10 +7,18 @@ import org.apache.spark.sql.SparkSession
   * Usage: sbt "runMain graft.TimeOne <query> <sfDir>" */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", Tbl.sparkLocalDir).getOrCreate()
+      .config("spark.local.dir", Tbl.sparkLocalDir)
+    // experiment knob: SPARK_GRAFT_CONF="k=v;k2=v2" extra session confs
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val (name, dir) = (args(0), args(1))
     (1 to 3).foreach { i =>

@@ -49,11 +49,11 @@ object SimilarityOps extends QueryModule {
 
   /** Brute-force cosine top-k: query set = vec_id < 10 (deterministic),
     * ranked per query on (rounded cosine desc, vec_id). Vectors are
-    * unit-norm, so cosine = dot. */
-  private[graft] def topkBrute(s: SparkSession, d: String): DataFrame = {
+    * unit-norm, so cosine = dot. `emb` is a parameter so the planted
+    * near-duplicate corpus (below) reuses the exact same formulation. */
+  private def topkBruteCore(s: SparkSession, emb: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val emb = Tbl.embeddings(s, d)
     val queries = emb.where($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
     val scored = emb.crossJoin(broadcast(queries))
@@ -66,16 +66,21 @@ object SimilarityOps extends QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
-  private val topkBruteSql =
+  private[graft] def topkBrute(s: SparkSession, d: String): DataFrame =
+    topkBruteCore(s, Tbl.embeddings(s, d))
+
+  private def topkBruteSqlOn(rel: String): String =
     s"""SELECT q_id, vec_id, cosine, rk FROM (
        |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
        |    ${cos6Sql(dotSql("q.embedding", "e.embedding"))} AS cosine,
        |    row_number() OVER (PARTITION BY q.vec_id
        |                       ORDER BY ${cos6Sql(dotSql("q.embedding", "e.embedding"))} DESC,
        |                                e.vec_id) AS rk
-       |  FROM embeddings e, embeddings q
+       |  FROM $rel e, $rel q
        |  WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id)
        |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+
+  private val topkBruteSql = topkBruteSqlOn("embeddings")
 
   private val NumPlanes = 8
 
@@ -105,10 +110,9 @@ object SimilarityOps extends QueryModule {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def lshAnn(s: SparkSession, d: String): DataFrame = {
+  private def lshAnnCore(s: SparkSession, d: String, emb: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val emb = Tbl.embeddings(s, d)
     val bucketed = emb.select($"vec_id", $"embedding",
                               bucketCol(constVectors(s, d, NumPlanes)).as("bucket"))
     val queries = bucketed.where($"vec_id" < NumQueries)
@@ -124,17 +128,22 @@ object SimilarityOps extends QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
+  private def lshAnn(s: SparkSession, d: String): DataFrame =
+    lshAnnCore(s, d, Tbl.embeddings(s, d))
+
   // CAST: DuckDB types the integer sum as HUGEINT; Spark's bucket is BIGINT.
+  // The planes stay the first 8 ORIGINAL corpus vectors whatever `rel` the
+  // bucketed corpus reads from — mirroring constVectors on the Spark side.
   private val bucketExprSql =
     s"""(SELECT CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.embedding")} > 0.0
        |                 THEN 1 << p.vec_id ELSE 0 END) AS BIGINT)
        |  FROM embeddings p WHERE p.vec_id < $NumPlanes)""".stripMargin
 
-  private val lshAnnSql = {
+  private def lshAnnSqlOn(rel: String): String = {
     val bucketExpr = bucketExprSql
     s"""WITH bucketed AS (
        |  SELECT e.vec_id, e.embedding, $bucketExpr AS bucket
-       |  FROM embeddings e)
+       |  FROM $rel e)
        |SELECT q_id, bucket, vec_id, cosine, rk FROM (
        |  SELECT q.vec_id AS q_id, c.bucket AS bucket, c.vec_id AS vec_id,
        |    ${cos6Sql(dotSql("q.embedding", "c.embedding"))} AS cosine,
@@ -145,6 +154,8 @@ object SimilarityOps extends QueryModule {
        |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   }
+
+  private val lshAnnSql = lshAnnSqlOn("embeddings")
 
   private val NumCentroids = 16
 
@@ -858,10 +869,11 @@ object SimilarityOps extends QueryModule {
     *
     * recall = |ann_top3 ∩ brute_top3| / 3, floor-ppm (`div`, both
     * operands non-negative, so Spark's truncation ≡ DuckDB's floor). */
-  private[graft] def recallVsBrute(ann: (SparkSession, String) => DataFrame)
-                                  (s: SparkSession, d: String): DataFrame = {
+  private[graft] def recallVs(truth: (SparkSession, String) => DataFrame,
+                              ann: (SparkSession, String) => DataFrame)
+                             (s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val brute3 = topkBrute(s, d).where($"rk" <= 3).select($"q_id", $"vec_id")
+    val brute3 = truth(s, d).where($"rk" <= 3).select($"q_id", $"vec_id")
     val ann3 = ann(s, d).where($"rk" <= 3)
       .select($"q_id", $"vec_id", lit(1L).as("hit"))
     brute3.join(ann3, Seq("q_id", "vec_id"), "left")
@@ -872,8 +884,16 @@ object SimilarityOps extends QueryModule {
       .orderBy($"q_id")
   }
 
-  private def recallSql(annSql: String): String =
-    s"""WITH brute AS ($topkBruteSql),
+  private[graft] def recallVsBrute(ann: (SparkSession, String) => DataFrame)
+                                  (s: SparkSession, d: String): DataFrame =
+    recallVs(topkBrute, ann)(s, d)
+
+  /** Shared recall tail: compare `ann` top-3 against `brute` top-3 per
+    * query. `prefixCtes` lets a caller stage extra relations (the planted
+    * corpus) ahead of the two result CTEs. */
+  private def recallSqlWith(bruteSql: String, annSql: String,
+                            prefixCtes: String = ""): String =
+    s"""WITH $prefixCtes brute AS ($bruteSql),
        |ann AS ($annSql),
        |b3 AS (SELECT q_id, vec_id FROM brute WHERE rk <= 3),
        |a3 AS (SELECT q_id, vec_id FROM ann WHERE rk <= 3)
@@ -883,8 +903,60 @@ object SimilarityOps extends QueryModule {
        |FROM b3 LEFT JOIN a3 ON b3.q_id = a3.q_id AND b3.vec_id = a3.vec_id
        |GROUP BY b3.q_id ORDER BY b3.q_id""".stripMargin
 
+  private def recallSql(annSql: String): String =
+    recallSqlWith(topkBruteSql, annSql)
+
+  // ---- planted near-duplicate corpus (round-5 VERDICT item #2) ----
+
+  /** The honest 0-ppm bound: on the uniform-random corpus, banded
+    * hyperplane LSH retrieves nothing useful (`sim_recall_lsh` — kept,
+    * documented, adversarial). This corpus shows the index doing the job
+    * it exists for: for each of the 10 query vectors, three NEAR-COPIES
+    * are planted (per-element drift of up to 15% of the neighbouring
+    * element — direction-changing, so bucket agreement is NOT a
+    * tautology: a near-zero hyperplane margin can flip). Brute-force
+    * truth on the planted corpus ranks exactly those copies top-3
+    * (cosine ≈ 1 vs ≲ 0.55 for the random background), so
+    * `sim_recall_lsh_planted` measures the fraction of planted
+    * near-duplicates the banded index actually retrieves. */
+  private def plantedEmb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tbl.embeddings(s, d).select($"vec_id", $"embedding")
+    val copies = emb.where($"vec_id" < NumQueries)
+      .crossJoin(broadcast(Seq(1, 2, 3).toDF("k")))
+      .select(($"k" * 100000L + $"vec_id").as("vec_id"),
+              expr("""transform(sequence(1, size(embedding)),
+                     |  i -> cast(element_at(embedding, i)
+                     |            + 0.05d * k * element_at(embedding, 1 + i % size(embedding))
+                     |            as float))""".stripMargin).as("embedding"))
+    emb.unionAll(copies)
+  }
+
+  // MATERIALIZED: `planted` is referenced 3× (brute e/q + bucketed) and
+  // DuckDB inlines plain CTEs per reference (the chained-CTE lesson).
+  private val plantedCteSql =
+    """planted AS MATERIALIZED (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT 100000*k + vec_id AS vec_id,
+      |    [CAST(embedding[i] + 0.05*k*embedding[1 + i % len(embedding)] AS FLOAT)
+      |     FOR i IN generate_series(1, len(embedding))] AS embedding
+      |  FROM embeddings, unnest([1, 2, 3]) t(k)
+      |  WHERE vec_id < 10),""".stripMargin
+
+  private def lshAnnPlanted(s: SparkSession, d: String): DataFrame =
+    lshAnnCore(s, d, plantedEmb(s, d))
+
+  private def brutePlanted(s: SparkSession, d: String): DataFrame =
+    topkBruteCore(s, plantedEmb(s, d))
+
+  private val recallLshPlantedSql =
+    recallSqlWith(topkBruteSqlOn("planted"), lshAnnSqlOn("planted"),
+                  prefixCtes = plantedCteSql)
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_recall_lsh"   -> (recallVsBrute(lshAnn) _),
+    "sim_recall_lsh_planted" -> (recallVs(brutePlanted, lshAnnPlanted) _),
     "sim_recall_ivf"   -> (recallVsBrute(ivfAnn) _),
     "sim_recall_ivf2"  -> (recallVsBrute(ivfAnnNprobe2) _),
     "sim_recall_ivft"  -> (recallVsBrute(ivfTrained) _),
@@ -907,6 +979,7 @@ object SimilarityOps extends QueryModule {
 
   override val oracles: Map[String, String] = Map(
     "sim_recall_lsh"   -> recallSql(lshAnnSql),
+    "sim_recall_lsh_planted" -> recallLshPlantedSql,
     "sim_recall_ivf"   -> recallSql(ivfAnnSql),
     "sim_recall_ivf2"  -> recallSql(ivfAnnNprobe2Sql),
     "sim_recall_ivft"  -> recallSql(ivfTrainedSql),

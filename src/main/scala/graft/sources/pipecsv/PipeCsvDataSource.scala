@@ -41,6 +41,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - splittable partitions: `framesPerSplit` frames per input split
   *     (default 1 << 20 ≈ 200 MB of 200-byte frames), planned from file
   *     length arithmetic alone.
+  *   - data skipping (`Stats`): the writer records per-block min/max
+  *     sidecars (`statsBlockFrames`, default 4096); batch split planning
+  *     prunes splits a pushed filter provably excludes — row-group
+  *     statistics, pipecsv-style. Fail-open when sidecars are absent
+  *     (e.g. externally-produced feeds).
   *
   * Registered as `pipecsv` via DataSourceRegister (META-INF/services), so
   * `spark.read.format("pipecsv").schema(...).load(dir)` works anywhere.
@@ -86,6 +91,109 @@ private[pipecsv] object PipeCsvDataSource {
     require(n > 0, "pipecsv: framesPerSplit must be positive"); n
   }
 
+  def statsBlockFrames(o: CaseInsensitiveStringMap): Long = {
+    val n = o.getLong("statsBlockFrames", 1L << 12)
+    require(n > 0, "pipecsv: statsBlockFrames must be positive"); n
+  }
+
+  /** Data-skipping sidecars (round-5 VERDICT item #7) — the row-group
+    * stats of this format: the writer records per-block min/max for
+    * numeric fields into a hidden `.NAME.pcsv.stats` file beside each
+    * data file; batch split planning then drops any split whose every
+    * covering block is refuted by a pushed filter. Fail-open by design:
+    * no sidecar / unparsable sidecar / string field ⇒ no pruning, never
+    * wrong results. Values travel as exact decimal strings
+    * (Long.toString / Double.toString) and compare as BigDecimal, so
+    * 64-bit longs don't lose pruning-decision precision to a double. */
+  object Stats {
+    def sidecarFor(dataName: String): String = s".$dataName.stats"
+
+    /** One stats block: frames [start, start+n) with per-field min/max
+      * ("-" = untracked field, e.g. strings). */
+    final case class Block(start: Long, n: Long,
+                           mins: Array[String], maxs: Array[String])
+
+    def render(numFields: Int, blocks: Seq[Block]): String = {
+      val sb = new StringBuilder(s"v1 $numFields\n")
+      blocks.foreach { b =>
+        sb.append(b.start).append(' ').append(b.n)
+        var i = 0
+        while (i < numFields) {
+          sb.append(' ').append(b.mins(i)).append(' ').append(b.maxs(i))
+          i += 1
+        }
+        sb.append('\n')
+      }
+      sb.toString
+    }
+
+    /** Parse a sidecar; None on any mismatch (fail open). */
+    def parse(text: String, numFields: Int): Option[Seq[Block]] = try {
+      val lines = text.split('\n').filter(_.nonEmpty)
+      val hdr = lines.head.split(' ')
+      if (hdr.length != 2 || hdr(0) != "v1" || hdr(1).toInt != numFields)
+        return None
+      Some(lines.tail.toSeq.map { ln =>
+        val t = ln.split(' ')
+        require(t.length == 2 + 2 * numFields)
+        Block(t(0).toLong, t(1).toLong,
+              Array.tabulate(numFields)(i => t(2 + 2 * i)),
+              Array.tabulate(numFields)(i => t(3 + 2 * i)))
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    private def dec(s: String): Option[java.math.BigDecimal] =
+      if (s == "-") None
+      else try Some(new java.math.BigDecimal(s))
+      catch { case _: NumberFormatException => None }
+
+    private def litDec(v: Any): Option[java.math.BigDecimal] = v match {
+      case n: Number => Some(new java.math.BigDecimal(n.toString))
+      case _         => None
+    }
+
+    /** Can `f` be satisfied by NO row of a block with these ranges?
+      * Conservative: unknown field/limit ⇒ not refuted. */
+    def refutes(f: Filter, fieldIdx: Map[String, Int], b: Block): Boolean = {
+      def rng(a: String): Option[(java.math.BigDecimal, java.math.BigDecimal)] =
+        for {
+          i <- fieldIdx.get(a)
+          mn <- dec(b.mins(i)); mx <- dec(b.maxs(i))
+        } yield (mn, mx)
+      f match {
+        case EqualTo(a, v) => (rng(a), litDec(v)) match {
+          case (Some((mn, mx)), Some(l)) =>
+            l.compareTo(mn) < 0 || l.compareTo(mx) > 0
+          case _ => false
+        }
+        case In(a, vs) => rng(a) match {
+          case Some((mn, mx)) =>
+            val ds = vs.flatMap(litDec)
+            ds.length == vs.length &&
+              ds.forall(l => l.compareTo(mn) < 0 || l.compareTo(mx) > 0)
+          case None => false
+        }
+        case GreaterThan(a, v) => (rng(a), litDec(v)) match {
+          case (Some((_, mx)), Some(l)) => mx.compareTo(l) <= 0
+          case _ => false
+        }
+        case GreaterThanOrEqual(a, v) => (rng(a), litDec(v)) match {
+          case (Some((_, mx)), Some(l)) => mx.compareTo(l) < 0
+          case _ => false
+        }
+        case LessThan(a, v) => (rng(a), litDec(v)) match {
+          case (Some((mn, _)), Some(l)) => mn.compareTo(l) >= 0
+          case _ => false
+        }
+        case LessThanOrEqual(a, v) => (rng(a), litDec(v)) match {
+          case (Some((mn, _)), Some(l)) => mn.compareTo(l) > 0
+          case _ => false
+        }
+        case _ => false
+      }
+    }
+  }
+
   /** Data files under `path`, skipping _SUCCESS/. hidden files, with
     * lengths — the only file-system metadata split planning needs. */
   def listDataFiles(o: CaseInsensitiveStringMap): Seq[(Path, Long)] = {
@@ -123,7 +231,8 @@ private[pipecsv] final class PipeCsvTable(
       PipeCsvDataSource.frameLen(info.options()),
       Option(info.options().get("path")).getOrElse(
         Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
-          "pipecsv: path option is required for write"))))
+          "pipecsv: path option is required for write"))),
+      PipeCsvDataSource.statsBlockFrames(info.options()))
 }
 
 private[pipecsv] final class PipeCsvScanBuilder(
@@ -176,12 +285,47 @@ private[pipecsv] final class PipeCsvScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val stride = PipeCsvDataSource.frameLen(options) + 1L
     val per = PipeCsvDataSource.framesPerSplit(options)
+    val fieldIdx = fullSchema.fieldNames.zipWithIndex.toMap
     PipeCsvDataSource.listDataFiles(options).flatMap { case (p, len) =>
       require(len % stride == 0,
         s"pipecsv: $p length $len is not a multiple of frame stride $stride")
       val frames = len / stride
-      (0L until frames by per).map(start =>
-        PipeCsvInputPartition(p.toString, start, math.min(per, frames - start)))
+      // data skipping: drop a split when every stats block covering it
+      // refutes at least one pushed filter (no sidecar ⇒ keep all)
+      val blocks: Option[Seq[PipeCsvDataSource.Stats.Block]] =
+        if (pushed.isEmpty) None
+        else try {
+          val side = new Path(p.getParent,
+                              PipeCsvDataSource.Stats.sidecarFor(p.getName))
+          val fs = side.getFileSystem(new Configuration())
+          if (!fs.exists(side)) None
+          else {
+            val in = fs.open(side)
+            val text = try {
+              val bos = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+              new String(bos.toByteArray, "UTF-8")
+            } finally in.close()
+            PipeCsvDataSource.Stats.parse(text, fullSchema.length)
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      (0L until frames by per).flatMap { start =>
+        val n = math.min(per, frames - start)
+        val keep = blocks match {
+          case None => true
+          case Some(bs) =>
+            val covering = bs.filter(b => b.start < start + n && start < b.start + b.n)
+            val covered = covering
+              .map(b => math.min(b.start + b.n, start + n) - math.max(b.start, start))
+              .sum
+            // frames not covered by any block are unknowable — keep; a
+            // fully-covered split drops only if EVERY covering block is
+            // refuted by some pushed filter
+            covered < n || !covering.forall(b => pushed.exists(
+              PipeCsvDataSource.Stats.refutes(_, fieldIdx, b)))
+        }
+        if (keep) Some(PipeCsvInputPartition(p.toString, start, n)) else None
+      }
     }.toArray
   }
 
@@ -391,18 +535,21 @@ private[pipecsv] final class PipeCsvPartitionReader(
   * producer `client.py:24-33`); no global commit coordination is needed
   * beyond per-file rename. */
 private[pipecsv] final class PipeCsvWriteBuilder(
-    schema: StructType, frameLen: Int, path: String) extends WriteBuilder {
+    schema: StructType, frameLen: Int, path: String,
+    statsBlock: Long) extends WriteBuilder {
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new PipeCsvBatchWrite(schema, frameLen, path)
+    override def toBatch: BatchWrite =
+      new PipeCsvBatchWrite(schema, frameLen, path, statsBlock)
     override def toStreaming: StreamingWrite =
-      new PipeCsvStreamingWrite(schema, frameLen, path)
+      new PipeCsvStreamingWrite(schema, frameLen, path, statsBlock)
   }
 }
 
 private[pipecsv] final class PipeCsvBatchWrite(
-    schema: StructType, frameLen: Int, path: String) extends BatchWrite {
+    schema: StructType, frameLen: Int, path: String,
+    statsBlock: Long) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    PipeCsvWriterFactory(schema, frameLen, path)
+    PipeCsvWriterFactory(schema, frameLen, path, statsBlock)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -416,26 +563,29 @@ private[pipecsv] final class PipeCsvBatchWrite(
   * arrival order — the batch/streaming READ side of this same connector
   * can replay the sink's output with stable frame offsets. */
 private[pipecsv] final class PipeCsvStreamingWrite(
-    schema: StructType, frameLen: Int, path: String) extends StreamingWrite {
+    schema: StructType, frameLen: Int, path: String,
+    statsBlock: Long) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    PipeCsvStreamingWriterFactory(schema, frameLen, path)
+    PipeCsvStreamingWriterFactory(schema, frameLen, path, statsBlock)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 private[pipecsv] final case class PipeCsvStreamingWriterFactory(
-    schema: StructType, frameLen: Int, path: String)
+    schema: StructType, frameLen: Int, path: String, statsBlock: Long)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new PipeCsvDataWriter(schema, frameLen, path,
       dstName = f"part-e$epochId%010d-p$partitionId%05d.pcsv",
-      tmpName = f".part-e$epochId%010d-p$partitionId%05d-$taskId%010d.pcsv.tmp")
+      tmpName = f".part-e$epochId%010d-p$partitionId%05d-$taskId%010d.pcsv.tmp",
+      statsBlock = statsBlock)
 }
 
 private[pipecsv] final case class PipeCsvWriterFactory(
-    schema: StructType, frameLen: Int, path: String) extends DataWriterFactory {
+    schema: StructType, frameLen: Int, path: String,
+    statsBlock: Long) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // taskId zero-padded: the streaming snapshot orders files by NAME, so
     // names must sort the same lexicographically and numerically — an
@@ -443,7 +593,8 @@ private[pipecsv] final case class PipeCsvWriterFactory(
     // across a checkpoint restart
     new PipeCsvDataWriter(schema, frameLen, path,
       dstName = f"part-$partitionId%05d-$taskId%010d.pcsv",
-      tmpName = f".part-$partitionId%05d-$taskId%010d.pcsv.tmp")
+      tmpName = f".part-$partitionId%05d-$taskId%010d.pcsv.tmp",
+      statsBlock = statsBlock)
 }
 
 private[pipecsv] final case class PipeCsvCommit(file: String)
@@ -451,7 +602,8 @@ private[pipecsv] final case class PipeCsvCommit(file: String)
 
 private[pipecsv] final class PipeCsvDataWriter(
     schema: StructType, frameLen: Int, path: String,
-    dstName: String, tmpName: String) extends DataWriter[InternalRow] {
+    dstName: String, tmpName: String,
+    statsBlock: Long) extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(new Configuration())
   private val tmp = new Path(path, tmpName)
@@ -459,14 +611,69 @@ private[pipecsv] final class PipeCsvDataWriter(
   private val out = fs.create(tmp, true)
   private val pad = Array.fill[Byte](frameLen)(' ')
 
+  // per-block min/max tracking for the data-skipping sidecar: numeric
+  // fields only, typed comparisons (strings stay "-" = untracked)
+  private val numF = schema.length
+  private var framesWritten = 0L
+  private var blockStart = 0L
+  private val curMinL = new Array[Long](numF)
+  private val curMaxL = new Array[Long](numF)
+  private val curMinD = new Array[Double](numF)
+  private val curMaxD = new Array[Double](numF)
+  private var blockEmpty = true
+  private val blocks = Seq.newBuilder[PipeCsvDataSource.Stats.Block]
+
+  private def resetBlock(): Unit = {
+    blockEmpty = true
+    java.util.Arrays.fill(curMinL, Long.MaxValue)
+    java.util.Arrays.fill(curMaxL, Long.MinValue)
+    java.util.Arrays.fill(curMinD, Double.PositiveInfinity)
+    java.util.Arrays.fill(curMaxD, Double.NegativeInfinity)
+  }
+  resetBlock()
+
+  private def flushBlock(): Unit = {
+    if (!blockEmpty) {
+      val mins = new Array[String](numF)
+      val maxs = new Array[String](numF)
+      var i = 0
+      while (i < numF) {
+        schema.fields(i).dataType match {
+          case LongType | IntegerType =>
+            mins(i) = curMinL(i).toString; maxs(i) = curMaxL(i).toString
+          case DoubleType =>
+            mins(i) = curMinD(i).toString; maxs(i) = curMaxD(i).toString
+          case _ => mins(i) = "-"; maxs(i) = "-"
+        }
+        i += 1
+      }
+      blocks += PipeCsvDataSource.Stats.Block(
+        blockStart, framesWritten - blockStart, mins, maxs)
+    }
+    blockStart = framesWritten
+    resetBlock()
+  }
+
   override def write(row: InternalRow): Unit = {
     val fields = new Array[String](schema.length)
     var i = 0
     while (i < schema.length) {
       fields(i) = schema.fields(i).dataType match {
-        case LongType    => row.getLong(i).toString
-        case IntegerType => row.getInt(i).toString
-        case DoubleType  => row.getDouble(i).toString
+        case LongType    =>
+          val v = row.getLong(i)
+          if (v < curMinL(i)) curMinL(i) = v
+          if (v > curMaxL(i)) curMaxL(i) = v
+          v.toString
+        case IntegerType =>
+          val v = row.getInt(i)
+          if (v < curMinL(i)) curMinL(i) = v
+          if (v > curMaxL(i)) curMaxL(i) = v
+          v.toString
+        case DoubleType  =>
+          val v = row.getDouble(i)
+          if (v < curMinD(i)) curMinD(i) = v
+          if (v > curMaxD(i)) curMaxD(i) = v
+          v.toString
         case StringType  =>
           val v = row.getUTF8String(i).toString
           // unescaped wire format (like the reference's): delimiters
@@ -487,12 +694,23 @@ private[pipecsv] final class PipeCsvDataWriter(
     out.write(bytes)
     out.write(pad, 0, frameLen - bytes.length)
     out.write('\n')
+    blockEmpty = false
+    framesWritten += 1
+    if (framesWritten - blockStart >= statsBlock) flushBlock()
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    // delete-then-rename: a replayed epoch (streaming) or speculative
-    // attempt overwrites its own deterministic target — idempotent
+    flushBlock()
+    // sidecar first (hidden name, ignored until the data file exists),
+    // then delete-then-rename the data file: a replayed epoch
+    // (streaming) or speculative attempt overwrites its own
+    // deterministic targets — idempotent
+    val side = new Path(path, PipeCsvDataSource.Stats.sidecarFor(dstName))
+    val so = fs.create(side, true)
+    try so.write(PipeCsvDataSource.Stats
+      .render(numF, blocks.result()).getBytes("UTF-8"))
+    finally so.close()
     if (fs.exists(dst)) fs.delete(dst, false)
     require(fs.rename(tmp, dst), s"pipecsv: rename $tmp -> $dst failed")
     PipeCsvCommit(dst.toString)

@@ -245,12 +245,33 @@ class OperatorSpec extends SparkSpec {
     df.unpersist()
   }
 
-  test("mm_decode_features: mapPartitions md5 equals SQL md5") {
-    val mp = SparkEntry.queries("mm_decode_features")(spark, d)
-      .select($"media_id", $"content_md5")
-    val sql = SparkEntry.queries("mm_ingest")(spark, d)
-      .select($"media_id", $"content_md5".as("sql_md5"))
-    val bad = mp.join(sql, "media_id").where($"content_md5" =!= $"sql_md5")
-    assert(bad.count() == 0)
+  test("mm_decode_features: ImageIO decode roundtrip is pixel-exact") {
+    import graft.operators.MultimodalOps.MediaCodec
+    // the query's digest comes from ImageIO.read over real PNG bytes;
+    // the expectation here is computed from the fixture's pure pixel
+    // arithmetic WITHOUT touching the codec — so a codec roundtrip that
+    // loses or shifts any pixel value fails this, not just the oracle
+    def expectedDigest(id: Long): String = {
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 11).toInt
+      val sb = new StringBuilder
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = MediaCodec.pixelRgb(id, x, y)
+        sb.append((rgb >> 16) & 255).append(',')
+          .append((rgb >> 8) & 255).append(',')
+          .append(rgb & 255).append(';')
+      }
+      MediaCodec.md5Hex(sb.toString.getBytes("UTF-8"))
+    }
+    val got = SparkEntry.queries("mm_decode_features")(spark, d)
+      .select($"media_id", $"dec_width", $"dec_height", $"pixel_md5")
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === (4 + id % 13).toInt, s"width of $id")
+      assert(r.getInt(2) === (3 + id % 11).toInt, s"height of $id")
+      assert(r.getString(3) === expectedDigest(id), s"pixels of $id")
+    }
   }
 }

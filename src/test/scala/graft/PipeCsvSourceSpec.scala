@@ -184,6 +184,45 @@ class PipeCsvSourceSpec extends SparkSpec {
     assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq === (1L to 7L))
   }
 
+  test("data skipping: min/max sidecars prune splits a pushed filter excludes") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("pipecsv_skip_spec").toString
+    // 100 frames sorted by id in ONE file, stats block = split = 10 frames
+    val in = (1L to 100L).map(i => (i, s"k${i % 7}", i / 10.0, i.toInt * 2))
+      .toDF("id", "kind", "score", "n")
+    in.repartition(1).sortWithinPartitions("id")
+      .write.format("pipecsv").option("frameLen", frameLen)
+      .option("statsBlockFrames", 10)
+      .mode("append").save(outDir)
+    // sidecar landed beside the data file
+    val side = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".stats"))
+    assert(side.length === 1, s"expected one sidecar in $outDir")
+    def readSkip() = spark.read.format("pipecsv").schema(schema)
+      .option("frameLen", frameLen).option("framesPerSplit", 10)
+      .load(outDir)
+    // unfiltered: 100 frames / 10 per split = 10 splits
+    assert(readSkip().rdd.getNumPartitions === 10)
+    // id > 80 → only the last 2 blocks can match: 8 splits pruned
+    val sel = readSkip().where($"id" > 80)
+    assert(sel.rdd.getNumPartitions === 2,
+           "expected min/max stats to prune 8 of 10 splits")
+    // ...and the pruned plan is still exactly right
+    assert(sel.orderBy("id").collect().map(_.getLong(0)).toSeq === (81L to 100L))
+    // a double-typed range filter prunes too (score = id/10: blocks with
+    // min score 2.1+ are refuted by score < 2.05)
+    val selD = readSkip().where($"score" < 2.05)
+    assert(selD.rdd.getNumPartitions === 2)
+    assert(selD.count() === 20)
+    // conjunction with an unprunable string filter still prunes by id
+    val selMix = readSkip().where($"id" <= 10 && $"kind" === "k1")
+    assert(selMix.rdd.getNumPartitions === 1)
+    assert(selMix.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 8L), s"wrong rows: ${selMix.collect().mkString}")
+    // fail-open: a dir with no sidecars (raw text staging) plans all splits
+    assert(read().where($"id" > 100).rdd.getNumPartitions === 4)
+  }
+
   test("DSv2 write rejects delimiter bytes inside string values") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("pipecsv_bad_spec").toString
