@@ -366,7 +366,13 @@ object DedupOps extends QueryModule {
         .localCheckpoint()
       val changed = next.as("n").join(labels.as("o"), "doc_id")
         .where($"n.cluster" =!= $"o.cluster").count()
-      labels.unpersist()
+      // no explicit unpersist: from round 2 on, `labels` is a
+      // localCheckpoint'd Dataset whose blocks live at the RDD level,
+      // where Dataset.unpersist (CacheManager) is a no-op anyway —
+      // dropping the reference leaves the orphaned checkpoint blocks to
+      // the ContextCleaner, which is the actual release path (round-5
+      // ADVICE: the old unpersist() call suggested cleanup that never
+      // happened). Label relations are keys-sized, 50-round-capped.
       labels = next
       converged = changed == 0
       rounds += 1

@@ -42,6 +42,66 @@ object ScaleOps extends QueryModule {
   private val saltedJoinSql =
     graft.Oracles.eventsBySegment
 
+  /** Max-over-mean key multiplicity of `key` in `fact`, as x1000 — the
+    * single number `x_skew_profile` ships, reduced to a driver-side
+    * decision input (one aggregate row; at 100 TB run it on a seeded
+    * sample or reuse the profile query's output). */
+  private[graft] def skewX1000(fact: DataFrame, key: String): Long = {
+    val r = fact.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")).as("mx"), sum(col("cnt")).as("n"),
+           count(lit(1)).as("k"))
+      .head()
+    val (mx, n, k) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    if (n == 0L || k == 0L || n / k == 0L) 1000L else mx * 1000L / (n / k)
+  }
+
+  /** Threshold at which the salted rewrite pays for its ×salts dim
+    * explosion: hottest key ≥ 4× the mean. Below it a plain shuffle
+    * join is strictly better (no dim blow-up, no extra join key). */
+  private[graft] val SaltThresholdX1000 = 4000L
+
+  /** The skew profile DRIVING the plan choice (round-5 VERDICT item #6):
+    * measure the fact side's key skew, then join either plain or salted.
+    * Salt = hash of the whole fact row mod 8, so a hot KEY still spreads
+    * across salts while identical rows stay deterministic (no RNG).
+    * Returns the joined frame plus which path was chosen (pinned in
+    * PlanSpec with synthetic skewed/uniform inputs). Complementary to
+    * AQE's OptimizeSkewedJoin (also pinned): AQE re-plans a sort-merge
+    * join at runtime from observed partition sizes; the salted rewrite
+    * is the static answer when the engine must commit to a shape up
+    * front (e.g. under a broadcast-dim plan AQE won't split). */
+  private[graft] def autoSaltedJoin(fact: DataFrame, dim: DataFrame,
+                                    factKey: String, dimKey: String,
+                                    thresholdX1000: Long = SaltThresholdX1000)
+      : (DataFrame, Boolean) = {
+    val salted = skewX1000(fact, factKey) >= thresholdX1000
+    val joined = if (salted) {
+      val sf = fact.withColumn("_salt",
+        pmod(hash(fact.columns.map(col): _*), lit(NumSalts)).cast("long"))
+      val sd = dim.withColumn("_salt",
+        explode(sequence(lit(0L), lit(NumSalts - 1L))))
+      sf.join(sd, sf(factKey) === sd(dimKey) && sf("_salt") === sd("_salt"))
+        .drop("_salt")
+    } else fact.join(dim, fact(factKey) === dim(dimKey))
+    (joined, salted)
+  }
+
+  /** x_auto_salt_join: the auto-salt decision run over the engine's own
+    * tables, aggregated to the same oracle as the always-salted twin —
+    * whichever path the profile picks, the result must equal the plain
+    * join. */
+  private def autoSaltJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fact = Tbl.events(s, d)
+      .select($"user_id", Tbl.cents($"value").as("v_c"), $"event_id")
+    val dim = Tbl.customer(s, d).select($"c_custkey", $"c_mktsegment")
+    val (joined, _) = autoSaltedJoin(fact, dim, "user_id", "c_custkey")
+    joined.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum($"v_c").as("v_c"))
+      .select($"c_mktsegment", $"n", round($"v_c" / 100.0, 2).as("sum_value"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** A3 via the typed Aggregator (bounded top-K buffer, map-side
     * combine) — same total order and oracle as the window-rank twin. */
   private def topkAggregator(s: SparkSession, d: String): DataFrame = {
@@ -291,6 +351,7 @@ object ScaleOps extends QueryModule {
     "x_incremental_agg"   -> (incrementalAgg _),
     "x_skew_profile"      -> (skewProfile _),
     "x_salted_join"       -> (saltedJoin _),
+    "x_auto_salt_join"    -> (autoSaltJoin _),
     "x_topk_aggregator"   -> (topkAggregator _),
     "x_bucketed_join"     -> (bucketedJoin _),
     "x_zorder"            -> (zorder _),
@@ -301,6 +362,7 @@ object ScaleOps extends QueryModule {
     "x_incremental_agg"   -> incrementalAggSql,
     "x_skew_profile"      -> skewProfileSql,
     "x_salted_join"       -> saltedJoinSql,
+    "x_auto_salt_join"    -> saltedJoinSql,
     "x_topk_aggregator"   -> topkAggregatorSql,
     "x_bucketed_join"     -> bucketedJoinSql,
     "x_zorder"            -> zorderSql,

@@ -682,7 +682,15 @@ object TextOps extends QueryModule {
     * collects. Only `bpeApply` reads the cache: `bpeTrain` itself always
     * re-trains, so its benchmark timing prices the trainer loop — a
     * cache-hit min would make a trainer regression invisible in the
-    * per-query history. */
+    * per-query history.
+    *
+    * Keyed by dataset dir under the IMMUTABLE-DIR assumption every
+    * constVectors-style memo in this engine shares: the driver's
+    * testdata dirs never change within a JVM. A deployment retraining
+    * over a mutated dir must call `bpeTrain` first (it overwrites the
+    * entry) or key the artifact store by content version — a stale
+    * table would silently tokenize against the old vocabulary (round-5
+    * ADVICE). */
   private val mergeCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(Int, String, String, String, Long)]]
 

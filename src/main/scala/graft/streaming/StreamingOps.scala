@@ -121,6 +121,12 @@ object StreamingOps extends QueryModule {
     s.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       "true")
+    // write-amplification knob: RocksDB row-count tracking costs a read
+    // per put (measured: s1 updMs 3.5→2.2 s with tracking off) but keeps
+    // numRowsTotal observable — kept ON as default posture; a
+    // deployment whose hot streams are put-bound turns it off here
+    s.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+      s.conf.getOption("spark.graft.rocksdbTrackRows").getOrElse("true"))
     // default posture; runToTable re-sets this per query (flushFinal)
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
   }
@@ -193,15 +199,19 @@ object StreamingOps extends QueryModule {
     * default. Measured 2× end to end on the stream-stream join at ~40k
     * state rows (commit 6d8d8dc). The count is a deployment knob
     * (`spark.graft.statePartitions` conf, or SPARK_GRAFT_STATE_PARTITIONS
-    * env), defaulting to 8 — right for the bench's tens-of-thousands of
-    * keys; a 100 TB stream raises it to match executor count × state
-    * volume. NOTE: streaming state partitioning is frozen into the
-    * checkpoint at first start — pick for the target scale, not the
-    * backfill. */
+    * env), defaulting to 16 — the default was 8 while each store
+    * instance's commit cost ~400 ms (FileContext checkpoint manager, now
+    * fixed): with commits at ~10 ms the heavy stream (s1, 200k puts) runs
+    * ~25% faster at 16 (4.3→3.4 s measured back-to-back) and 32 regresses
+    * (instance machinery competes with the 32 task threads), so 16 is the
+    * measured sweet spot for the bench's state volumes; a 100 TB stream
+    * raises it to match executor count × state volume. NOTE: streaming
+    * state partitioning is frozen into the checkpoint at first start —
+    * pick for the target scale, not the backfill. */
   private def statePartitions(s: SparkSession): Int =
     s.conf.getOption("spark.graft.statePartitions")
       .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")) match {
-      case None => 8
+      case None => 16
       case Some(v) =>
         // fail with the offending value, not a bare NumberFormatException
         // five stack frames into stream planning

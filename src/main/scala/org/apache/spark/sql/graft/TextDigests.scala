@@ -44,19 +44,25 @@ private[graft] object TextDigests {
   private val SaltBytes = "s:".getBytes("UTF-8")
 
   /** Per element x: hex(md5(x)) ++ hex(md5("s:" ++ x)) — the 64-char
-    * double digest the MinHash windows slice. */
+    * double digest the MinHash windows slice. A null element yields a
+    * null digest, exactly as the HOF form's `md5(null)` did (round-5
+    * ADVICE: current call sites never carry null elements, but the
+    * kernel must keep the documented HOF semantics for any caller). */
   def md5PairAll(arr: ArrayData): ArrayData = {
     val md = md5ThreadLocal
     val n = arr.numElements()
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val bytes = s.getBytes
-      val o = new Array[Byte](64)
-      md.reset(); md.update(bytes); hex(md.digest(), o, 0)
-      md.reset(); md.update(SaltBytes); md.update(bytes); hex(md.digest(), o, 32)
-      out(i) = UTF8String.fromBytes(o)
+      if (arr.isNullAt(i)) out(i) = null
+      else {
+        val s = arr.getUTF8String(i)
+        val bytes = s.getBytes
+        val o = new Array[Byte](64)
+        md.reset(); md.update(bytes); hex(md.digest(), o, 0)
+        md.reset(); md.update(SaltBytes); md.update(bytes); hex(md.digest(), o, 32)
+        out(i) = UTF8String.fromBytes(o)
+      }
       i += 1
     }
     new GenericArrayData(out)
@@ -67,22 +73,32 @@ private[graft] object TextDigests {
   /** Rolling fixed-width span fingerprints: for each start i in
     * [0, n-w], hex(md5(words[i] ++ " " ++ ... ++ words[i+w-1])) — the
     * md5(concat_ws(' ', slice(words, i, w))) of the HOF form. Returns an
-    * empty array when the document has fewer than `w` words. */
+    * empty array when the document has fewer than `w` words. Null words
+    * are skipped inside a window exactly as `concat_ws` skips null
+    * arguments (round-5 ADVICE null parity). */
   def spanMd5All(words: ArrayData, w: Int): ArrayData = {
     val md = md5ThreadLocal
     val n = words.numElements()
     if (n < w) return new GenericArrayData(new Array[Any](0))
     val bytes = new Array[Array[Byte]](n)
     var i = 0
-    while (i < n) { bytes(i) = words.getUTF8String(i).getBytes; i += 1 }
+    while (i < n) {
+      bytes(i) = if (words.isNullAt(i)) null else words.getUTF8String(i).getBytes
+      i += 1
+    }
     val out = new Array[Any](n - w + 1)
     i = 0
     while (i <= n - w) {
       md.reset()
       var j = 0
+      var written = 0
       while (j < w) {
-        if (j > 0) md.update(SpaceByte)
-        md.update(bytes(i + j))
+        val b = bytes(i + j)
+        if (b != null) {
+          if (written > 0) md.update(SpaceByte)
+          md.update(b)
+          written += 1
+        }
         j += 1
       }
       val o = new Array[Byte](32)
@@ -101,24 +117,40 @@ private[graft] object Shingles3Kernel {
     * form of `array_distinct(transform(sequence(1, n-2), i ->
     * concat_ws(' ', w[i], w[i+1], w[i+2])))` with the `< 3` fallback to
     * a single all-words join (matching [[graft.operators.TextNorm]]'s
-    * HOF formulation byte for byte). */
+    * HOF formulation byte for byte). Null words are skipped like
+    * `concat_ws` skips null arguments (round-5 ADVICE null parity;
+    * TextNorm itself coalesces null words upstream, so this path only
+    * matters to other callers). */
   def shingles3(words: ArrayData): ArrayData = {
     val n = words.numElements()
     val bytes = new Array[Array[Byte]](n)
     var i = 0
-    while (i < n) { bytes(i) = words.getUTF8String(i).getBytes; i += 1 }
+    while (i < n) {
+      bytes(i) = if (words.isNullAt(i)) null else words.getUTF8String(i).getBytes
+      i += 1
+    }
     def join(from: Int, count: Int): UTF8String = {
-      var len = if (count > 0) count - 1 else 0
+      var nonNull = 0
+      var len = 0
       var j = 0
-      while (j < count) { len += bytes(from + j).length; j += 1 }
+      while (j < count) {
+        val b = bytes(from + j)
+        if (b != null) { len += b.length; nonNull += 1 }
+        j += 1
+      }
+      len += math.max(nonNull - 1, 0)
       val out = new Array[Byte](len)
       var off = 0
+      var written = 0
       j = 0
       while (j < count) {
-        if (j > 0) { out(off) = Space; off += 1 }
         val b = bytes(from + j)
-        System.arraycopy(b, 0, out, off, b.length)
-        off += b.length
+        if (b != null) {
+          if (written > 0) { out(off) = Space; off += 1 }
+          System.arraycopy(b, 0, out, off, b.length)
+          off += b.length
+          written += 1
+        }
         j += 1
       }
       UTF8String.fromBytes(out)
@@ -165,7 +197,12 @@ object Shingles3 {
 case class Md5PairDigests(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // element null ⇔ input element null (md5(null) = null), so the
+  // output's containsNull follows the child's
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(StringType, containsNull = cn)
+    case _                => ArrayType(StringType)
+  }
   override def prettyName: String = "md5_pair"
 
   override protected def nullSafeEval(input: Any): Any =

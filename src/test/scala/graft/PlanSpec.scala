@@ -318,6 +318,77 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("AQE OptimizeSkewedJoin splits a skewed sort-merge join at runtime") {
+    // the engine's runtime answer to skew (the salted rewrite is the
+    // static one): a deliberately skewed fact side must make AQE mark
+    // the join skewed and split the hot partition — pinned so the
+    // skew-handling posture is a tested property, not a hope. Thresholds
+    // are scaled down to test-data volume; the RATIOS mirror production
+    // defaults (factor 5 over median, split to advisory size).
+    import spark.implicits._
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // 100k fact rows, 90% on key 1; dim = 100 distinct keys
+      val fact = spark.range(100000L)
+        .select(org.apache.spark.sql.functions.when($"id" % 10 =!= 0, 1L)
+                  .otherwise($"id" % 100).as("k"), $"id".as("payload"))
+      val dim = spark.range(100L).select($"id".as("k2"))
+      val df = fact.join(dim, $"k" === $"k2")
+      df.collect() // materialize THIS plan so AQE finalizes it
+      val p = df.queryExecution.executedPlan
+      val smj = collectWithSubqueries(p) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n$p")
+      assert(smj.exists(_.isSkewJoin),
+             s"AQE did not mark the skewed join for splitting:\n$p")
+      // the hot key's partition was actually split into multiple reads
+      val reads = collectWithSubqueries(p) {
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+      }
+      assert(reads.exists(_.partitionSpecs.exists {
+        case _: org.apache.spark.sql.execution.PartialReducerPartitionSpec => true
+        case _ => false
+      }), s"no partial-reducer (skew-split) partitions in:\n$p")
+    }
+  }
+
+  test("auto-salt decision follows the measured skew profile") {
+    import graft.operators.ScaleOps
+    import spark.implicits._
+    // skewed fact: 90% of rows on one key → profile over threshold → salted
+    val skewedFact = spark.range(2000L)
+      .select(org.apache.spark.sql.functions.when($"id" % 10 =!= 0, 1L)
+                .otherwise($"id" % 50).as("k"), $"id".as("payload"))
+    val dim = spark.range(50L).select($"id".as("k2"),
+      ($"id" % 3).as("grp"))
+    val (saltedJoin, choseSalt) =
+      ScaleOps.autoSaltedJoin(skewedFact, dim, "k", "k2")
+    assert(choseSalt, "90%-hot-key fact must trip the salt threshold")
+    // the salted plan joins on the composite (key, salt): hot key spread
+    assert(saltedJoin.queryExecution.optimizedPlan.toString.contains("_salt"),
+           "salted path must join on the synthetic salt column")
+    // uniform fact: profile under threshold → plain join, no salt column
+    val uniformFact = spark.range(2000L)
+      .select(($"id" % 50).as("k"), $"id".as("payload"))
+    val (plainJoin, choseSalt2) =
+      ScaleOps.autoSaltedJoin(uniformFact, dim, "k", "k2")
+    assert(!choseSalt2, "uniform keys must NOT pay the salted dim explosion")
+    assert(!plainJoin.queryExecution.optimizedPlan.toString.contains("_salt"))
+    // both paths produce the identical join result
+    val a = saltedJoin.groupBy($"grp").count().orderBy($"grp")
+      .collect().map(_.toSeq).toSeq
+    val b = skewedFact.join(dim, $"k" === $"k2").groupBy($"grp").count()
+      .orderBy($"grp").collect().map(_.toSeq).toSeq
+    assert(a === b, "salted join must equal the plain join row-for-row")
+  }
+
   test("rank-limit lowering declines rank(): ties must keep more than K rows") {
     // the heap exec emits EXACTLY k rows per key — row_number semantics.
     // rank()/dense_rank() keep every tied row at the boundary, so the

@@ -183,6 +183,117 @@ class StatefulOpsSpec extends SparkSpec {
            "aggregate state was not recovered from the RocksDB checkpoint")
   }
 
+  test("restart recovery: outer-join state and watermark survive stop/restart") {
+    // s14/s16's machinery: two-sided join state + watermark bookkeeping
+    // must survive a checkpoint restart (round-5 VERDICT item #5). Run 1
+    // leaves two clicks pending in state; run 2 (a NEW query from the
+    // same checkpoint) must (a) match one pending click against a
+    // purchase that only arrives after the restart — impossible unless
+    // run 1's join state was recovered — and (b) emit the other click's
+    // outer-null once a sentinel advances the RESTORED watermark.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    graft.streaming.StreamingOps.configureStreaming(spark)
+    // outer-null flush happens in the terminal no-data batch
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val srcDir = java.nio.file.Files.createTempDirectory("oj_restart_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("oj_restart_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("oj_restart_ck").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("user", LongType),
+      StructField("typ", StringType), StructField("ts_s", LongType)))
+    def stage(rows: Seq[(Long, Long, String, Long)]): Unit =
+      rows.toDF("id", "user", "typ", "ts_s").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      val base = spark.readStream.schema(schema).parquet(srcDir)
+        .withColumn("ts", timestamp_seconds($"ts_s"))
+      val clicks = base.withWatermark("ts", "10 minutes")
+        .where($"typ" === "click")
+        .select($"user".as("c_user"), $"id".as("click_id"), $"ts".as("c_ts"))
+      val purchases = base.withWatermark("ts", "10 minutes")
+        .where($"typ" === "purchase")
+        .select($"user".as("p_user"), $"id".as("purchase_id"), $"ts".as("p_ts"))
+      val joined = clicks.join(purchases,
+        $"c_user" === $"p_user" &&
+        $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+        .select($"c_user", $"click_id", $"purchase_id")
+      val q = joined.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.stop()
+    }
+    // run 1: three clicks, one purchase matching click 1 (emits eagerly);
+    // clicks 2 and 3 remain pending in join state
+    stage(Seq((1L, 1L, "click", 1000L), (2L, 2L, "click", 1000L),
+              (3L, 3L, "click", 1000L), (101L, 1L, "purchase", 1060L)))
+    run()
+    val after1 = spark.read.parquet(outDir).where($"c_user" >= 0).collect()
+    assert(after1.map(r => (r.getLong(1), r.get(2))).toSet ==
+      Set((1L, 101L)), s"run 1 should emit only the eager match: ${after1.mkString}")
+    // run 2: a purchase inside click 2's window (state recovery) plus
+    // far-future sentinels on both branches (watermark flush of click 3)
+    stage(Seq((102L, 2L, "purchase", 1300L),
+              (-1L, -1L, "click", 10000000L),
+              (-2L, -1L, "purchase", 10000000L)))
+    run()
+    val fin = spark.read.parquet(outDir).where($"c_user" >= 0)
+      .collect().map(r => (r.getLong(1), Option(r.get(2)))).toSet
+    assert(fin == Set((1L, Some(101L)), (2L, Some(102L)), (3L, None)),
+      s"restarted join must match restored state AND flush outer nulls: $fin")
+  }
+
+  test("restart recovery: chained windowed agg continues across restart") {
+    // s20's machinery: BOTH stateful aggregation stages' state must
+    // survive restart — run 1's three events sit in the first agg's
+    // open windows producing no output; run 2 stages one far-future
+    // event, and the closed 5-minute roll-up must count run 1's rows.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    graft.streaming.StreamingOps.configureStreaming(spark)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val srcDir = java.nio.file.Files.createTempDirectory("ca_restart_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ca_restart_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("ca_restart_ck").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("user", LongType),
+      StructField("ts_s", LongType)))
+    def stage(rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("id", "user", "ts_s").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      val agg1 = spark.readStream.schema(schema).parquet(srcDir)
+        .withColumn("ts", timestamp_seconds($"ts_s"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 minute"), $"user")
+        .agg(count(lit(1)).as("n1"))
+      val agg2 = agg1
+        .groupBy(window($"window", "5 minutes"))
+        .agg(sum($"n1").as("n_events"), count(lit(1)).as("n_user_windows"))
+        .select(unix_micros($"window.start").as("ws_us"),
+                $"n_events", $"n_user_windows")
+      val q = agg2.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.stop()
+    }
+    // run 1: 3 events in 3 distinct 1-minute windows, same 5-minute
+    // window [0, 300) — watermark (130-600 s) closes nothing
+    stage(Seq((1L, 7L, 10L), (2L, 7L, 70L), (3L, 8L, 130L)))
+    run()
+    // run 2: one event far in the future advances the restored
+    // watermark past [0, 300): the roll-up must flush with run 1's counts
+    stage(Seq((4L, 9L, 4000L)))
+    run()
+    val fin = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fin == Set((0L, 3L, 3L)),
+      s"restarted chained agg must flush [0,300) with both stages' recovered state: $fin")
+  }
+
   test("last3PerKey: merge keeps ts-desc order with event_id tiebreak") {
     val st = new FakeState[Top3State]
     val out = last3PerKey(9L,

@@ -68,6 +68,42 @@ class TextDigestsSpec extends SparkSpec {
     assert(dups.count() > 0, "no duplicate windows generated — dedup untested")
   }
 
+  test("null array elements keep HOF parity: null digests, concat_ws skipping") {
+    // round-5 ADVICE: the kernels NPE'd on null elements while the HOF
+    // forms they replaced propagated/skipped them — pin the repaired
+    // parity on arrays that actually carry nulls
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 40).map { i =>
+      val n = rnd.nextInt(8)
+      (i.toLong, (0 until n).map(j =>
+        if (rnd.nextInt(3) == 0) null
+        else rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString.toLowerCase))
+    }
+    val df = rows.toDF("id", "arr")
+    val pair = df
+      .withColumn("native", org.apache.spark.sql.graft.Md5PairDigests.of($"arr"))
+      .withColumn("hof", transform($"arr",
+        x => concat(md5(x), md5(concat(lit("s:"), x)))))
+    assert(pair.where(not($"native" <=> $"hof")).count() == 0)
+    val w = 3
+    val span = df
+      .withColumn("native", org.apache.spark.sql.graft.SpanMd5s.of($"arr", w))
+      .withColumn("hof", when(size($"arr") >= w,
+          expr(s"transform(sequence(1, size(arr) - ${w - 1})," +
+               s" i -> md5(concat_ws(' ', slice(arr, i, $w))))"))
+        .otherwise(expr("array()")))
+    assert(span.where(not($"native" <=> $"hof")).count() == 0)
+    val sh = df
+      .withColumn("native", org.apache.spark.sql.graft.Shingles3.of($"arr"))
+      .withColumn("hof", when(size($"arr") >= 3,
+          expr("array_distinct(transform(sequence(1, size(arr) - 2)," +
+               " i -> concat_ws(' ', arr[i-1], arr[i], arr[i+1])))"))
+        .otherwise(array(expr("concat_ws(' ', arr)"))))
+    assert(sh.where(not($"native" <=> $"hof")).count() == 0)
+    // fixture really contains null elements
+    assert(df.where(expr("exists(arr, x -> x is null)")).count() > 0)
+  }
+
   test("kernels run inside whole-stage codegen") {
     // a range source, not a local relation — literal inputs constant-fold
     // into a LocalTableScan before any codegen stage exists
