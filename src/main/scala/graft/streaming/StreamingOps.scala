@@ -55,16 +55,22 @@ object StreamingOps extends QueryModule {
     Files.createSymbolicLink(dir.resolve("events.parquet"),
                              java.nio.file.Paths.get(s"$d/events.parquet"))
     if (sentinelTypes.nonEmpty) {
-      import s.implicits._
-      val tmp = Tbl.scratchDir("sentinel_stage")
-      sentinelTypes.zipWithIndex
-        .map { case (t, i) => (-1L - i, 7000000000000000000L, -1L, t, 0.0, "{}") }
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException("sentinel part file missing"))
-      Files.move(part.toPath, dir.resolve("zz_sentinel.parquet"))
+      // staged ONCE per sentinel-type set and copied thereafter: the
+      // 1-row parquet write is a full Spark job (~0.2 s) that four
+      // sentinel streams × two bench runs would otherwise each re-pay
+      val src = sentinelCache.getOrElseUpdate(sentinelTypes, {
+        import s.implicits._
+        val tmp = Tbl.scratchDir("sentinel_stage")
+        sentinelTypes.zipWithIndex
+          .map { case (t, i) => (-1L - i, 7000000000000000000L, -1L, t, 0.0, "{}") }
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException("sentinel part file missing"))
+          .toPath
+      })
+      Files.copy(src, dir.resolve("zz_sentinel.parquet"))
     }
     // one micro-batch NO MATTER how many files land in the dir: the
     // update-mode memory-sink queries (s2/s3) re-emit refreshed state
@@ -130,6 +136,12 @@ object StreamingOps extends QueryModule {
     // default posture; runToTable re-sets this per query (flushFinal)
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
   }
+
+  /** Staged 1-row sentinel parquet per sentinel-type set (sentinels
+    * carry no dataset values, so the dataset dir is not part of the
+    * key). */
+  private val sentinelCache =
+    scala.collection.concurrent.TrieMap.empty[Seq[String], java.nio.file.Path]
 
   /** Checkpoint root of the most recent runToTable stream — lets specs
     * assert the state store artifacts the engine defaults actually
