@@ -1,10 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Local profiling aid: time one registered query in a warm JVM
-  * (3 runs, cache cleared between) — separates query cost from the
+/** Local profiling aid: time registered queries in a warm JVM
+  * (3 runs each, cache cleared between) — separates query cost from the
   * ~20 s sbt/JVM startup that dominates single-query Verify walls.
-  * Usage: sbt "runMain graft.TimeOne <query> <sfDir>" */
+  * Usage: sbt "runMain graft.TimeOne <query> [query...] [sfDir]"
+  * (sfDir defaults to SPARK_GRAFT_SF_DIR when the last arg is a
+  * query name rather than a path) */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val b = SparkSession.builder().master("local[32]")
@@ -20,13 +22,21 @@ object TimeOne {
       }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val (name, dir) = (args(0), args(1))
-    (1 to 3).foreach { i =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
-      println(s"run$i ${(System.nanoTime() - t0) / 1e9}")
-      spark.catalog.clearCache()
-      spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+    val (names, dir) =
+      if (args.length > 1 && new java.io.File(args.last).isDirectory)
+        (args.init.toSeq, args.last)
+      else
+        (args.toSeq, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          throw new IllegalArgumentException(
+            "no sfDir argument and SPARK_GRAFT_SF_DIR unset")))
+    for (name <- names) {
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        println(s"$name run$i ${(System.nanoTime() - t0) / 1e9}")
+        spark.catalog.clearCache()
+        spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+      }
     }
     spark.stop()
   }
