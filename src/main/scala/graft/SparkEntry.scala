@@ -16,6 +16,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     RelationalOps,
     TemporalJoinOps,
+    SpatialJoinOps,
     AisOps,
     WindowOps,
     AnalyticsOps,

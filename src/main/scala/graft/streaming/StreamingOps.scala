@@ -617,6 +617,74 @@ object StreamingOps extends QueryModule {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** s22: STREAMING spatial neighbor join — `j7_spatial_join`'s grid
+    * blocking composed with the symmetric hash join: proximity alerts
+    * for co-located error events within ±30 minutes of each other.
+    * The probe branch explodes to its 3×3 cell neighborhood BEFORE the
+    * join (a stateless projection), the build branch keeps its own
+    * cell, and the join condition is cell equality plus the event-time
+    * interval — exactly the (equi-key + time-range) form whose state
+    * Spark can evict by watermark. The deliberate cost asymmetry: the
+    * exploded side buffers 9× rows in state, which is why the stream
+    * narrows to one event type first (selective predicates BEFORE
+    * state is the same posture as every other `s*` join). Inner join
+    * ⇒ eager emission ⇒ no sentinels, no terminal no-data batch. */
+  private def streamSpatialJoin(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) {
+      import s.implicits._
+      val R = 4000L // stream radius == cell edge, milli-degrees
+      val pts = eventStream(s, d).where($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts",
+                (($"user_id" % 30) * 1000 + ($"event_id" * 13) % 1000).as("lon_m"),
+                (($"event_id" % 30) * 1000 + ($"event_id" * 7) % 1000).as("lat_m"))
+        .withColumn("cx", expr(s"lon_m div $R"))
+        .withColumn("cy", expr(s"lat_m div $R"))
+      val probes = pts
+        .select($"event_id".as("event_a"), $"user_id".as("vessel_a"),
+                $"lon_m".as("lon_a"), $"lat_m".as("lat_a"), $"ts".as("a_ts"),
+                explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+                  struct(($"cx" + dx).as("jx"), ($"cy" + dy).as("jy"))): _*)).as("nb"))
+        .select($"event_a", $"vessel_a", $"lon_a", $"lat_a", $"a_ts",
+                $"nb.jx".as("a_jx"), $"nb.jy".as("a_jy"))
+        .withWatermark("a_ts", "10 minutes")
+      val builds = pts
+        .select($"event_id".as("event_b"), $"user_id".as("vessel_b"),
+                $"lon_m".as("lon_b"), $"lat_m".as("lat_b"), $"ts".as("b_ts"),
+                $"cx".as("b_jx"), $"cy".as("b_jy"))
+        .withWatermark("b_ts", "10 minutes")
+      val joined = probes.join(builds,
+        $"a_jx" === $"b_jx" && $"a_jy" === $"b_jy" &&
+        $"event_a" < $"event_b" &&
+        $"b_ts" >= $"a_ts" - expr("INTERVAL 30 MINUTES") &&
+        $"b_ts" <= $"a_ts" + expr("INTERVAL 30 MINUTES"))
+        .withColumn("d2",
+          ($"lon_a" - $"lon_b") * ($"lon_a" - $"lon_b") +
+          ($"lat_a" - $"lat_b") * ($"lat_a" - $"lat_b"))
+        .where($"d2" < R * R)
+      runToTable(s, joined, "s_spatial_join", OutputMode.Append())
+        .select($"vessel_a", $"vessel_b", $"event_a", $"event_b", $"d2")
+        .orderBy($"event_a", $"event_b")
+    }
+
+  private val streamSpatialJoinSql =
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts,
+      |         (user_id % 30) * 1000 + (event_id * 13) % 1000 AS lon_m,
+      |         (event_id % 30) * 1000 + (event_id * 7) % 1000 AS lat_m
+      |  FROM events WHERE event_type = 'error')
+      |SELECT a.user_id AS vessel_a, b.user_id AS vessel_b,
+      |       a.event_id AS event_a, b.event_id AS event_b,
+      |       (a.lon_m-b.lon_m)*(a.lon_m-b.lon_m)
+      |         + (a.lat_m-b.lat_m)*(a.lat_m-b.lat_m) AS d2
+      |FROM p a JOIN p b
+      |  ON a.event_id < b.event_id
+      | AND b.ts >= a.ts - INTERVAL 30 MINUTE
+      | AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      | AND abs(a.lon_m-b.lon_m) <= 4000 AND abs(a.lat_m-b.lat_m) <= 4000
+      | AND (a.lon_m-b.lon_m)*(a.lon_m-b.lon_m)
+      |       + (a.lat_m-b.lat_m)*(a.lat_m-b.lat_m) < 16000000
+      |ORDER BY event_a, event_b""".stripMargin
+
   /** s15: the custom pipecsv DSv2 source as a STREAM — the reference's
     * socket replay loop (`server.py:41-57`, frames at a fixed rate)
     * rebuilt as a rate-limited micro-batch source: frame-count offsets,
@@ -1001,6 +1069,7 @@ object StreamingOps extends QueryModule {
     "s21_stream_dynamic_session" -> (streamDynamicSession _),
     "s11_stream_tws"        -> (streamRunningTotals _),
     "s12_stream_stream_join" -> (streamStreamJoin _),
+    "s22_stream_spatial_join" -> (streamSpatialJoin _),
     "s14_stream_outer_join" -> (streamOuterJoin _),
     "s15_stream_pipecsv" -> (streamPipeCsv _),
     "s16_stream_full_outer" -> (streamFullOuterJoin _),
@@ -1025,6 +1094,7 @@ object StreamingOps extends QueryModule {
     "s21_stream_dynamic_session" -> graft.Oracles.dynamicSession,
     "s11_stream_tws"        -> runningTotalsSql,
     "s12_stream_stream_join" -> streamStreamJoinSql,
+    "s22_stream_spatial_join" -> streamSpatialJoinSql,
     "s14_stream_outer_join" -> streamOuterJoinSql,
     "s15_stream_pipecsv" -> streamPipeCsvSql,
     "s16_stream_full_outer" -> streamFullOuterJoinSql,

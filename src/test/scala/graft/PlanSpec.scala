@@ -104,6 +104,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("spatial neighbor join is grid-blocked: equi-join only, no all-pairs product") {
+    // the 3×3 neighborhood expansion must keep the join a hash equi-join
+    // on (cell, bucket) — a cross/NL product here is the O(n²) scan the
+    // blocking exists to prevent
+    val p = executed(SparkEntry.queries("j7_spatial_join")(spark, d))
+    val nested = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nested.isEmpty, s"spatial pair join is not an equi-join:\n$p")
+  }
+
   test("embedding near-dup is bucket-blocked: equi-join only, no all-pairs product") {
     val p = executed(SparkEntry.queries("sim_emb_neardup")(spark, d))
     val nested = collectWithSubqueries(p) {
