@@ -17,6 +17,7 @@ object SparkEntry {
     RelationalOps,
     TemporalJoinOps,
     SpatialJoinOps,
+    FuzzyJoinOps,
     AisOps,
     WindowOps,
     AnalyticsOps,

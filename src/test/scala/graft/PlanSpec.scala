@@ -116,6 +116,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nested.isEmpty, s"spatial pair join is not an equi-join:\n$p")
   }
 
+  test("fuzzy join is neighborhood-blocked: equi-join only, no all-pairs product") {
+    // the deletion-variant expansion must keep the candidate join a hash
+    // equi-join on the variant key — a cross/NL product here is the
+    // O(n²) levenshtein scan the FastSS blocking exists to prevent
+    val p = executed(SparkEntry.queries("j8_fuzzy_join")(spark, d))
+    val nested = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nested.isEmpty, s"fuzzy candidate join is not an equi-join:\n$p")
+  }
+
   test("embedding near-dup is bucket-blocked: equi-join only, no all-pairs product") {
     val p = executed(SparkEntry.queries("sim_emb_neardup")(spark, d))
     val nested = collectWithSubqueries(p) {
