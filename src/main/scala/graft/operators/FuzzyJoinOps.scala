@@ -52,22 +52,37 @@ object FuzzyJoinOps extends QueryModule {
   }
 
   /** Core ed≤1 pair join, shared with the spec (which feeds planted
-    * strings through the same shape). `rel` must carry (id, name). */
+    * strings through the same shape). `rel` must carry (id, name).
+    *
+    * What shuffles is the POINT of this shape, so it is kept minimal:
+    * the exploded relation joins on `xxhash64(variant)` carrying only
+    * the id — two longs per row instead of (id, full name, variant
+    * string), and the candidate distinct dedups (id, id) pairs, not
+    * string tuples (the zero-padded corpus makes candidate multiplicity
+    * real: ~15 co-variant rows per hot key). A hash collision can only
+    * ADD a candidate pair, which the exact levenshtein refine removes;
+    * equal variants always hash equal, so no pair is lost. Names
+    * re-attach AFTER the distinct by id join — the base relation is
+    * orders of magnitude smaller than the exploded/joined stream (and
+    * broadcast-sized here). */
   private[graft] def editDistancePairs(rel: DataFrame): DataFrame = {
     val s = rel.sparkSession
     import s.implicits._
     // {identity ∪ single deletions}, deduped ("aab" deletes to "ab"
     // two ways); sequence(0, L)'s i = L term IS the identity string
-    val keyed = rel.withColumn("k", explode(expr(
+    val keyed = rel.select($"id", explode(expr(
         "array_distinct(transform(sequence(0, length(name)), " +
-        "i -> concat(substring(name, 1, i), substring(name, i + 2, 1000))))")))
-    val candidates = keyed.select($"id".as("id_a"), $"name".as("name_a"), $"k")
-      .join(keyed.select($"id".as("id_b"), $"name".as("name_b"), $"k"), "k")
+        "i -> concat(substring(name, 1, i), substring(name, i + 2, 1000))))")).as("k"))
+      .select($"id", xxhash64($"k").as("kh"))
+    val candidates = keyed.select($"id".as("id_a"), $"kh")
+      .join(keyed.select($"id".as("id_b"), $"kh"), "kh")
       .where($"id_a" < $"id_b")
       // distinct BEFORE the verify: identical strings share all L+1
       // variants, so the same pair arrives up to L+1 times
-      .select($"id_a", $"id_b", $"name_a", $"name_b").distinct()
+      .select($"id_a", $"id_b").distinct()
     candidates
+      .join(rel.select($"id".as("id_a"), $"name".as("name_a")), "id_a")
+      .join(rel.select($"id".as("id_b"), $"name".as("name_b")), "id_b")
       .withColumn("ed", levenshtein($"name_a", $"name_b"))
       .where($"ed" <= 1)
       .select($"id_a", $"id_b", $"ed")

@@ -620,40 +620,82 @@ object StreamingOps extends QueryModule {
   /** s22: STREAMING spatial neighbor join — `j7_spatial_join`'s grid
     * blocking composed with the symmetric hash join: proximity alerts
     * for co-located error events within ±30 minutes of each other.
-    * The probe branch explodes to its 3×3 cell neighborhood BEFORE the
-    * join (a stateless projection), the build branch keeps its own
+    * The probe branch explodes to its cell/bucket neighborhood BEFORE
+    * the join (a stateless projection), the build branch keeps its own
     * cell, and the join condition is cell equality plus the event-time
     * interval — exactly the (equi-key + time-range) form whose state
-    * Spark can evict by watermark. The deliberate cost asymmetry: the
-    * exploded side buffers 9× rows in state, which is why the stream
-    * narrows to one event type first (selective predicates BEFORE
-    * state is the same posture as every other `s*` join). Inner join
-    * ⇒ eager emission ⇒ no sentinels, no terminal no-data batch. */
+    * Spark can evict by watermark.
+    *
+    * The equi-key carries a TIME BUCKET alongside the cell: the
+    * symmetric hash join probes state BY EQUI-KEY ONLY and filters the
+    * range predicate per buffered row, so with (cx, cy) alone the key
+    * domain is the physical grid (16 cells here) and every arrival
+    * rescanned every row ever buffered in its cell — measured 51.7M
+    * RocksDB gets (~260/row) for a 20k-event replay. Bucketing time
+    * multiplies the key domain by the stream's bucket count (~720 for
+    * the 30-day corpus), so a state probe touches only rows co-located
+    * in space AND time.
+    *
+    * Cell and bucket edges are 2× the match radius, which makes TWO
+    * candidate cells per dimension sufficient instead of three: a
+    * match lies in [x−R, x+R], an interval exactly one cell wide, so
+    * its cell is ⌊(x−R)/2R⌋ or ⌊(x+R)/2R⌋. The probe branch explodes
+    * over the 2×2×2 corner set — a FIXED ≤8× (array_distinct'd; the
+    * corners coincide per-dimension when the interval stays inside one
+    * cell), never data-dependent — the build branch keeps its unique
+    * (cell, bucket) so each qualifying pair still matches exactly
+    * once, and the per-key buffer the wider cell trades back stays ~2
+    * rows at this density. (`lon_m − R` can go negative where `div`
+    * truncates toward zero instead of flooring — harmless: it can only
+    * collapse the candidate set toward cell 0, and no buildable point
+    * has a negative cell.) The deliberate cost asymmetry: the exploded
+    * side buffers ≤8× rows in state, which is why the stream narrows
+    * to one event type first (selective predicates BEFORE state is the
+    * same posture as every other `s*` join). Inner join ⇒ eager
+    * emission ⇒ no sentinels, no terminal no-data batch.
+    *
+    * Planning logs a scary-but-benign `INTERNAL_ERROR Cannot evaluate
+    * expression: event_a` stack per (re)start: Spark's
+    * `StreamingJoinHelper.getStateWatermarkSafely` probes every `<` in
+    * the join condition for a derivable time bound, and the
+    * `event_a < event_b` pair-ordering predicate has no watermark
+    * column — the helper throws, catches its own throw, logs it, and
+    * correctly ignores the predicate. State eviction still comes from
+    * the two-sided `b_ts`/`a_ts` interval. */
   private def streamSpatialJoin(s: SparkSession, d: String): DataFrame =
     withStatePartitions(s) {
       import s.implicits._
-      val R = 4000L // stream radius == cell edge, milli-degrees
+      val R = 4000L                  // search radius, milli-degrees
+      val C = 2 * R                  // cell edge = 2R → 2 candidate cells/dim
+      val TRadUs = 1800L * 1000000L  // interval radius, ±30 min
+      val BucketUs = 2 * TRadUs      // time-bucket edge = 2× the radius
       val pts = eventStream(s, d).where($"event_type" === "error")
         .select($"event_id", $"user_id", $"ts",
                 (($"user_id" % 30) * 1000 + ($"event_id" * 13) % 1000).as("lon_m"),
                 (($"event_id" % 30) * 1000 + ($"event_id" * 7) % 1000).as("lat_m"))
-        .withColumn("cx", expr(s"lon_m div $R"))
-        .withColumn("cy", expr(s"lat_m div $R"))
+        .withColumn("cx", expr(s"lon_m div $C"))
+        .withColumn("cy", expr(s"lat_m div $C"))
+        .withColumn("tb", expr(s"unix_micros(ts) div $BucketUs"))
+      // the 2×2×2 corner cells of the ±(R, R, TRad) match box
+      val corners = array_distinct(array(
+        (for (sx <- Seq(-R, R); sy <- Seq(-R, R); st <- Seq(-TRadUs, TRadUs)) yield
+          struct(expr(s"(lon_m + $sx) div $C").as("jx"),
+                 expr(s"(lat_m + $sy) div $C").as("jy"),
+                 expr(s"(unix_micros(ts) + $st) div $BucketUs").as("jt"))): _*))
       val probes = pts
         .select($"event_id".as("event_a"), $"user_id".as("vessel_a"),
                 $"lon_m".as("lon_a"), $"lat_m".as("lat_a"), $"ts".as("a_ts"),
-                explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
-                  struct(($"cx" + dx).as("jx"), ($"cy" + dy).as("jy"))): _*)).as("nb"))
+                explode(corners).as("nb"))
         .select($"event_a", $"vessel_a", $"lon_a", $"lat_a", $"a_ts",
-                $"nb.jx".as("a_jx"), $"nb.jy".as("a_jy"))
+                $"nb.jx".as("a_jx"), $"nb.jy".as("a_jy"), $"nb.jt".as("a_jt"))
         .withWatermark("a_ts", "10 minutes")
       val builds = pts
         .select($"event_id".as("event_b"), $"user_id".as("vessel_b"),
                 $"lon_m".as("lon_b"), $"lat_m".as("lat_b"), $"ts".as("b_ts"),
-                $"cx".as("b_jx"), $"cy".as("b_jy"))
+                $"cx".as("b_jx"), $"cy".as("b_jy"), $"tb".as("b_jt"))
         .withWatermark("b_ts", "10 minutes")
       val joined = probes.join(builds,
-        $"a_jx" === $"b_jx" && $"a_jy" === $"b_jy" &&
+        $"a_jx" === $"b_jx" && $"a_jy" === $"b_jy" && $"a_jt" === $"b_jt" &&
         $"event_a" < $"event_b" &&
         $"b_ts" >= $"a_ts" - expr("INTERVAL 30 MINUTES") &&
         $"b_ts" <= $"a_ts" + expr("INTERVAL 30 MINUTES"))
