@@ -17,8 +17,11 @@ object TimeOne {
     sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        b.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k, v)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CONF entry '$kv' is not of the form key=value")
+        }
       }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

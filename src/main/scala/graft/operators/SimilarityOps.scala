@@ -939,7 +939,7 @@ object SimilarityOps extends QueryModule {
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
       |  SELECT 100000*k + vec_id AS vec_id,
-      |    [CAST(embedding[i] + 0.05*k*embedding[1 + i % len(embedding)] AS FLOAT)
+      |    [CAST(embedding[i] + CAST(0.05 AS DOUBLE)*k*embedding[1 + i % len(embedding)] AS FLOAT)
       |     FOR i IN generate_series(1, len(embedding))] AS embedding
       |  FROM embeddings, unnest([1, 2, 3]) t(k)
       |  WHERE vec_id < 10),""".stripMargin

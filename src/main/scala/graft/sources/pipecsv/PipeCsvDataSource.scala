@@ -148,7 +148,11 @@ private[pipecsv] object PipeCsvDataSource {
       catch { case _: NumberFormatException => None }
 
     private def litDec(v: Any): Option[java.math.BigDecimal] = v match {
-      case n: Number => Some(new java.math.BigDecimal(n.toString))
+      // NaN/Infinity literals have no BigDecimal form — fail open (no
+      // refutation) instead of throwing inside planInputPartitions
+      case n: Number =>
+        try Some(new java.math.BigDecimal(n.toString))
+        catch { case _: NumberFormatException => None }
       case _         => None
     }
 
@@ -620,6 +624,12 @@ private[pipecsv] final class PipeCsvDataWriter(
   private val curMaxL = new Array[Long](numF)
   private val curMinD = new Array[Double](numF)
   private val curMaxD = new Array[Double](numF)
+  // NaN poisons comparison-based min/max (NaN < min and NaN > max are
+  // both false) while Spark SQL orders NaN GREATER than every double —
+  // a NaN-bearing block with max < X would be wrongly refuted for a
+  // pushed `score > X`. Mirror Parquet: a NaN sighting makes the field
+  // untracked ("-") for that block, so pruning stays fail-open.
+  private val hasNaN = new Array[Boolean](numF)
   private var blockEmpty = true
   private val blocks = Seq.newBuilder[PipeCsvDataSource.Stats.Block]
 
@@ -629,6 +639,7 @@ private[pipecsv] final class PipeCsvDataWriter(
     java.util.Arrays.fill(curMaxL, Long.MinValue)
     java.util.Arrays.fill(curMinD, Double.PositiveInfinity)
     java.util.Arrays.fill(curMaxD, Double.NegativeInfinity)
+    java.util.Arrays.fill(hasNaN, false)
   }
   resetBlock()
 
@@ -641,6 +652,8 @@ private[pipecsv] final class PipeCsvDataWriter(
         schema.fields(i).dataType match {
           case LongType | IntegerType =>
             mins(i) = curMinL(i).toString; maxs(i) = curMaxL(i).toString
+          case DoubleType if hasNaN(i) =>
+            mins(i) = "-"; maxs(i) = "-"
           case DoubleType =>
             mins(i) = curMinD(i).toString; maxs(i) = curMaxD(i).toString
           case _ => mins(i) = "-"; maxs(i) = "-"
@@ -671,6 +684,7 @@ private[pipecsv] final class PipeCsvDataWriter(
           v.toString
         case DoubleType  =>
           val v = row.getDouble(i)
+          if (v.isNaN) hasNaN(i) = true
           if (v < curMinD(i)) curMinD(i) = v
           if (v > curMaxD(i)) curMaxD(i) = v
           v.toString

@@ -223,6 +223,33 @@ class PipeCsvSourceSpec extends SparkSpec {
     assert(read().where($"id" > 100).rdd.getNumPartitions === 4)
   }
 
+  test("data skipping: NaN rows make the field untracked — never pruned away") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("pipecsv_nan_spec").toString
+    // 20 frames, 2 stats blocks of 10. Block 1 holds a NaN whose
+    // comparison-based min/max would otherwise read max=1.0 — Spark
+    // orders NaN GREATER than every double, so `score > 100` must
+    // still return that row. Block 2 (max 2.0, no NaN) stays prunable.
+    val in = (1L to 20L)
+      .map(i => (i, s"k${i % 7}", if (i == 5L) Double.NaN else i / 10.0, i.toInt))
+      .toDF("id", "kind", "score", "n")
+    in.repartition(1).sortWithinPartitions("id")
+      .write.format("pipecsv").option("frameLen", frameLen)
+      .option("statsBlockFrames", 10)
+      .mode("append").save(outDir)
+    def readSkip() = spark.read.format("pipecsv").schema(schema)
+      .option("frameLen", frameLen).option("framesPerSplit", 10)
+      .load(outDir)
+    val sel = readSkip().where($"score" > 100.0)
+    assert(sel.rdd.getNumPartitions === 1,
+           "NaN block must be untracked (planned); NaN-free block pruned")
+    assert(sel.collect().map(_.getLong(0)).toSeq === Seq(5L),
+           "the NaN row matches score > 100 under Spark NaN ordering")
+    // a NaN literal in a pushed filter must fail open, not throw in
+    // planInputPartitions
+    assert(readSkip().where($"score" === Double.NaN).count() === 1)
+  }
+
   test("DSv2 write rejects delimiter bytes inside string values") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("pipecsv_bad_spec").toString
