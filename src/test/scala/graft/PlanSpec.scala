@@ -386,8 +386,11 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("auto-salt decision follows the measured skew profile") {
     import graft.operators.ScaleOps
     import spark.implicits._
-    // skewed fact: 90% of rows on one key → profile over threshold → salted
-    val skewedFact = spark.range(2000L)
+    // skewed fact: 90% of rows on one key → profile over threshold →
+    // salted. 20k rows so the probe's deterministic 1-in-64 sample
+    // (~312 rows) carries the hot key with real support — the sampled
+    // probe is DESIGNED to ignore skew it can't see at ≥8-row support
+    val skewedFact = spark.range(20000L)
       .select(org.apache.spark.sql.functions.when($"id" % 10 =!= 0, 1L)
                 .otherwise($"id" % 50).as("k"), $"id".as("payload"))
     val dim = spark.range(50L).select($"id".as("k2"),
@@ -399,7 +402,7 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(saltedJoin.queryExecution.optimizedPlan.toString.contains("_salt"),
            "salted path must join on the synthetic salt column")
     // uniform fact: profile under threshold → plain join, no salt column
-    val uniformFact = spark.range(2000L)
+    val uniformFact = spark.range(20000L)
       .select(($"id" % 50).as("k"), $"id".as("payload"))
     val (plainJoin, choseSalt2) =
       ScaleOps.autoSaltedJoin(uniformFact, dim, "k", "k2")
@@ -411,6 +414,42 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val b = skewedFact.join(dim, $"k" === $"k2").groupBy($"grp").count()
       .orderBy($"grp").collect().map(_.toSeq).toSeq
     assert(a === b, "salted join must equal the plain join row-for-row")
+  }
+
+  test("sampled skew probe: 1-in-64 deterministic sample, min-support fails toward plain") {
+    import graft.operators.ScaleOps
+    import spark.implicits._
+    // the probe agrees with the full-scan measurement on both fixtures
+    val skewedFact = spark.range(20000L)
+      .select(org.apache.spark.sql.functions.when($"id" % 10 =!= 0, 1L)
+                .otherwise($"id" % 50).as("k"), $"id".as("payload"))
+    val uniformFact = spark.range(20000L)
+      .select(($"id" % 50).as("k"), $"id".as("payload"))
+    assert(ScaleOps.skewX1000Sampled(skewedFact, "k") >=
+             ScaleOps.SaltThresholdX1000,
+           "sampled probe must still see the 90%-hot key")
+    assert(ScaleOps.skewX1000Sampled(uniformFact, "k") <
+             ScaleOps.SaltThresholdX1000,
+           "sampled probe must not invent skew on uniform keys")
+    // determinism: same sample, same number, every run
+    assert(ScaleOps.skewX1000Sampled(skewedFact, "k") ===
+             ScaleOps.skewX1000Sampled(skewedFact, "k"))
+    // min-support: a fact too small to evidence skew in the sample
+    // (hot key < 8 sampled rows) reads as no-skew — the probe fails
+    // toward the cheap plain join, never toward the salted explosion
+    val tiny = spark.range(200L).select(
+      org.apache.spark.sql.functions.lit(1L).as("k"), $"id".as("payload"))
+    assert(ScaleOps.skewX1000Sampled(tiny, "k") === 1000L)
+    // the probe's plan filters BEFORE aggregating: the groupBy input is
+    // the sampled subset, not the full fact (the whole point — at 100 TB
+    // the old full-scan probe was a second complete pass)
+    val probeIn = skewedFact.where(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64($"k", $"payload"),
+        org.apache.spark.sql.functions.lit(ScaleOps.ProbeSampleMod)) === 0L)
+    val frac = probeIn.count().toDouble / 20000L
+    assert(frac > 0.005 && frac < 0.05,
+           s"sample fraction $frac should be ~1/64")
   }
 
   test("rank-limit lowering declines rank(): ties must keep more than K rows") {
