@@ -77,6 +77,16 @@ object Bench {
     // mistaken for a file-write hiccup (round-5 ADVICE)
     catch { case e if scala.util.control.NonFatal(e) =>
       System.err.println(s"bench file write failed: $e") }
+    // self-contained per-round artifact (round-6 VERDICT item #8): the
+    // driver's stdout harvester has truncated the per-query tail two
+    // rounds running, so the FULL timing map is also written to a file
+    // named for the round — one line, overwritten on re-runs within the
+    // round, so the driver ships all timings without depending on stdout
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(f"BENCH_full_r$round%02d.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e if scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench full-file write failed: $e") }
     spark.stop()
   }
 }

@@ -294,6 +294,127 @@ class StatefulOpsSpec extends SparkSpec {
       s"restarted chained agg must flush [0,300) with both stages' recovered state: $fin")
   }
 
+  test("restart recovery: transformWithState ValueState continues across restart (s11)") {
+    // s11's machinery: the transformWithState ValueState handle (RunState)
+    // lives in a RocksDB column family created through the new arbitrary-
+    // state API, a different state layout than the aggregate/join stores
+    // the existing recovery trio proves — so recovery is asserted
+    // separately. Run 1 folds two events into the per-user running
+    // totals; run 2 (a NEW query from the same checkpoint) reads ONLY
+    // the new file and its emitted run_n/run_sum can continue from
+    // (2, 375) only if the ValueState was actually restored.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    graft.streaming.StreamingOps.configureStreaming(spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("tws_restart_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("tws_restart_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("tws_restart_ck").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    def stage(rows: Seq[Ev]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    // memory sinks refuse checkpoint recovery, so each batch lands in a
+    // parquet dir through foreachBatch (itself a recovery-capable sink)
+    def run(): Unit = {
+      val out = spark.readStream.schema(schema).parquet(srcDir)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("value"))
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningTotals,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .outputMode("update").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.stop()
+    }
+    def emitted(): Set[(Long, Long, Long)] =
+      spark.read.parquet(outDir).as[RunRow].collect()
+        .map(r => (r.event_id, r.run_n, r.run_sum_c)).toSet
+    stage(Seq(ev(1, 100, 7, 1.5), ev(2, 200, 7, 2.25)))
+    run()
+    assert(emitted() == Set((1L, 1L, 150L), (2L, 2L, 375L)))
+    // run 2: one new event — totals must continue from restored state
+    // ((3, 400)), not restart at (1, 25)
+    stage(Seq(ev(3, 300, 7, 0.25)))
+    run()
+    assert(emitted() == Set((1L, 1L, 150L), (2L, 2L, 375L), (3L, 3L, 400L)),
+      "transformWithState ValueState was not recovered from the checkpoint")
+  }
+
+  test("restart recovery: spatial-join symmetric state survives stop/restart (s22)") {
+    // s22's machinery: join state format v3 with the (cell, time-bucket)
+    // equi-key and the exploded probe side. Run 1 buffers a lone point A
+    // (probe corners + build cell) in both join state stores; run 2
+    // stages point B 500 m-deg away and 10 min later — the (A, B) pair
+    // can only emit if run 1's buffered probe rows were recovered, since
+    // B-as-probe against A-as-build fails the event_a < event_b ordering.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    graft.streaming.StreamingOps.configureStreaming(spark)
+    val R = 4000L; val C = 2 * R
+    val TRadUs = 1800L * 1000000L; val BucketUs = 2 * TRadUs
+    val srcDir = java.nio.file.Files.createTempDirectory("sp_restart_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sp_restart_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("sp_restart_ck").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("user", LongType),
+      StructField("lon_m", LongType), StructField("lat_m", LongType),
+      StructField("ts_s", LongType)))
+    def stage(rows: Seq[(Long, Long, Long, Long, Long)]): Unit =
+      rows.toDF("id", "user", "lon_m", "lat_m", "ts_s").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      val pts = spark.readStream.schema(schema).parquet(srcDir)
+        .withColumn("ts", timestamp_seconds($"ts_s"))
+      val corners = array_distinct(array(
+        (for (sx <- Seq(-R, R); sy <- Seq(-R, R); st <- Seq(-TRadUs, TRadUs)) yield
+          struct(expr(s"(lon_m + $sx) div $C").as("jx"),
+                 expr(s"(lat_m + $sy) div $C").as("jy"),
+                 expr(s"(unix_micros(ts) + $st) div $BucketUs").as("jt"))): _*))
+      val probes = pts
+        .select($"id".as("event_a"), $"lon_m".as("lon_a"), $"lat_m".as("lat_a"),
+                $"ts".as("a_ts"), explode(corners).as("nb"))
+        .select($"event_a", $"lon_a", $"lat_a", $"a_ts",
+                $"nb.jx".as("a_jx"), $"nb.jy".as("a_jy"), $"nb.jt".as("a_jt"))
+        .withWatermark("a_ts", "10 minutes")
+      val builds = pts
+        .select($"id".as("event_b"), $"lon_m".as("lon_b"), $"lat_m".as("lat_b"),
+                $"ts".as("b_ts"),
+                expr(s"lon_m div $C").as("b_jx"), expr(s"lat_m div $C").as("b_jy"),
+                expr(s"unix_micros(ts) div $BucketUs").as("b_jt"))
+        .withWatermark("b_ts", "10 minutes")
+      val joined = probes.join(builds,
+        $"a_jx" === $"b_jx" && $"a_jy" === $"b_jy" && $"a_jt" === $"b_jt" &&
+        $"event_a" < $"event_b" &&
+        $"b_ts" >= $"a_ts" - expr("INTERVAL 30 MINUTES") &&
+        $"b_ts" <= $"a_ts" + expr("INTERVAL 30 MINUTES"))
+        .withColumn("d2",
+          ($"lon_a" - $"lon_b") * ($"lon_a" - $"lon_b") +
+          ($"lat_a" - $"lat_b") * ($"lat_a" - $"lat_b"))
+        .where($"d2" < R * R)
+        .select($"event_a", $"event_b", $"d2")
+      val q = joined.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.stop()
+    }
+    stage(Seq((1L, 1L, 1000L, 1000L, 1000L)))
+    run()
+    // run 2: B in the same (cell, bucket), d2 = 500² + 500², Δt = 10 min
+    stage(Seq((2L, 2L, 1500L, 1500L, 1600L)))
+    run()
+    val fin = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fin == Set((1L, 2L, 500000L)),
+      s"restarted spatial join must pair B against A's recovered probe state: $fin")
+  }
+
   test("last3PerKey: merge keeps ts-desc order with event_id tiebreak") {
     val st = new FakeState[Top3State]
     val out = last3PerKey(9L,
