@@ -24,14 +24,37 @@ object Tbl {
   def part(s: SparkSession, d: String): DataFrame     = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
-    * read it as a long (legacy conf) and rebuild a proper TimestampType
-    * column. Data is µs-precision, so `ns div 1000` is lossless and
-    * matches DuckDB's epoch_us exactly. */
+  /** events.ts physical type has drifted across driver testdata
+    * generations: TIMESTAMP(NANOS) originally, TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) since 2026-08. Detect the footer type once
+    * per directory (cached) and normalize every variant to the SAME
+    * TimestampType epoch-micros column, so nothing downstream ever sees
+    * the drift. */
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.DataType]()
+  private[graft] def eventsTsType(s: SparkSession, d: String): org.apache.spark.sql.types.DataType =
+    tsTypeCache.computeIfAbsent(s"$d/events.parquet", p => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(p).schema("ts").dataType
+    })
+
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventsTsType(s, d) match {
+      case LongType =>
+        // ns-as-long (legacy conf): data is µs-precision, `ns div 1000`
+        // is lossless and matches DuckDB's epoch_us exactly
+        apply(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // NTZ µs: an explicit LTZ schema makes the parquet reader take
+        // the raw int64 micros as epoch-micros — bit-identical to the
+        // ns-file path (driver wall-clock is UTC = epoch)
+        val sch = StructType(apply(s, d, "events").schema.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+        s.read.schema(sch).parquet(s"$d/events.parquet")
+      case _ => apply(s, d, "events") // already LTZ micros (our own writers)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -24,10 +24,13 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps extends QueryModule {
 
-  /** Raw parquet schema of events (ts is TIMESTAMP(NANOS), which Spark
-    * reads as long under the legacy flag Tbl.events also sets). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Raw parquet schema of events; `ts` drifts with the driver's
+    * testdata generation (TIMESTAMP(NANOS) read as long under the
+    * legacy flag vs TIMESTAMP(MICROS) read directly as LTZ — see
+    * Tbl.eventsTsType), so the ts field is parameterized. */
+  private def rawSchema(tsNanos: Boolean) = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", if (tsNanos) LongType else TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -51,6 +54,7 @@ object StreamingOps extends QueryModule {
   private def eventStream(s: SparkSession, d: String,
                           sentinelTypes: Seq[String]): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsNanos = Tbl.eventsTsType(s, d) == LongType
     val dir = java.nio.file.Paths.get(Tbl.scratchDir("events_stream"))
     Files.createSymbolicLink(dir.resolve("events.parquet"),
                              java.nio.file.Paths.get(s"$d/events.parquet"))
@@ -58,13 +62,19 @@ object StreamingOps extends QueryModule {
       // staged ONCE per sentinel-type set and copied thereafter: the
       // 1-row parquet write is a full Spark job (~0.2 s) that four
       // sentinel streams × two bench runs would otherwise each re-pay
-      val src = sentinelCache.getOrElseUpdate(sentinelTypes, {
+      val src = sentinelCache.getOrElseUpdate((sentinelTypes, tsNanos), {
         import s.implicits._
         val tmp = Tbl.scratchDir("sentinel_stage")
-        sentinelTypes.zipWithIndex
+        val base = sentinelTypes.zipWithIndex
           .map { case (t, i) => (-1L - i, 7000000000000000000L, -1L, t, 0.0, "{}") }
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        // sentinel ts must match the dataset's physical shape: raw ns
+        // long beside a ns file, a real timestamp beside a µs file
+        // (same year-2191 wall-clock either way)
+        val aligned =
+          if (tsNanos) base
+          else base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        aligned.coalesce(1).write.mode("overwrite").parquet(tmp)
         new java.io.File(tmp).listFiles()
           .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
           .getOrElse(throw new IllegalStateException("sentinel part file missing"))
@@ -77,10 +87,11 @@ object StreamingOps extends QueryModule {
     // per batch, so their "output = final state" contract needs a
     // single batch — made explicit here rather than relying on the
     // directory happening to hold one file
-    s.readStream.schema(rawSchema)
+    val raw = s.readStream.schema(rawSchema(tsNanos))
       .option("maxFilesPerTrigger", "1000000")
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsNanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   /** Engine streaming posture, applied before every query start.
@@ -149,11 +160,11 @@ object StreamingOps extends QueryModule {
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
   }
 
-  /** Staged 1-row sentinel parquet per sentinel-type set (sentinels
-    * carry no dataset values, so the dataset dir is not part of the
-    * key). */
+  /** Staged 1-row sentinel parquet per (sentinel-type set, ts shape)
+    * (sentinels carry no dataset values, so the dataset dir is not part
+    * of the key — but the ts physical shape is). */
   private val sentinelCache =
-    scala.collection.concurrent.TrieMap.empty[Seq[String], java.nio.file.Path]
+    scala.collection.concurrent.TrieMap.empty[(Seq[String], Boolean), java.nio.file.Path]
 
   /** Checkpoint root of the most recent runToTable stream — lets specs
     * assert the state store artifacts the engine defaults actually

@@ -31,9 +31,9 @@ CONSTRUCTION and poisoning the scaling measurement:
 - region/nation are fixed dimensions and stay single-copy.
 
 Everything is reproducible (no RNG anywhere) and physical parquet types
-are preserved bit-exactly via pyarrow (events.ts stays timestamp[ns] —
-Spark reads it under the nanosAsLong flag; DuckDB would silently
-truncate to micros).
+are preserved bit-exactly via pyarrow (events.ts keeps the source file's
+timestamp unit — ns in the original driver generation, us since 2026-08;
+the engine's readers adapt to either, see Tbl.eventsTsType).
 """
 import sys
 
@@ -46,8 +46,7 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
-DAY_NS = 86400 * 1000000000
-EPOCH_NS = 32 * DAY_NS  # > the 30-day event span: disjoint epochs
+EPOCH_DAYS = 32  # > the 30-day event span: disjoint epochs
 
 
 def caesar(s, k):
@@ -128,8 +127,13 @@ def main():
         for i in range(COPIES)])
 
     ev = pq.read_table(f"{SRC}/events.parquet")
-    ts_type = ev.schema.field("ts").type  # timestamp[ns] — must survive
-    ts_ns = ev["ts"].cast(pa.int64())
+    # the driver's ts physical type has drifted across generations
+    # (timestamp[ns] originally, timestamp[us] since 2026-08) — preserve
+    # it bit-exactly AND shift in the file's own unit
+    ts_type = ev.schema.field("ts").type
+    unit_per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
+    epoch_raw = EPOCH_DAYS * 86400 * unit_per_s
+    ts_raw = ev["ts"].cast(pa.int64())
     copies = []
     for i in range(COPIES):
         copies.append(
@@ -141,7 +145,7 @@ def main():
                           shifted(ev["user_id"], i * 100000))
               .set_column(ev.schema.get_field_index("ts"),
                           ev.schema.field("ts"),
-                          pc.add(ts_ns, pa.scalar(i * EPOCH_NS, type=pa.int64()))
+                          pc.add(ts_raw, pa.scalar(i * epoch_raw, type=pa.int64()))
                             .cast(ts_type)))
     write("events", copies)
 
