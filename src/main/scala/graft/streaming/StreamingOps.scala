@@ -152,8 +152,11 @@ object StreamingOps extends QueryModule {
       s.conf.getOption("spark.graft.joinStateFormatVersion").getOrElse("3"))
     // write-amplification knob: RocksDB row-count tracking costs a read
     // per put (measured: s1 updMs 3.5→2.2 s with tracking off) but keeps
-    // numRowsTotal observable — kept ON as default posture; a
-    // deployment whose hot streams are put-bound turns it off here
+    // numRowsTotal observable — ON as the LONG-RUNNING default posture
+    // (a deployment watches state growth through it); the bounded
+    // run-to-completion harness path (runToTable) turns it off per run,
+    // where the metric has no consumer — `spark.graft.rocksdbTrackRows`
+    // overrides both directions
     s.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
       s.conf.getOption("spark.graft.rocksdbTrackRows").getOrElse("true"))
     // default posture; runToTable re-sets this per query (flushFinal)
@@ -191,6 +194,11 @@ object StreamingOps extends QueryModule {
     configureStreaming(s)
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
                flushFinal.toString)
+    // bounded replay: nothing reads numRowsTotal from a query that runs
+    // to completion and is immediately torn down — skip the
+    // read-before-every-put that tracking costs (see configureStreaming)
+    s.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+      s.conf.getOption("spark.graft.rocksdbTrackRows").getOrElse("false"))
     val ckpt = Tbl.scratchDir(s"ckpt_$name")
     lastCheckpointDir = ckpt
     val q = df.writeStream.format("memory").queryName(name)

@@ -11,7 +11,7 @@ is a FAIL even when the values coerce equal (the driver hash-compares, so
 the local gate must be at least as strict — round-1 shipped 4 hash FAILs
 as local PASSes through pandas' silent dtype coercion).
 """
-import json, sys, glob, os
+import json, sys, glob, os, time
 import duckdb
 import numpy as np
 import pandas as pd
@@ -55,34 +55,26 @@ def main():
     results = {}
     names = sorted(set(oracle) | {d for d in os.listdir(out)
                                   if os.path.isdir(os.path.join(out, d))})
-    for name in names:
-        if only and name not in only:
-            continue
+    def one(name):
         if not os.path.isdir(os.path.join(out, name)):
-            results[name] = "MISSING-OUTPUT"
-            continue
+            return "MISSING-OUTPUT"
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
-            results[name] = "NO-OUTPUT"
-            continue
+            return "NO-OUTPUT"
         got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
         got = got[sorted(got.columns)]
         if name not in oracle:
-            results[name] = f"ROWS-ONLY({len(got)})"
-            continue
+            return f"ROWS-ONLY({len(got)})"
         try:
             exp = con.sql(oracle[name]).df()
         except Exception as e:
-            results[name] = f"ORACLE-ERR: {e}"
-            continue
+            return f"ORACLE-ERR: {e}"
         exp = exp[sorted(exp.columns)]
         if list(got.columns) != list(exp.columns):
-            results[name] = f"COLS got={list(got.columns)} exp={list(exp.columns)}"
-            continue
+            return f"COLS got={list(got.columns)} exp={list(exp.columns)}"
         if len(got) != len(exp):
-            results[name] = f"ROWS got={len(got)} exp={len(exp)}"
-            continue
-        # dtype-kind-exact: HUGEINT→float/object vs int64 must FAIL, like
+            return f"ROWS got={len(got)} exp={len(exp)}"
+        # dtype-kind-exact: HUGEINT->float/object vs int64 must FAIL, like
         # the driver's value-format hash would; int32 vs int64 is fine
         # (round-1 evidence: rk int32 vs BIGINT oracle hash-passed).
         def kind(d):
@@ -91,9 +83,8 @@ def main():
         dt = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
               if kind(got[c].dtype) != kind(exp[c].dtype)]
         if dt:
-            results[name] = "DTYPE " + "; ".join(
+            return "DTYPE " + "; ".join(
                 f"{c}: got={g} exp={e}" for c, g, e in dt[:3])
-            continue
         diffs = []
         for c in got.columns:
             g, e = got[c], exp[c]
@@ -105,7 +96,21 @@ def main():
             if neq.any():
                 i = int(neq.idxmax())
                 diffs.append(f"{c}[row {i}]: got={g[i]!r} exp={e[i]!r} (n={int(neq.sum())})")
-        results[name] = "PASS" if not diffs else "DIFF " + "; ".join(diffs[:3])
+        return "PASS" if not diffs else "DIFF " + "; ".join(diffs[:3])
+
+    skip = {s for s in os.environ.get("CHECK_SKIP", "").split(",") if s}
+    for name in names:
+        if only and name not in only:
+            continue
+        if name in skip:
+            print(f"~ {name}  SKIPPED (CHECK_SKIP)", flush=True)
+            continue
+        t0 = time.time()
+        results[name] = one(name)
+        # incremental line per query (flushed): long oracle runs must be
+        # observable mid-flight, and per-oracle cost is itself a signal
+        print(f". {name}  {results[name][:120]}  [{time.time()-t0:.1f}s]",
+              flush=True)
     width = max((len(n) for n in results), default=10)
     npass = 0
     for n in sorted(results):
