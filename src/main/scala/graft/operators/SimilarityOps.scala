@@ -362,31 +362,53 @@ object SimilarityOps extends QueryModule {
 
   private val NeardupMinCosine = 0.3
   private val NeardupBands = 8      // b OR'd hash tables
-  private val NeardupRows = 6       // r hyperplanes per table
+  private val NeardupMinRows = 6    // r floor (recall posture at tiny n)
+  private val NeardupOccupancy = 16 // target vectors per (band, bucket)
 
-  /** Per-band 6-bit signatures: band i hashes with planes
-    * [6i, 6i+6) (the first 48 corpus vectors), bit j within a band =
-    * sign(v · plane_{6i+j}). A pair is a candidate if it collides in ANY
-    * band — the banded candidate-OR shape `dd_minhash_lsh` uses. */
-  private def bandSignatures(planes: Seq[(Int, Array[Float])]): Column = {
-    // explicit contract beats Seq.empty.reduce blowing up mid-band: the
+  /** Rows (hyperplanes) per band, SCALED TO THE CORPUS: the smallest
+    * r ≥ 6 with 2^r · 16 ≥ n, i.e. the bucket domain grows with n so
+    * per-band bucket occupancy stays ~16 regardless of corpus size.
+    * This is what keeps the candidate self-join LINEAR in n — the
+    * round-7 sf1 scale gate caught the fixed r = 6 variant growing
+    * 22× on 10× data (64 buckets/band → occupancy, and with it pair
+    * count per bucket, scaling with n²). Pure integer comparison —
+    * no log2 float whose 1-ulp could round the two engines apart; the
+    * oracle SQL computes the identical minimum over generate_series. */
+  private def neardupRows(n: Long): Int =
+    (NeardupMinRows to 40)
+      .find(r => (1L << r) * NeardupOccupancy >= n)
+      .getOrElse(40)
+
+  /** Corpus count, memoized per dataset dir (parquet metadata count —
+    * a planning probe, same discipline as the auto-salt sampler). */
+  private val cntCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def embCount(s: SparkSession, d: String): Long =
+    cntCache.getOrElseUpdate(d, Tbl.embeddings(s, d).count())
+
+  /** Per-band r-bit signatures: band i hashes with planes
+    * [ri, ri+r) (the first 8r corpus vectors), bit j within a band =
+    * sign(v · plane_{ri+j}). A pair is a candidate if it collides in ANY
+    * band — the banded candidate-OR shape `dd_minhash_lsh` uses.
+    * One `SignBandsFloat` kernel call, NOT 8r when(dot)-chains: the
+    * chain variant inlines 8r 64-step loops into one whole-stage method,
+    * which at r ≥ 11 blows the JIT huge-method threshold and drops the
+    * stage to the bytecode interpreter (measured 10 s vs 0.3 s at sf1). */
+  private def bandSignatures(planes: Seq[(Int, Array[Float])],
+                             rows: Int): Column = {
+    // explicit contract beats a silently-short matrix mid-band: the
     // banded scheme needs all b×r planes (the corpus supplies them)
-    require(planes.size == NeardupBands * NeardupRows,
-      s"banded LSH needs ${NeardupBands * NeardupRows} plane vectors, " +
+    require(planes.size == NeardupBands * rows,
+      s"banded LSH needs ${NeardupBands * rows} plane vectors, " +
       s"corpus supplied ${planes.size}")
-    array((0 until NeardupBands).map { band =>
-      planes.slice(band * NeardupRows, (band + 1) * NeardupRows)
-        .zipWithIndex.map { case ((_, p), j) =>
-          when(dot(col("embedding"), typedLit(p)) > 0.0, lit(1L << j))
-            .otherwise(lit(0L))
-        }.reduce(_ + _)
-    }: _*)
+    org.apache.spark.sql.graft.SignBandsFloat.signBands(
+      col("embedding"), typedLit(planes.toArray.flatMap(_._2)), rows)
   }
 
   /** Embedding-cosine near-dup pairs via banded hyperplane LSH
-    * (b=8 tables × r=6 planes), then exact-cosine verify — the same
-    * candidate-verify shape as `dd_minhash_lsh`, sub-quadratic blocking
-    * that scales with bucket size, not corpus².
+    * (b=8 tables × corpus-scaled r planes, see neardupRows), then
+    * exact-cosine verify — the same candidate-verify shape as
+    * `dd_minhash_lsh`, sub-quadratic blocking that scales with bucket
+    * OCCUPANCY (held ~constant by r), not corpus².
     *
     * Recall bound: a pair at cosine c collides per-band with
     * p = (1 - acos(c)/π)^r, overall 1-(1-p)^b — at the near-dup regime
@@ -398,14 +420,15 @@ object SimilarityOps extends QueryModule {
   private def embeddingNeardup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tbl.embeddings(s, d)
+    val rows = neardupRows(embCount(s, d))
     // narrow signature relation (vec_id, band, bkt): the 8× explode
     // carries 3 longs per row, never the 64-float embedding; persisted —
-    // both sides of the candidate self-join read it, and the 48 dot
+    // both sides of the candidate self-join read it, and the 8r dot
     // products per row are the expensive part of this plan
     val sig = emb
       .select($"vec_id",
               posexplode(bandSignatures(
-                constVectors(s, d, NeardupBands * NeardupRows))).as(Seq("band", "bkt")))
+                constVectors(s, d, NeardupBands * rows), rows)).as(Seq("band", "bkt")))
       .persist()
     val cand = sig.as("l")
       .join(sig.as("r"),
@@ -422,14 +445,18 @@ object SimilarityOps extends QueryModule {
   }
 
   private val embeddingNeardupSql =
-    s"""WITH sig AS (
+    s"""WITH nr AS (
+       |  SELECT min(r) AS rows FROM generate_series($NeardupMinRows, 40) t(r)
+       |  WHERE (CAST(1 AS BIGINT) << r) * $NeardupOccupancy >=
+       |        (SELECT count(*) FROM embeddings)),
+       |sig AS (
        |  SELECT e.vec_id, b.band,
        |    (SELECT CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.embedding")} > 0.0
-       |                     THEN 1 << (p.vec_id % $NeardupRows) ELSE 0 END) AS BIGINT)
+       |                     THEN 1 << (p.vec_id % nr.rows) ELSE 0 END) AS BIGINT)
        |     FROM embeddings p
-       |     WHERE p.vec_id >= b.band * $NeardupRows
-       |       AND p.vec_id < (b.band + 1) * $NeardupRows) AS bkt
-       |  FROM embeddings e,
+       |     WHERE p.vec_id >= b.band * nr.rows
+       |       AND p.vec_id < (b.band + 1) * nr.rows) AS bkt
+       |  FROM embeddings e, nr,
        |       (SELECT unnest(generate_series(0, ${NeardupBands - 1})) AS band) b),
        |cand AS (
        |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
