@@ -768,25 +768,54 @@ object SimilarityOps extends QueryModule {
 
   private val SemDedupCosine = 0.3 // corpus demo threshold, see embeddingNeardup
 
+  /** Semantic-dedup cell count, SCALED TO THE CORPUS: the smallest
+    * k = 16·2^s with k² ≥ n (k is the power-of-2 √n within 2×, floored
+    * at the 16 the IVF demo family uses). Cell size is then ≤ ~√n and
+    * the within-cell pair count is bounded by n^1.5 — the round-7 scale
+    * gate's lesson applied before this one flags: a FIXED k makes pairs
+    * n²/k. Pure integer doubling, mirrored verbatim in the oracle's
+    * min-over-generate_series. The centroid matrix stays a driver
+    * literal up to the k this sandbox reaches (256 × 64 floats at sf1 =
+    * 64 KB); a 100 TB deployment crosses to a broadcast centroid
+    * relation and a trained quantizer (kmeansRefine is the building
+    * block), same plan shape. */
+  private def semCells(n: Long): Int = {
+    var k = 16L
+    // cap at 16·2^20 (k² = 2^48): keeps k*k off the INT64 overflow edge
+    // in BOTH engines for any conceivable corpus count
+    while (k * k < n && k < (16L << 20)) k *= 2
+    k.toInt
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
-    * the corpus with the coarse quantizer (the same literal-centroid
-    * assignment the IVF index uses), then within each cluster mark every
-    * vector that has a LOWER-id cluster-mate above the cosine threshold
-    * as a duplicate of the smallest such mate. Keeps exactly one
+    * the corpus with a coarse quantizer (literal-centroid assignment,
+    * one NearestCellFloat kernel call — k stacked when(dot)-chains
+    * would trip the JIT huge-method interpreter fallback at scaled k,
+    * see SignBandsFloat), then within each cluster mark every vector
+    * that has a LOWER-id cluster-mate above the cosine threshold as a
+    * duplicate of the smallest such mate. Keeps exactly one
     * representative per semantic neighborhood without any cross-cluster
     * comparison.
     *
     * Scale shape: assignment is the shuffle-free literal projection;
-    * the within-cell self-join is quadratic in CELL size only — the
-    * quantizer's k grows with the corpus (k ≈ √n keeps cells ~√n), so
-    * the pair count is n·cell_size, not n². The equi-join key is the
-    * cell id; at production k (thousands of cells) key skew disappears —
-    * at the demo k=16 the join is deliberately tiny. */
+    * the within-cell self-join is quadratic in CELL size only — k grows
+    * with the corpus (semCells: k ≈ √n keeps cells ~√n), so the pair
+    * count is bounded by n^1.5, not n². The equi-join key is the cell
+    * id; at scaled k (hundreds+ of cells) key skew disappears. */
   private def semanticDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val k = semCells(embCount(s, d))
+    val cents = constVectors(s, d, k)
+    // the kernel emits the 0-based centroid INDEX as the cell id; the
+    // oracle emits c.vec_id — identical only while the first k corpus
+    // vec_ids are exactly 0..k-1, so pin it
+    require(cents.map(_._1) == (0 until k),
+      s"semantic-dedup quantizer needs contiguous centroid vec_ids 0..${k - 1}, " +
+      s"corpus supplied ${cents.size} ids starting ${cents.headOption.map(_._1)}")
     val assigned = Tbl.embeddings(s, d)
       .select($"vec_id", $"embedding",
-              cellCol(constVectors(s, d, NumCentroids)).as("cell"))
+              org.apache.spark.sql.graft.NearestCellFloat.nearestCell(
+                $"embedding", typedLit(cents.toArray.flatMap(_._2))).as("cell"))
       .persist()
     val dups = assigned.as("l")
       .join(assigned.as("r"),
@@ -802,13 +831,18 @@ object SimilarityOps extends QueryModule {
   }
 
   private val semanticDedupSql =
-    s"""WITH assigned AS (
+    s"""WITH nc AS (
+       |  SELECT coalesce(min(CAST(16 AS BIGINT) << s), CAST(16 AS BIGINT) << 20) AS k
+       |  FROM generate_series(0, 20) t(s)
+       |  WHERE (CAST(16 AS BIGINT) << s) * (CAST(16 AS BIGINT) << s) >=
+       |        (SELECT count(*) FROM embeddings)),
+       |assigned AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.vec_id AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cos6Sql(dotSql("e.embedding", "c.embedding"))} DESC,
        |                 c.vec_id) AS rka
-       |    FROM embeddings e, embeddings c WHERE c.vec_id < $NumCentroids)
+       |    FROM embeddings e, embeddings c, nc WHERE c.vec_id < nc.k)
        |  WHERE rka = 1),
        |dups AS (
        |  SELECT r.vec_id AS vec_id, min(l.vec_id) AS dup_of
