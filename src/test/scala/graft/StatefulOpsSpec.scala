@@ -346,6 +346,56 @@ class StatefulOpsSpec extends SparkSpec {
       "transformWithState ValueState was not recovered from the checkpoint")
   }
 
+  test("restart recovery: flatMapGroupsWithState ring state survives stop/restart (s2)") {
+    // s2's machinery: the last-3 ring buffer lives in user-defined
+    // GroupState (flatMapGroupsWithState), a third state layout distinct
+    // from both the SQL aggregate stores and transformWithState's column
+    // families. Run 2 reads ONLY the new file; its update-mode emission
+    // can rank run-1 events under the new arrival only if the ring was
+    // actually restored from the checkpoint.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    graft.streaming.StreamingOps.configureStreaming(spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("fmgws_restart_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("fmgws_restart_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("fmgws_restart_ck").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    def stage(rows: Seq[Ev]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      val out = spark.readStream.schema(schema).parquet(srcDir)
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("value"))
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(last3PerKey _)
+      val q = out.toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .outputMode("update").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.stop()
+    }
+    def emitted(): Set[(Int, Long)] =
+      spark.read.parquet(outDir).as[Ranked].collect()
+        .map(r => (r.rn, r.event_id)).toSet
+    // run 1: two events for user 7 → ranks (1→e2, 2→e1)
+    stage(Seq(ev(1, 100, 7, 1.0), ev(2, 200, 7, 2.0)))
+    run()
+    assert(emitted() == Set((1, 2L), (2, 1L)))
+    // run 2: one newer event — the re-emitted ranking must place run-1's
+    // events at ranks 2 and 3 under it, impossible without the restored
+    // ring (a cold ring would emit only (1→e3))
+    stage(Seq(ev(3, 300, 7, 3.0)))
+    run()
+    assert(emitted() == Set((1, 2L), (2, 1L), (1, 3L), (2, 2L), (3, 1L)),
+      "flatMapGroupsWithState ring state was not recovered from the checkpoint")
+  }
+
   test("restart recovery: spatial-join symmetric state survives stop/restart (s22)") {
     // s22's machinery: join state format v3 with the (cell, time-bucket)
     // equi-key and the exploded probe side. Run 1 buffers a lone point A
