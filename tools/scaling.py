@@ -16,7 +16,11 @@ Queries slower than FLOOR seconds at sf1 are exempt from the flag: a
 0.2 s -> 3 s move is scheduling noise on 32 cores, not a complexity
 signal.
 """
-import json, sys
+import json, signal, sys
+
+# head-friendly: a closed stdout pipe is how this report is normally
+# consumed, not an error
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 FLOOR = 2.0     # sf1 seconds below which ratios are noise
 FLAG = 12.0     # ratio above which we call it superlinear (10x data + margin)
