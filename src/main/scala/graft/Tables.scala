@@ -32,11 +32,23 @@ object Tbl {
     * the drift. */
   private val tsTypeCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.DataType]()
-  private[graft] def eventsTsType(s: SparkSession, d: String): org.apache.spark.sql.types.DataType =
-    tsTypeCache.computeIfAbsent(s"$d/events.parquet", p => {
+  private[graft] def eventsTsType(s: SparkSession, d: String): org.apache.spark.sql.types.DataType = {
+    val p = s"$d/events.parquet"
+    // size+mtime in the key: a file REGENERATED in place (the driver
+    // does this across rounds) re-infers instead of serving the stale
+    // unit; schema work runs OUTSIDE the map so no footer read ever
+    // holds a CHM bin lock (round-7 ADVICE) — a racing duplicate read
+    // is idempotent and putIfAbsent keeps the first
+    val f = new java.io.File(p)
+    val key = s"$p|${f.length}|${f.lastModified}"
+    val cached = tsTypeCache.get(key)
+    if (cached != null) cached else {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(p).schema("ts").dataType
-    })
+      val dt = s.read.parquet(p).schema("ts").dataType
+      tsTypeCache.putIfAbsent(key, dt)
+      dt
+    }
+  }
 
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._

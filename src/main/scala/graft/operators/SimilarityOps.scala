@@ -94,8 +94,19 @@ object SimilarityOps extends QueryModule {
   private val vecCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Int, Array[Float])]]
 
+  /** Cache key for per-corpus memos: path + file size + mtime, so a
+    * dataset dir REGENERATED in place (the driver does this across
+    * rounds — see the events.ts type drift) invalidates every derived
+    * count/plane/centroid instead of serving stale index state
+    * (round-7 ADVICE). Directory-valued paths (our own writers) hash
+    * the dir entry itself — its mtime changes on rewrite. */
+  private def embFingerprint(d: String): String = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    s"$d|${f.length}|${f.lastModified}"
+  }
+
   private def constVectors(s: SparkSession, d: String, n: Int): Seq[(Int, Array[Float])] =
-    vecCache.getOrElseUpdate((d, n), {
+    vecCache.getOrElseUpdate((embFingerprint(d), n), {
       import s.implicits._
       Tbl.embeddings(s, d).where($"vec_id" < n)
         .select($"vec_id".cast("int"), $"embedding")
@@ -379,11 +390,13 @@ object SimilarityOps extends QueryModule {
       .find(r => (1L << r) * NeardupOccupancy >= n)
       .getOrElse(40)
 
-  /** Corpus count, memoized per dataset dir (parquet metadata count —
-    * a planning probe, same discipline as the auto-salt sampler). */
+  /** Corpus count, memoized per dataset-dir fingerprint (parquet
+    * metadata count — a planning probe, same discipline as the
+    * auto-salt sampler; the fingerprint key means an in-place
+    * regeneration re-counts instead of sizing r/k off stale n). */
   private val cntCache = scala.collection.concurrent.TrieMap.empty[String, Long]
   private def embCount(s: SparkSession, d: String): Long =
-    cntCache.getOrElseUpdate(d, Tbl.embeddings(s, d).count())
+    cntCache.getOrElseUpdate(embFingerprint(d), Tbl.embeddings(s, d).count())
 
   /** Per-band r-bit signatures: band i hashes with planes
     * [ri, ri+r) (the first 8r corpus vectors), bit j within a band =
@@ -446,13 +459,15 @@ object SimilarityOps extends QueryModule {
 
   private val embeddingNeardupSql =
     s"""WITH nr AS (
-       |  SELECT min(r) AS rows FROM generate_series($NeardupMinRows, 40) t(r)
+       |  SELECT coalesce(min(r), 40) AS rows
+       |  FROM generate_series($NeardupMinRows, 40) t(r)
        |  WHERE (CAST(1 AS BIGINT) << r) * $NeardupOccupancy >=
        |        (SELECT count(*) FROM embeddings)),
        |sig AS (
        |  SELECT e.vec_id, b.band,
        |    (SELECT CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.embedding")} > 0.0
-       |                     THEN 1 << (p.vec_id % nr.rows) ELSE 0 END) AS BIGINT)
+       |                     THEN CAST(1 AS BIGINT) << (p.vec_id % nr.rows)
+       |                     ELSE 0 END) AS BIGINT)
        |     FROM embeddings p
        |     WHERE p.vec_id >= b.band * nr.rows
        |       AND p.vec_id < (b.band + 1) * nr.rows) AS bkt
@@ -522,7 +537,7 @@ object SimilarityOps extends QueryModule {
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Array[Float])]]
 
   private def refinedCentroids(s: SparkSession, d: String): Seq[(Int, Array[Float])] =
-    refinedCache.getOrElseUpdate(d, {
+    refinedCache.getOrElseUpdate(embFingerprint(d), {
       import s.implicits._
       kmeansRefine(s, d)
         .select($"cell".cast("int"), $"dim".cast("int"), $"mean_e6")
@@ -768,55 +783,126 @@ object SimilarityOps extends QueryModule {
 
   private val SemDedupCosine = 0.3 // corpus demo threshold, see embeddingNeardup
 
-  /** Semantic-dedup cell count, SCALED TO THE CORPUS: the smallest
-    * k = 16·2^s with k² ≥ n (k is the power-of-2 √n within 2×, floored
-    * at the 16 the IVF demo family uses). Cell size is then ≤ ~√n and
-    * the within-cell pair count is bounded by n^1.5 — the round-7 scale
-    * gate's lesson applied before this one flags: a FIXED k makes pairs
-    * n²/k. Pure integer doubling, mirrored verbatim in the oracle's
-    * min-over-generate_series. The centroid matrix stays a driver
-    * literal up to the k this sandbox reaches (256 × 64 floats at sf1 =
-    * 64 KB); a 100 TB deployment crosses to a broadcast centroid
-    * relation and a trained quantizer (kmeansRefine is the building
-    * block), same plan shape. */
+  /** Target mean cluster population for the trained semantic-dedup
+    * quantizer: k ∝ n/C keeps cell size — and with it the within-cell
+    * pair count per row — CONSTANT as the corpus grows, so total pairs
+    * are O(n·C), linear. (The round-7 √n-cell variant bounded pairs at
+    * n^1.5; its 15× sf1→sf10 wall was exactly that exponent surfacing.) */
+  private val SemTargetCell = 128
+
+  /** Semantic-dedup cell count, LINEAR in the corpus: the smallest
+    * k = 16·2^s with k·C ≥ n (C = [[SemTargetCell]]), capped at
+    * 16·2^20. Pure integer doubling, mirrored verbatim in the oracle's
+    * min-over-generate_series — no log2 float whose rounding could
+    * split the engines. The FLOPs trade: assignment work is n·k dots
+    * (the price every IVF-family index pays at train/assign time —
+    * embarrassingly parallel, zero shuffle), spent to keep the pair
+    * JOIN — the part that actually shuffles and sorts — linear. */
   private def semCells(n: Long): Int = {
     var k = 16L
-    // cap at 16·2^20 (k² = 2^48): keeps k*k off the INT64 overflow edge
-    // in BOTH engines for any conceivable corpus count
-    while (k * k < n && k < (16L << 20)) k *= 2
+    while (k * SemTargetCell < n && k < (16L << 20)) k *= 2
     k.toInt
   }
 
-  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
-    * the corpus with a coarse quantizer (literal-centroid assignment,
-    * one NearestCellFloat kernel call — k stacked when(dot)-chains
-    * would trip the JIT huge-method interpreter fallback at scaled k,
-    * see SignBandsFloat), then within each cluster mark every vector
-    * that has a LOWER-id cluster-mate above the cosine threshold as a
-    * duplicate of the smallest such mate. Keeps exactly one
-    * representative per semantic neighborhood without any cross-cluster
-    * comparison.
+  /** The k trained centroids and their cell ids as a ONE-ROW broadcast
+    * relation `(cids, cmat)` — the scale form of the literal centroid
+    * matrix: past k ≈ 1k, a typedLit matrix bloats every plan string
+    * and serialized stage it appears in, while a broadcast row ships
+    * once per executor through torrent broadcast and the plan stays
+    * constant-size. `cids` carries the surviving cell ids in ascending
+    * order, so the kernel's positional argmax (ties → smallest index)
+    * lands on the smallest cell id — the oracle's `ORDER BY … , cell`. */
+  private def centRelation(s: SparkSession,
+                           cents: Seq[(Int, Array[Float])]): DataFrame = {
+    import s.implicits._
+    Seq((cents.map(_._1.toLong).toArray, cents.toArray.flatMap(_._2)))
+      .toDF("cids", "cmat")
+  }
+
+  /** Nearest-centroid cell assignment against a broadcast centroid
+    * relation: a 1-row BroadcastNestedLoopJoin attaches `(cids, cmat)`
+    * to every corpus row (the standard attach-broadcast-constants
+    * idiom — NOT an all-pairs product), then one [[NearestCellFloat]]
+    * kernel call per row picks the argmax truncated cosine. No corpus
+    * shuffle, JIT-safe at any k. */
+  private def assignedBy(emb: DataFrame, centRel: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centRel))
+      .select(col("vec_id"), col("embedding"),
+              element_at(col("cids"),
+                (org.apache.spark.sql.graft.NearestCellFloat.nearestCell(
+                   col("embedding"), col("cmat")) + 1).cast("int")).as("cell"))
+
+  /** One Lloyd step at parametric k: assign every vector to its nearest
+    * of the first-k seed vectors, then per-(cell, dim) micro-unit mean —
+    * `kmeansRefine` generalized from the fixed demo k=16 to the
+    * corpus-scaled k the trained semantic-dedup quantizer needs. Means
+    * are exact integer sums ÷ counts (order-free, engine-identical);
+    * the reduce side is k·64 rows regardless of corpus size. */
+  private def lloydMeansK(s: SparkSession, d: String, k: Int): DataFrame = {
+    import s.implicits._
+    val seeds = constVectors(s, d, k)
+    // the kernel emits positional indexes; the oracle emits seed
+    // vec_ids — identical only while the first k corpus vec_ids are
+    // exactly 0..k-1, so pin it
+    require(seeds.map(_._1) == (0 until k),
+      s"trained quantizer needs contiguous seed vec_ids 0..${k - 1}, " +
+      s"corpus supplied ${seeds.size} ids starting ${seeds.headOption.map(_._1)}")
+    assignedBy(Tbl.embeddings(s, d), centRelation(s, seeds))
+      .select($"cell", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"cell", $"dim")
+      .agg(expr("sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))" +
+                " div count(*)").as("mean_e6"))
+  }
+
+  /** Trained (1-Lloyd-step) centroids at parametric k, collected once
+    * per (corpus, k): k·64 micro-unit longs — the constant-sized
+    * driver step of the index build (512 KB at k=2048). Seed cells
+    * that attract no member vanish here; the survivors keep their seed
+    * cell id, ascending. Float conversion long/10⁶ → double → float is
+    * deterministic IEEE on both engines (proven by `sim_ivf_trained`). */
+  private val trainedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Int, Array[Float])]]
+
+  private def trainedCentroids(s: SparkSession, d: String, k: Int): Seq[(Int, Array[Float])] =
+    trainedCache.getOrElseUpdate((embFingerprint(d), k), {
+      import s.implicits._
+      lloydMeansK(s, d, k)
+        .select($"cell".cast("int"), $"dim".cast("int"), $"mean_e6")
+        .as[(Int, Int, Long)].collect().toSeq
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (c, rows) =>
+          val arr = new Array[Float](64)
+          rows.foreach { case (_, dim, m) =>
+            arr(dim) = (m.toDouble / 1000000.0).toFloat }
+          (c, arr)
+        }
+    })
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023) over a
+    * TRAINED coarse quantizer: seed with the first k corpus vectors,
+    * run one Lloyd refinement (the `kmeansRefine` step at corpus-scaled
+    * k), broadcast the refined codebook as a one-row relation, assign
+    * every vector to its nearest trained centroid, then within each
+    * cluster mark every vector that has a LOWER-id cluster-mate above
+    * the cosine threshold as a duplicate of the smallest such mate.
+    * Keeps exactly one representative per semantic neighborhood without
+    * any cross-cluster comparison.
     *
-    * Scale shape: assignment is the shuffle-free literal projection;
-    * the within-cell self-join is quadratic in CELL size only — k grows
-    * with the corpus (semCells: k ≈ √n keeps cells ~√n), so the pair
-    * count is bounded by n^1.5, not n². The equi-join key is the cell
-    * id; at scaled k (hundreds+ of cells) key skew disappears. */
+    * Scale shape: k ∝ n/C (semCells) holds cell population at ~C, so
+    * the pair join — the only stage that shuffles — is O(n·C), LINEAR
+    * in the corpus; trained (vs seed-only) centroids also even out the
+    * cell-population tail, which is what actually bounds the join's
+    * worst task. Assignment is two shuffle-free kernel scans (train +
+    * final) against broadcast codebooks; the Lloyd reduce is k·64 rows.
+    * The n·k assignment FLOPs are the standing IVF cost — the
+    * documented continuation past ~10⁹ rows is hierarchical (two-level)
+    * assignment, same kernel, √k probes per level. */
   private def semanticDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = semCells(embCount(s, d))
-    val cents = constVectors(s, d, k)
-    // the kernel emits the 0-based centroid INDEX as the cell id; the
-    // oracle emits c.vec_id — identical only while the first k corpus
-    // vec_ids are exactly 0..k-1, so pin it
-    require(cents.map(_._1) == (0 until k),
-      s"semantic-dedup quantizer needs contiguous centroid vec_ids 0..${k - 1}, " +
-      s"corpus supplied ${cents.size} ids starting ${cents.headOption.map(_._1)}")
-    val assigned = Tbl.embeddings(s, d)
-      .select($"vec_id", $"embedding",
-              org.apache.spark.sql.graft.NearestCellFloat.nearestCell(
-                $"embedding", typedLit(cents.toArray.flatMap(_._2))).as("cell"))
-      .persist()
+    val cents = trainedCentroids(s, d, k)
+    val assigned =
+      assignedBy(Tbl.embeddings(s, d), centRelation(s, cents)).persist()
     val dups = assigned.as("l")
       .join(assigned.as("r"),
             $"l.cell" === $"r.cell" && $"l.vec_id" < $"r.vec_id")
@@ -834,15 +920,32 @@ object SimilarityOps extends QueryModule {
     s"""WITH nc AS (
        |  SELECT coalesce(min(CAST(16 AS BIGINT) << s), CAST(16 AS BIGINT) << 20) AS k
        |  FROM generate_series(0, 20) t(s)
-       |  WHERE (CAST(16 AS BIGINT) << s) * (CAST(16 AS BIGINT) << s) >=
+       |  WHERE (CAST(16 AS BIGINT) << s) * $SemTargetCell >=
        |        (SELECT count(*) FROM embeddings)),
-       |assigned AS (
+       |assigned0 AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.vec_id AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cos6Sql(dotSql("e.embedding", "c.embedding"))} DESC,
        |                 c.vec_id) AS rka
        |    FROM embeddings e, embeddings c, nc WHERE c.vec_id < nc.k)
+       |  WHERE rka = 1),
+       |refined AS (
+       |  SELECT cell, list(m ORDER BY dim) AS emb FROM (
+       |    SELECT cell, d.dim AS dim,
+       |      CAST(CAST(sum(CAST(floor(CAST(embedding[d.dim] AS DOUBLE)
+       |                               * 1000000.0) AS BIGINT))
+       |                // count(*) AS BIGINT) / 1000000.0 AS FLOAT) AS m
+       |    FROM assigned0, (SELECT unnest(generate_series(1, 64)) AS dim) d
+       |    GROUP BY cell, d.dim)
+       |  GROUP BY cell),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, r.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos6Sql(dotSql("e.embedding", "r.emb"))} DESC,
+       |                 r.cell) AS rka
+       |    FROM embeddings e, refined r)
        |  WHERE rka = 1),
        |dups AS (
        |  SELECT r.vec_id AS vec_id, min(l.vec_id) AS dup_of

@@ -45,6 +45,36 @@ class NearestCellFloatSpec extends SparkSpec {
     assert(r == 0L)
   }
 
+  test("broadcast codebook relation equals the literal kernel, gapped cell ids translate") {
+    // the trained-quantizer scale path ships the codebook as a one-row
+    // broadcast relation (cids, cmat) instead of a plan literal; the
+    // kernel's POSITIONAL argmax must land on the same centroid, and
+    // element_at(cids, idx+1) must translate positions to surviving
+    // cell ids — including when seed cells died (gapped ids)
+    val ids = Seq(0, 3, 7) // deliberately gapped survivors
+    val byId = Tbl.embeddings(spark, d).where($"vec_id".isin(ids.map(_.toLong): _*))
+      .select($"vec_id".cast("int"), $"embedding")
+      .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
+    assume(byId.size == ids.size)
+    val flat = byId.toArray.flatMap(_._2)
+    val rel = Seq((byId.map(_._1.toLong).toArray, flat)).toDF("cids", "cmat")
+    val out = Tbl.embeddings(spark, d)
+      .crossJoin(broadcast(rel))
+      .select($"vec_id",
+              element_at($"cids",
+                (NearestCellFloat.nearestCell($"embedding", $"cmat") + 1)
+                  .cast("int")).as("cell"),
+              NearestCellFloat.nearestCell(
+                $"embedding", typedLit(flat)).as("idx"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == ids(r.getLong(2).toInt).toLong,
+             s"vec ${r.getLong(0)}: relation cell ${r.getLong(1)} != " +
+             s"literal idx ${r.getLong(2)} -> id")
+    }
+  }
+
   test("null vector yields null cell") {
     val r = Seq((1, null.asInstanceOf[Array[Float]])).toDF("id", "embedding")
       .select(NearestCellFloat.nearestCell(

