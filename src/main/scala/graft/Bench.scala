@@ -60,7 +60,18 @@ object Bench {
       if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"stat":"min","round":$round,"sha":"$sha"}"""
-    println(line)
+    // stdout carries a COMPACT line only (total + the 12 slowest
+    // queries): the driver's stdout harvester keeps a bounded tail of
+    // the sbt output, and the full 154-query line (~7 KB) has started
+    // before that window every round since r4 — BENCH_rNN.json landed
+    // with parsed:null while the full map survived only via the files
+    // below. A <1 KB line always fits the tail, so the harvester's
+    // parse works again; the complete per-query map still ships in
+    // BENCH_full_rNN.json / BENCH_local.json.
+    val fullName = f"BENCH_full_r$round%02d.json"
+    val topQs = results.toSeq.sortBy(-_._2).take(12)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$topQs,"n_queries":${results.size},"sf":"$sfDir","runs_per_query":2,"stat":"min","round":$round,"sha":"$sha","full":"$fullName"}""")
     // ALSO land the line in a file: the driver's stdout harvester has
     // truncated the sbt tail before (BENCH_r04 kept 63/135 timings), and
     // per-query history is the regression signal — it must survive
@@ -83,7 +94,7 @@ object Bench {
     // named for the round — one line, overwritten on re-runs within the
     // round, so the driver ships all timings without depending on stdout
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(f"BENCH_full_r$round%02d.json"),
+      java.nio.file.Paths.get(fullName),
       (line + "\n").getBytes("UTF-8"))
     catch { case e if scala.util.control.NonFatal(e) =>
       System.err.println(s"bench full-file write failed: $e") }

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming-state bench at replay volume (round-7 VERDICT item #2).
+  *
+  * The per-round bench replays each stream as ONE AvailableNow batch —
+  * right for the oracle contract, but it never shows how state behaves
+  * ACROSS batches: does per-batch wall grow as RocksDB state accumulates
+  * (the 100 TB question), or stay flat? This main answers it with a
+  * 10M-row replay (sf10 events) cut into K time-ordered chunks consumed
+  * one file per micro-batch, across four state layouts:
+  *
+  *  - `agg_watermark`  (s1-class): sliding-window agg, watermark evicts —
+  *    steady-state batch time must be FLAT (state bounded by watermark).
+  *  - `dedup_nowm`     (J5-class): dropDuplicates with NO watermark —
+  *    state grows monotonically to 10M rows; per-batch time must stay
+  *    ~flat as the store grows (RocksDB point ops are O(1) amortized);
+  *    this is the spill + changelog-compaction exercise.
+  *  - `ring_last3`     (s2-class): flatMapGroupsWithState bounded ring
+  *    per user — keyed-state layout, state = distinct users.
+  *  - `ss_interval_join` (s12-class): stream-stream inner interval join,
+  *    both sides watermarked — symmetric join state under eviction.
+  *
+  * Sinks are `noop`: the bench prices source + state machinery + commit,
+  * not a memory sink's driver-side row buffering (10M update-mode rows
+  * would distort driver heap). RocksDB row tracking is ON here — state
+  * size IS the measurement, so the read-before-put cost is paid
+  * deliberately (the oracle bench turns it off; see configureStreaming).
+  *
+  * Artifact: one JSON line per query appended to STREAMBENCH_rNN.json —
+  * per-batch {rows, totalMs, addBatchMs, commitMs, stateRows,
+  * stateBytes}, plus a growth verdict: mean per-ROW batch cost of the
+  * last quarter of the replay over the first quarter (batch 0 excluded —
+  * it pays JIT + store-open). growth ≈ 1 is the flat-cost proof;
+  * superlinear state handling reads as growth >> 1.
+  */
+object StreamBench {
+
+  // NOT private: the row-encoder's janino-generated code lives outside
+  // this package and needs JVM-public access to the accessor methods
+  final case class Ring(ids: List[Long])
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "20").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Tbl.sparkLocalDir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.streaming.StreamingOps.configureStreaming(spark)
+    // state size IS the deliverable of this bench — pay the tracking cost
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "true")
+    // steady-state behavior needs the watermark to advance between
+    // batches, which AvailableNow handles; no-data batches add nothing
+    // to a per-batch growth measurement
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+
+    val streamDir = stageChunks(spark, sfDir, chunks)
+
+    def src(): DataFrame =
+      spark.readStream
+        .schema(Tbl.events(spark, sfDir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir)
+
+    import spark.implicits._
+
+    val queries: Seq[(String, OutputMode, () => DataFrame)] = Seq(
+      ("agg_watermark", OutputMode.Update(), () =>
+        src().withWatermark("ts", "10 minutes")
+          .groupBy(window($"ts", "2 minutes", "1 minute"), $"user_id")
+          .agg(count(lit(1)).as("n"), sum(Tbl.cents($"value")).as("v"))),
+      ("dedup_nowm", OutputMode.Append(), () =>
+        src().dropDuplicates("event_id")),
+      ("ring_last3", OutputMode.Update(), () =>
+        src().select($"user_id", $"event_id").as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+            (user: Long, rows: Iterator[(Long, Long)], st: GroupState[Ring]) => {
+              val prev = st.getOption.map(_.ids).getOrElse(Nil)
+              val next = (prev ++ rows.map(_._2)).takeRight(3).toList
+              st.update(Ring(next))
+              Iterator((user, next.size))
+            }).toDF("user_id", "n_kept")),
+      ("ss_interval_join", OutputMode.Append(), () => {
+        val l = src().where($"event_type" === "view")
+          .select($"user_id".as("l_user"), $"ts".as("l_ts"))
+          .withWatermark("l_ts", "5 minutes")
+        val r = src().where($"event_type" === "click")
+          .select($"user_id".as("r_user"), $"ts".as("r_ts"))
+          .withWatermark("r_ts", "5 minutes")
+        l.join(r, $"l_user" === $"r_user" &&
+          $"r_ts" >= $"l_ts" && $"r_ts" <= $"l_ts" + expr("interval 2 minutes"))
+      }))
+
+    val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => "CORRECTNESS_r(\\d+)\\.json".r
+        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .maxOption.map(_ + 1).getOrElse(0)
+    val outPath = java.nio.file.Paths.get(f"STREAMBENCH_r$round%02d.json")
+
+    queries.foreach { case (name, mode, mk) =>
+      val ckpt = Tbl.scratchDir(s"sb_$name")
+      val t0 = System.nanoTime()
+      val q = mk().writeStream.format("noop")
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      q.stop()
+      org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
+
+      val batches = progress.map { p =>
+        val so = p.stateOperators.headOption
+        val get = (k: String) => Option(p.durationMs.get(k)).map(_.longValue).getOrElse(-1L)
+        val stateBytes = so.map { s =>
+          val m = s.customMetrics
+          // small state lives in RocksDB's memtable (sst bytes 0 until a
+          // flush) — take the max over memory + sst views so the number
+          // is meaningful at every state size
+          (Seq("rocksdbSstFileSize", "rocksdbTotalMemoryUsageBytes",
+               "stateOnCurrentVersionSizeBytes")
+            .map(k => Option(m.get(k)).map(_.longValue).getOrElse(0L))
+            :+ s.memoryUsedBytes).max
+        }.getOrElse(0L)
+        Map(
+          "batch" -> p.batchId, "rows" -> p.numInputRows,
+          "totalMs" -> get("triggerExecution"), "addBatchMs" -> get("addBatch"),
+          "commitMs" -> so.map(_.commitTimeMs).getOrElse(-1L),
+          "updateMs" -> so.map(_.allUpdatesTimeMs).getOrElse(-1L),
+          "stateRows" -> so.map(_.numRowsTotal).getOrElse(-1L),
+          "stateBytes" -> stateBytes)
+      }
+      // per-row batch cost, first vs last quarter (batch 0 excluded):
+      // flat-cost proof for state growth across the replay
+      val steady = batches.drop(1)
+      def perRow(bs: Array[Map[String, Long]]): Double =
+        if (bs.isEmpty) 0.0
+        else bs.map(b => b("totalMs").toDouble / math.max(b("rows"), 1)).sum / bs.length
+      val quarter = math.max(steady.length / 4, 1)
+      val growth =
+        if (steady.length >= 4) perRow(steady.takeRight(quarter)) / math.max(perRow(steady.take(quarter)), 1e-9)
+        else 0.0
+      val rowsTotal = batches.map(_("rows")).sum
+      val batchesJson = batches.map(b => b.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")).mkString("[", ",", "]")
+      val line =
+        s"""{"query":"$name","sf":"$sfDir","chunks":$chunks,"rows_total":$rowsTotal,""" +
+        s""""wall_s":$wall,"rows_per_s":${(rowsTotal / wall).toLong},""" +
+        f""""growth_last_over_first":$growth%.3f,"batches":$batchesJson}"""
+      println(line)
+      java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    spark.stop()
+  }
+
+  /** Cut the events table into `chunks` contiguous time ranges, one file
+    * each, mtimes strictly increasing in range order: the file stream
+    * source (which orders by modification time) then replays the corpus
+    * in event-time order, one chunk per micro-batch — so watermarks
+    * advance monotonically, exactly like a live feed. One pass:
+    * repartitionByRange assigns range i to partition i, whose output
+    * file sorts i-th by name. */
+  private def stageChunks(s: SparkSession, sfDir: String, chunks: Int): String = {
+    val stage = Tbl.scratchDir("sb_stage")
+    val dir = Tbl.scratchDir("sb_replay")
+    Tbl.events(s, sfDir)
+      .repartitionByRange(chunks, col("ts"))
+      .write.mode("overwrite").parquet(stage)
+    val parts = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(parts.length == chunks, s"expected $chunks chunk files, got ${parts.length}")
+    val base = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dst = new java.io.File(dir, f"chunk_$i%04d.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      // mtime granularity is 1s on some filesystems: space by 2s
+      require(dst.setLastModified(base + i * 2000L), s"mtime set failed: $dst")
+    }
+    dir
+  }
+}

@@ -103,6 +103,10 @@ def main():
         if only and name not in only:
             continue
         if name in skip:
+            # record the skip IN results so the summary denominator shows
+            # it — a forgotten CHECK_SKIP in CI must not silently narrow
+            # the gate (the n/m count now carries a "k skipped" tail)
+            results[name] = "SKIPPED(CHECK_SKIP)"
             print(f"~ {name}  SKIPPED (CHECK_SKIP)", flush=True)
             continue
         t0 = time.time()
@@ -112,14 +116,17 @@ def main():
         print(f". {name}  {results[name][:120]}  [{time.time()-t0:.1f}s]",
               flush=True)
     width = max((len(n) for n in results), default=10)
-    npass = 0
+    npass = nskip = 0
     for n in sorted(results):
         r = results[n]
+        skipped = r.startswith("SKIPPED")
         ok = r == "PASS" or r.startswith("ROWS-ONLY")
         npass += ok
-        print(f"{'✓' if ok else '✗'} {n:<{width}}  {r}")
-    print(f"-- {npass}/{len(results)} ok")
-    sys.exit(0 if npass == len(results) else 1)
+        nskip += skipped
+        print(f"{'~' if skipped else '✓' if ok else '✗'} {n:<{width}}  {r}")
+    tail = f", {nskip} SKIPPED" if nskip else ""
+    print(f"-- {npass}/{len(results)} ok{tail}")
+    sys.exit(0 if npass + nskip == len(results) else 1)
 
 if __name__ == "__main__":
     main()

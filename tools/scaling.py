@@ -12,9 +12,10 @@ most healthy queries land well under it. Ratios meaningfully above 10
 are the superlinearity signal the scale gate exists to catch — each one
 must be named and either fixed or explained (see SURVEY.md round 7).
 
-Queries slower than FLOOR seconds at sf1 are exempt from the flag: a
-0.2 s -> 3 s move is scheduling noise on 32 cores, not a complexity
-signal.
+Queries whose SCALED time stays under FLOOR seconds are exempt from the
+flag: a 0.05 s -> 1 s move is scheduling noise on 32 cores, not a
+complexity signal. (A 0.2 s -> 3 s move IS flagged — 3 s at the scaled
+SF is real wall-clock, so a 15x ratio there deserves a look.)
 """
 import json, signal, sys
 
@@ -22,7 +23,7 @@ import json, signal, sys
 # consumed, not an error
 signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
-FLOOR = 2.0     # sf1 seconds below which ratios are noise
+FLOOR = 2.0     # scaled-line seconds below which ratios are noise
 FLAG = 12.0     # ratio above which we call it superlinear (10x data + margin)
 
 def main():
@@ -33,8 +34,16 @@ def main():
         if not line:
             continue
         d = json.loads(line)
-        by_sf[d.get("sf", "?")] = d  # latest line per sf wins
-    sfs = sorted(by_sf)
+        by_sf[str(d.get("sf", "?"))] = d  # latest line per sf wins
+    # sf values are dir-path strings; sort by trailing number when
+    # present so /tmp/graft_sf10 orders after /tmp/graft_sf1 (plain
+    # lexicographic would interleave, and mixed str/float keys from
+    # hand-edited lines would TypeError)
+    import re
+    def sf_key(s):
+        m = re.search(r"(\d+(?:\.\d+)?)\s*$", s.rstrip("/"))
+        return (float(m.group(1)) if m else float("inf"), s)
+    sfs = sorted(by_sf, key=sf_key)
     if len(sfs) < 2:
         sys.exit(f"need lines for 2 scale factors, have {sfs}")
     small, big = by_sf[sfs[-2]], by_sf[sfs[-1]]
@@ -53,7 +62,7 @@ def main():
             mark = "  <-- SUPERLINEAR?"
             flagged.append(q)
         print(f"{r:7.1f}x  {a:7.2f}s -> {b:8.2f}s  {q}{mark}")
-    print(f"\n{len(flagged)} flagged (ratio > {FLAG} and sf1 time >= {FLOOR}s): "
+    print(f"\n{len(flagged)} flagged (ratio > {FLAG} and scaled time >= {FLOOR}s): "
           f"{flagged or 'none'}")
 
 if __name__ == "__main__":
