@@ -91,9 +91,10 @@ object DedupOps extends QueryModule {
     * Non-overlapping windows of independent digest bits give 12
     * independent 20-bit hash functions from TWO md5 calls per shingle
     * instead of twelve (measured 2.5× on the whole query at sf0.1);
-    * lexicographic min over fixed-width lowercase hex is engine-portable. */
-  private def minhash(hxs: Column, h: Int): Column =
-    array_min(transform(hxs, x => substring(x, 1 + 5 * h, 5)))
+    * lexicographic min over fixed-width lowercase hex is engine-portable.
+    * The Spark side computes all 12 in one fused kernel pass
+    * ([[org.apache.spark.sql.graft.MinhashSigs]], parity-pinned in
+    * TextDigestsSpec); the oracle states the staged per-window form. */
   private def minhashSql(h: Int) =
     s"list_min(list_transform(hxs, x -> substr(x, ${1 + 5 * h}, 5)))"
 
@@ -109,16 +110,18 @@ object DedupOps extends QueryModule {
     val docs = withShingles(Tbl.documents(s, d))
       .select($"doc_id", $"sh")
       .persist()
-    // the 64-char digest is staged ONCE per shingle; the 12 window mins
-    // then only slice it. sigs persisted: both band-join sides use it.
-    // Native kernel, not transform(x -> concat(md5(x), md5('s:'||x))):
-    // the HOF evaluates its lambda interpreted per element — the digest
-    // loop is the query's hot stage, and the codegen'd kernel computes
-    // the identical bytes (oracle untouched)
-    val hxs = org.apache.spark.sql.graft.Md5PairDigests.of($"sh").as("hxs")
-    val sigs = docs.select($"doc_id", hxs)
+    // all 12 signatures in ONE fused kernel pass (MinhashSigs): the
+    // staged form (Md5PairDigests then 12 interpreted transform/
+    // array_min walks over the 64-char digest array) was 63% of the
+    // sf10 wall — 105.8 s of 167.7 s, Audit round 8; the fused kernel
+    // computes the digest into a reused buffer and keeps running
+    // 5-byte window mins, emitting bit-identical signatures (parity
+    // spec in TextDigestsSpec; oracle untouched). sigs persisted:
+    // both band-join sides use it.
+    val mhs = org.apache.spark.sql.graft.MinhashSigs.of($"sh", NumHashes).as("mhs")
+    val sigs = docs.select($"doc_id", mhs)
       .select(($"doc_id" +:
-        (0 until NumHashes).map(h => minhash($"hxs", h).as(s"mh_$h"))): _*)
+        (0 until NumHashes).map(h => element_at($"mhs", h + 1).as(s"mh_$h"))): _*)
       .persist()
     // explode_outer, not explode: InferFiltersFromGenerate would infer
     // size(...)>0 from an inner explode and push the ENTIRE generator
@@ -154,7 +157,14 @@ object DedupOps extends QueryModule {
     val withSets = pairs
       .join(docs.select($"doc_id".as("a"), $"sh".as("sha")), "a")
       .join(docs.select($"doc_id".as("b"), $"sh".as("shb")), "b")
-    val inter = size(filter($"sha", x => array_contains($"shb", x)))
+    // size(array_intersect), not filter+array_contains: the HOF form is
+    // an interpreted O(|a|·|b|) scan per candidate pair (~36 s of the
+    // sf10 wall over 1.08M pairs); ArrayIntersect is codegen'd with an
+    // O(|a|+|b|) hash build. Equal counts because shingle arrays are
+    // distinct by construction (Shingles3 dedups) — on a corpus with
+    // duplicate elements the two forms would differ, so the invariant
+    // lives here, next to the swap.
+    val inter = size(array_intersect($"sha", $"shb"))
     // integer-scaled floor ratio (see ngramJaccard): engine-identical
     withSets
       .select($"a", $"b", inter.as("i"),

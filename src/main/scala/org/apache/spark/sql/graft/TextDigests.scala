@@ -68,6 +68,65 @@ private[graft] object TextDigests {
     new GenericArrayData(out)
   }
 
+  /** Fused MinHash signature: for each hash h in [0, numHashes), the
+    * minimum over shingles of the 5-hex-char window [5h, 5h+5) of that
+    * shingle's 64-char double digest ([[md5PairAll]]) — i.e.
+    * `array_min(transform(md5_pair(sh), x -> substring(x, 5h+1, 5)))`
+    * for all h in ONE pass. The staged form allocates a 64-char
+    * UTF8String per shingle and then walks it 12 times through an
+    * INTERPRETED transform+array_min (HOFs never enter codegen) —
+    * measured as 63% of dd_minhash_lsh's sf10 wall (105.8 s of 167.7 s,
+    * Audit round 8). Here the digest lives in one reused 64-byte buffer
+    * and each window updates a running 5-byte min; byte-wise comparison
+    * over lowercase hex (ASCII < 0x80) is exactly UTF8String ordering,
+    * so the emitted signatures are bit-identical and every DuckDB
+    * oracle is untouched.
+    *
+    * Null parity with the HOF form: a null shingle's digest is null and
+    * `array_min` skips nulls — so null elements are skipped here, and a
+    * row with no non-null shingle yields all-null signatures. */
+  def minhashAll(arr: ArrayData, numHashes: Int): ArrayData = {
+    val md = md5ThreadLocal
+    val n = arr.numElements()
+    val digest = new Array[Byte](64)
+    val mins = new Array[Array[Byte]](numHashes)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val bytes = arr.getUTF8String(i).getBytes
+        md.reset(); md.update(bytes); hex(md.digest(), digest, 0)
+        md.reset(); md.update(SaltBytes); md.update(bytes); hex(md.digest(), digest, 32)
+        var h = 0
+        while (h < numHashes) {
+          val off = 5 * h
+          val cur = mins(h)
+          if (cur == null) {
+            val c = new Array[Byte](5)
+            System.arraycopy(digest, off, c, 0, 5)
+            mins(h) = c
+          } else {
+            var j = 0
+            var cmp = 0
+            while (j < 5 && cmp == 0) {
+              cmp = java.lang.Byte.compare(digest(off + j), cur(j))
+              j += 1
+            }
+            if (cmp < 0) System.arraycopy(digest, off, cur, 0, 5)
+          }
+          h += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](numHashes)
+    var h = 0
+    while (h < numHashes) {
+      if (mins(h) != null) out(h) = UTF8String.fromBytes(mins(h))
+      h += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val SpaceByte = ' '.toByte
 
   /** Rolling fixed-width span fingerprints: for each start i in
@@ -219,6 +278,33 @@ case class Md5PairDigests(child: Expression)
 object Md5PairDigests {
   def of(c: Column): Column =
     ExpressionUtils.column(Md5PairDigests(ExpressionUtils.expression(c)))
+}
+
+/** `minhash_sigs(sh, k)`: array<string> → array<string> of k 5-hex-char
+  * MinHash signatures in one fused pass. See [[TextDigests.minhashAll]]. */
+case class MinhashSigs(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numHashes >= 1 && numHashes * 5 <= 64,
+    s"numHashes must be in [1, 12] (5-hex windows of a 64-char digest), got $numHashes")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  // an element is null only when the row has no non-null shingle
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_sigs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextDigests.minhashAll(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"org.apache.spark.sql.graft.TextDigests.minhashAll($a, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
+    copy(child = newChild)
+}
+
+object MinhashSigs {
+  def of(c: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinhashSigs(ExpressionUtils.expression(c), numHashes))
 }
 
 /** `span_md5(words)`: array<string> → array<string> of md5 hex digests

@@ -29,6 +29,31 @@ class TextDigestsSpec extends SparkSpec {
     assert(df.where(size($"arr") > 4).count() > 0)
   }
 
+  test("MinhashSigs ≡ array_min over 5-hex windows of md5_pair, incl. empty and null-bearing arrays") {
+    // the fused kernel replaces: stage md5(x)||md5('s:'||x) per element,
+    // then for each h take array_min(transform(hxs, x -> substr(x, 5h+1, 5)))
+    // — the exact HOF arithmetic the DuckDB oracle still states
+    val k = 12
+    def hof(h: Int) = array_min(transform(
+      transform($"arr", x => concat(md5(x), md5(concat(lit("s:"), x)))),
+      x => substring(x, 1 + 5 * h, 5)))
+    val rnd = new scala.util.Random(29)
+    val withNulls = (0 until 40).map { i =>
+      val n = rnd.nextInt(10)
+      (i.toLong, (0 until n).map(j =>
+        if (rnd.nextInt(4) == 0) null
+        else rnd.alphanumeric.take(1 + rnd.nextInt(9)).mkString.toLowerCase))
+    }.toDF("id", "arr")
+    Seq(randomArrays(17), withNulls).foreach { base =>
+      val df = base
+        .withColumn("native", org.apache.spark.sql.graft.MinhashSigs.of($"arr", k))
+        .withColumn("hof", array((0 until k).map(hof): _*))
+      assert(df.where(not($"native" <=> $"hof")).count() == 0)
+      assert(df.where(size($"arr") === 0).count() > 0)
+    }
+    assert(withNulls.where(expr("exists(arr, x -> x is null)")).count() > 0)
+  }
+
   test("SpanMd5s ≡ rolling md5(concat_ws) HOF, incl. boundary lengths n<w, n=w") {
     val w = 3
     val df = randomArrays(13)
