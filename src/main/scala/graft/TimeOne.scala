@@ -11,6 +11,8 @@ object TimeOne {
   def main(args: Array[String]): Unit = {
     val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // memory-sink streams at sf10 outgrow the 1g default (see Verify)
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Tbl.sparkLocalDir)
     // experiment knob: SPARK_GRAFT_CONF="k=v;k2=v2" extra session confs

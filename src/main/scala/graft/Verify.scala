@@ -14,6 +14,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // streaming embodiments land in a memory sink before the parquet
+      // dump; at sf10 (10M events) a windowed agg's sink rows exceed the
+      // 1g default. Single-JVM local mode: "driver results" and executor
+      // memory are the same heap, so the cap is pure ceremony here — a
+      // cluster deployment sinks to files/kafka, never collect
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", graft.Tbl.sparkLocalDir)
       .getOrCreate()

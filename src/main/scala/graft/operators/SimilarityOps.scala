@@ -113,6 +113,22 @@ object SimilarityOps extends QueryModule {
         .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
     })
 
+  /** The k SMALLEST vec_ids as seeds, ascending. constVectors' id-VALUE
+    * predicate (`vec_id < k`) silently under-selects when the id space
+    * is sparse — the sf10 replication corpus offsets each copy's ids by
+    * 100000, so only copy-0's 2000 ids sit below a corpus-scaled
+    * k = 2048 (caught by the round-8 sf10 gate). Rank-based selection
+    * is scale-safe at any id layout; fine for small fixed n too, but
+    * the demo families (planes n = 8, IVF k = 16) keep constVectors so
+    * their oracles' literal `vec_id < n` stays the exact mirror. */
+  private def seedVectors(s: SparkSession, d: String, k: Int): Seq[(Int, Array[Float])] =
+    vecCache.getOrElseUpdate((embFingerprint(d) + "|seed", k), {
+      import s.implicits._
+      Tbl.embeddings(s, d).orderBy($"vec_id").limit(k)
+        .select($"vec_id".cast("int"), $"embedding")
+        .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
+    })
+
   /** Hyperplane-LSH bucket id: bit j = sign(v · plane_j), planes = the
     * first 8 corpus vectors (fixed, deterministic) as literal arrays. */
   private def bucketCol(planes: Seq[(Int, Array[Float])]): Column =
@@ -840,13 +856,12 @@ object SimilarityOps extends QueryModule {
     * the reduce side is k·64 rows regardless of corpus size. */
   private def lloydMeansK(s: SparkSession, d: String, k: Int): DataFrame = {
     import s.implicits._
-    val seeds = constVectors(s, d, k)
-    // the kernel emits positional indexes; the oracle emits seed
-    // vec_ids — identical only while the first k corpus vec_ids are
-    // exactly 0..k-1, so pin it
-    require(seeds.map(_._1) == (0 until k),
-      s"trained quantizer needs contiguous seed vec_ids 0..${k - 1}, " +
-      s"corpus supplied ${seeds.size} ids starting ${seeds.headOption.map(_._1)}")
+    // rank-based seeds: the kernel's positional argmax maps through
+    // centRelation's ascending `cids` to the actual seed vec_id, so no
+    // id-contiguity is required — the oracle mirrors with a
+    // row_number-ranked seeds CTE (same set, same ascending tiebreak)
+    val seeds = seedVectors(s, d, k)
+    require(seeds.nonEmpty, s"empty embeddings corpus at $d")
     assignedBy(Tbl.embeddings(s, d), centRelation(s, seeds))
       .select($"cell", posexplode($"embedding").as(Seq("dim", "x")))
       .groupBy($"cell", $"dim")
@@ -922,13 +937,19 @@ object SimilarityOps extends QueryModule {
        |  FROM generate_series(0, 20) t(s)
        |  WHERE (CAST(16 AS BIGINT) << s) * $SemTargetCell >=
        |        (SELECT count(*) FROM embeddings)),
+       |seeds AS (
+       |  -- the k SMALLEST vec_ids (rank-based, not vec_id < k: the ids
+       |  -- are sparse at replicated SFs — mirrors Scala seedVectors)
+       |  SELECT vec_id, embedding FROM (
+       |    SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn
+       |    FROM embeddings) s, nc WHERE s.rn <= nc.k),
        |assigned0 AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.vec_id AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cos6Sql(dotSql("e.embedding", "c.embedding"))} DESC,
        |                 c.vec_id) AS rka
-       |    FROM embeddings e, embeddings c, nc WHERE c.vec_id < nc.k)
+       |    FROM embeddings e, seeds c)
        |  WHERE rka = 1),
        |refined AS (
        |  SELECT cell, list(m ORDER BY dim) AS emb FROM (
