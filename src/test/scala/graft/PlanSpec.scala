@@ -278,14 +278,16 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // SemDeDup's pair generation must stay an equi-join on the quantizer
     // cell — a nested-loop fallback here is the n² scan the clustering
     // exists to avoid. The ONE permitted nested-loop shape is the 1-row
-    // broadcast centroid relation (cids/cmat attach — constant fan-out,
-    // the broadcast-codebook idiom), recognized by its LocalTableScan
-    // codebook side; corpus-vs-corpus sides are parquet scans, never that.
+    // broadcast pilot relation (pmat attach — constant fan-out, the
+    // broadcast-codebook idiom; the member-submatrix side is an equi
+    // HASH join on pidx, never nested-loop), recognized by its
+    // LocalTableScan codebook side; corpus-vs-corpus sides are parquet
+    // scans, never that.
     val p = executed(SparkEntry.queries("sim_semantic_dedup")(spark, d))
     def isCodebookAttach(j: org.apache.spark.sql.execution.SparkPlan): Boolean =
       collectWithSubqueries(j) {
         case l: org.apache.spark.sql.execution.LocalTableScanExec
-          if l.output.exists(_.name == "cmat") => l
+          if l.output.exists(n => n.name == "cmat" || n.name == "pmat") => l
       }.nonEmpty
     val nested = collectWithSubqueries(p) {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec
