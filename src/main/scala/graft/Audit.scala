@@ -40,17 +40,11 @@ object Audit {
           f"[profile] minhash TOTAL    ${(System.nanoTime() - t0) / 1e9}%7.1fs rows=$n")
 
       case "j9skew" =>
-        // the ed≤2 blocking relation: {0..2 deletions} of every
-        // 12-char fingerprint, keyed by xxhash64(variant) — rebuilt
-        // here exactly as editDistancePairsK(k=2) builds it
+        // the ed≤2 blocking relation, via the SAME builder the query
+        // runs (FuzzyJoinOps.deletionKeyed) — the audit measures the
+        // exact relation, immune to construction drift (round-8 ADVICE)
         val rel = graft.operators.FuzzyJoinOps.hexNames(spark, sfDir)
-        def del(col: String) =
-          s"array_distinct(transform(sequence(0, length($col)), " +
-          s"i -> concat(substring($col, 1, i), substring($col, i + 2, 1000))))"
-        val keyed = rel.select($"id", explode(expr(del("name"))).as("k"))
-          .select($"id", explode(expr(del("k"))).as("k"))
-          .select($"id", xxhash64($"k").as("kh"))
-          .distinct()
+        val keyed = graft.operators.FuzzyJoinOps.deletionKeyed(rel, 2)
         val buckets = keyed.groupBy($"kh").agg(count(lit(1)).as("sz")).persist()
         val stats = buckets.agg(
           count(lit(1)).as("n_buckets"), sum($"sz").as("n_rows"),

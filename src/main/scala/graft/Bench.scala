@@ -69,9 +69,12 @@ object Bench {
     // parse works again; the complete per-query map still ships in
     // BENCH_full_rNN.json / BENCH_local.json.
     val fullName = f"BENCH_full_r$round%02d.json"
+    // "top_queries", NOT "queries": the subset must not wear the full
+    // map's key — an unaware cross-round consumer would silently narrow
+    // from 154 to 12 entries instead of failing loudly (round-8 ADVICE)
     val topQs = results.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$topQs,"n_queries":${results.size},"sf":"$sfDir","runs_per_query":2,"stat":"min","round":$round,"sha":"$sha","full":"$fullName"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","top_queries":$topQs,"n_queries":${results.size},"sf":"$sfDir","runs_per_query":2,"stat":"min","round":$round,"sha":"$sha","full":"$fullName"}""")
     // ALSO land the line in a file: the driver's stdout harvester has
     // truncated the sbt tail before (BENCH_r04 kept 63/135 timings), and
     // per-query history is the regression signal — it must survive
