@@ -49,6 +49,16 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # large-SF oracle runs: bound DuckDB's footprint and let it spill
+    # instead of tripping the kernel OOM killer (an unbounded connect()
+    # defaults to 80% of RAM with no temp_directory, which at sf10
+    # killed the whole check run on a single heavy join oracle).
+    # CHECK_MEM=0 restores the unbounded default.
+    mem = os.environ.get("CHECK_MEM", "40GB")
+    if mem != "0":
+        os.makedirs("/tmp/duck_spill", exist_ok=True)
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
