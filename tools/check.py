@@ -59,6 +59,11 @@ def main():
         os.makedirs("/tmp/duck_spill", exist_ok=True)
         con.execute(f"SET memory_limit='{mem}'")
         con.execute("SET temp_directory='/tmp/duck_spill'")
+    # CHECK_THREADS caps DuckDB's parallelism so an oracle run can
+    # share the host with a live Spark gate (default: all cores)
+    thr = os.environ.get("CHECK_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
