@@ -174,6 +174,27 @@ object StreamBench {
                math.max(perRow(steady.take(quarter)), 1e-9))
         else None
       val growthJson = growth.map(g => f"$g%.3f").getOrElse("null")
+      // The mean-based ratio is snapshot-cadence-sensitive: RocksDB
+      // changelog snapshots fire every ~10 batches (commitMs spikes of
+      // 40-100 s cumulative on batches 9/19 of a 20-chunk replay), and
+      // with ~5 batches per quarter one spike landing in the last
+      // quarter but not the first inflates the ratio for EVERY layout
+      // (round-9 finding: bounded dedup_wm read 1.79 by mean, 1.1 by
+      // median on the same run). Median per-row cost is robust to the
+      // periodic snapshot batches while the full batch series above
+      // keeps the spikes visible; report both, judge on the median.
+      def perRowMed(bs: Array[Map[String, Long]]): Double =
+        if (bs.isEmpty) 0.0
+        else {
+          val xs = bs.map(b => b("totalMs").toDouble / math.max(b("rows"), 1)).sorted
+          xs(xs.length / 2)
+        }
+      val growthMed: Option[Double] =
+        if (steady.length >= 4)
+          Some(perRowMed(steady.takeRight(quarter)) /
+               math.max(perRowMed(steady.take(quarter)), 1e-9))
+        else None
+      val growthMedJson = growthMed.map(g => f"$g%.3f").getOrElse("null")
       // growth ≈ 1 means flat per-row cost. An unbounded-state layout
       // (dedup_nowm) drifting upward while stateRows grows 20× is
       // LOG-LIKE RocksDB degradation, expected and honest — its bounded
@@ -184,7 +205,8 @@ object StreamBench {
       val line =
         s"""{"query":"$name","sf":"$sfDir","chunks":$chunks,"rows_total":$rowsTotal,""" +
         s""""wall_s":$wall,"rows_per_s":${(rowsTotal / wall).toLong},""" +
-        s""""growth_last_over_first":$growthJson,"batches":$batchesJson}"""
+        s""""growth_last_over_first":$growthJson,""" +
+        s""""growth_median":$growthMedJson,"batches":$batchesJson}"""
       println(line)
       java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
