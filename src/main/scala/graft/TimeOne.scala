@@ -34,8 +34,11 @@ object TimeOne {
         (args.toSeq, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
           throw new IllegalArgumentException(
             "no sfDir argument and SPARK_GRAFT_SF_DIR unset")))
+    // SPARK_GRAFT_RUNS: run count per query (default 3) — sf100-class
+    // measurements at many minutes per run don't need best-of-3
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     for (name <- names) {
-      (1 to 3).foreach { i =>
+      (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         println(s"$name run$i ${(System.nanoTime() - t0) / 1e9}")
