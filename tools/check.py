@@ -56,9 +56,10 @@ def main():
     # CHECK_MEM=0 restores the unbounded default.
     mem = os.environ.get("CHECK_MEM", "40GB")
     if mem != "0":
-        os.makedirs("/tmp/duck_spill", exist_ok=True)
+        spill = os.environ.get("CHECK_SPILL", "/tmp/duck_spill")
+        os.makedirs(spill, exist_ok=True)
         con.execute(f"SET memory_limit='{mem}'")
-        con.execute("SET temp_directory='/tmp/duck_spill'")
+        con.execute(f"SET temp_directory='{spill}'")
     # CHECK_THREADS caps DuckDB's parallelism so an oracle run can
     # share the host with a live Spark gate (default: all cores)
     thr = os.environ.get("CHECK_THREADS")
