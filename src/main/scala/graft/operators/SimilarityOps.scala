@@ -465,9 +465,23 @@ object SimilarityOps extends QueryModule {
             $"l.vec_id" < $"r.vec_id")
       .select($"l.vec_id".as("a"), $"r.vec_id".as("b"))
       .distinct()
+    // Re-attach embeddings via BROADCAST when the corpus fits (≤ 4M
+    // vectors ≈ 1 GB): round-9's sf100p run showed the alternative —
+    // shuffling the candidate pairs with the first join's 256-byte
+    // embedding payload attached through the second join's exchange —
+    // spilling >80 GB at 2M vectors (a sign-bucket occupancy audit
+    // cleared the skew hypothesis: 83 candidate pairs/vector, max
+    // bucket 167; the payload exchange IS the mass). Broadcast keeps
+    // the only wide exchange at 16-byte id pairs. Beyond the broadcast
+    // ceiling a deployment re-attaches via the bucketed-join pattern
+    // (x_bucketed_join) instead of a driver-sized broadcast.
+    def side(c: String, e: String) = {
+      val rel = emb.select($"vec_id".as(c), $"embedding".as(e))
+      if (embCount(s, d) <= 4000000L) broadcast(rel) else rel
+    }
     cand
-      .join(emb.select($"vec_id".as("a"), $"embedding".as("ea")), "a")
-      .join(emb.select($"vec_id".as("b"), $"embedding".as("eb")), "b")
+      .join(side("a", "ea"), "a")
+      .join(side("b", "eb"), "b")
       .select($"a", $"b", cos6(dot($"ea", $"eb")).as("cosine"))
       .where($"cosine" >= NeardupMinCosine)
       .orderBy($"a", $"b")
