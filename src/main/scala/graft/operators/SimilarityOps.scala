@@ -446,45 +446,84 @@ object SimilarityOps extends QueryModule {
     * reaches 0.6) it is ≈31%, which the single 8-plane table of round 2
     * put at ≈1.6%. The threshold is a corpus property, not an engine
     * parameter; the banded structure is what ships to 100 TB. */
+  private val NeardupBroadcastCeiling = 4000000L // ~1 GB of 256 B embeddings
+
   private def embeddingNeardup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tbl.embeddings(s, d)
-    val rows = neardupRows(embCount(s, d))
-    // narrow signature relation (vec_id, band, bkt): the 8× explode
-    // carries 3 longs per row, never the 64-float embedding; persisted —
-    // both sides of the candidate self-join read it, and the 8r dot
-    // products per row are the expensive part of this plan
-    val sig = emb
-      .select($"vec_id",
-              posexplode(bandSignatures(
-                constVectors(s, d, NeardupBands * rows), rows)).as(Seq("band", "bkt")))
-      .persist()
-    val cand = sig.as("l")
-      .join(sig.as("r"),
-            $"l.band" === $"r.band" && $"l.bkt" === $"r.bkt" &&
-            $"l.vec_id" < $"r.vec_id")
-      .select($"l.vec_id".as("a"), $"r.vec_id".as("b"))
-      .distinct()
-    // Re-attach embeddings via BROADCAST when the corpus fits (≤ 4M
-    // vectors ≈ 1 GB): round-9's sf100p run showed the alternative —
-    // shuffling the candidate pairs with the first join's 256-byte
-    // embedding payload attached through the second join's exchange —
-    // spilling >80 GB at 2M vectors (a sign-bucket occupancy audit
-    // cleared the skew hypothesis: 83 candidate pairs/vector, max
-    // bucket 167; the payload exchange IS the mass). Broadcast keeps
-    // the only wide exchange at 16-byte id pairs. Beyond the broadcast
-    // ceiling a deployment re-attaches via the bucketed-join pattern
-    // (x_bucketed_join) instead of a driver-sized broadcast.
-    def side(c: String, e: String) = {
-      val rel = emb.select($"vec_id".as(c), $"embedding".as(e))
-      if (embCount(s, d) <= 4000000L) broadcast(rel) else rel
+    val n = embCount(s, d)
+    val rows = neardupRows(n)
+    val planes = constVectors(s, d, NeardupBands * rows)
+    // SPARK_GRAFT_EMB_NEARDUP ∈ {auto, broadcast, fused}: the knob exists
+    // so the beyond-ceiling path is MEASURABLE on corpora that fit the
+    // broadcast (sf100p is 2M vectors — under the ceiling, so without
+    // the knob the fallback could never be benchmarked before 4M).
+    // System property first (in-process spec override), env var next.
+    val fused = sys.props.get("graft.emb.neardup")
+        .orElse(sys.env.get("SPARK_GRAFT_EMB_NEARDUP")).getOrElse("auto") match {
+      case "fused"     => true
+      case "broadcast" => false
+      case _           => n > NeardupBroadcastCeiling
     }
-    cand
-      .join(side("a", "ea"), "a")
-      .join(side("b", "eb"), "b")
-      .select($"a", $"b", cos6(dot($"ea", $"eb")).as("cosine"))
-      .where($"cosine" >= NeardupMinCosine)
-      .orderBy($"a", $"b")
+    if (!fused) {
+      // narrow signature relation (vec_id, band, bkt): the 8× explode
+      // carries 3 longs per row, never the 64-float embedding; persisted —
+      // both sides of the candidate self-join read it, and the 8r dot
+      // products per row are the expensive part of this plan
+      val sig = emb
+        .select($"vec_id",
+                posexplode(bandSignatures(planes, rows)).as(Seq("band", "bkt")))
+        .persist()
+      val cand = sig.as("l")
+        .join(sig.as("r"),
+              $"l.band" === $"r.band" && $"l.bkt" === $"r.bkt" &&
+              $"l.vec_id" < $"r.vec_id")
+        .select($"l.vec_id".as("a"), $"r.vec_id".as("b"))
+        .distinct()
+      // Re-attach embeddings via ONE canonically-named broadcast relation
+      // aliased per side — identical subtrees, so ReuseExchange builds the
+      // ~n·256 B broadcast ONCE instead of twice (the round-9 shape
+      // broadcast two differently-aliased projections: 2× resident on the
+      // driver and every executor, a tight fit at the ceiling). The only
+      // wide exchange stays 16-byte id pairs.
+      val e = broadcast(emb.select($"vec_id", $"embedding"))
+      cand
+        .join(e.as("ea"), $"a" === $"ea.vec_id")
+        .join(e.as("eb"), $"b" === $"eb.vec_id")
+        .select($"a", $"b",
+                cos6(dot($"ea.embedding", $"eb.embedding")).as("cosine"))
+        .where($"cosine" >= NeardupMinCosine)
+        .orderBy($"a", $"b")
+    } else {
+      // BEYOND the broadcast ceiling: fuse verify into the bucket
+      // self-join — the embedding rides the SIGNATURE exchange
+      // (NeardupBands rows/vector × ~280 B ≈ 2.2 KB/vector, linear by
+      // construction) and the cosine is computed where the collision is
+      // found, so no exchange ever carries a per-PAIR payload. The
+      // round-9 sf100p fallback attached embeddings to candidate pairs
+      // instead: at occupancy-bound ~83 pairs/vector × 272 B ≈ 22 KB/
+      // vector through the second join's exchange — the >80 GB spill
+      // that killed the run. 10× less exchange mass here, and per-vector
+      // cost is a constant (2.2 KB) at ANY corpus size: 10⁹ vectors →
+      // 2.2 TB shuffled ≈ 2.2 GB/executor on a 1000-executor fleet.
+      // Price: a pair colliding in m>1 bands folds its dot product m
+      // times (≤8, 64 FLOPs each) before the distinct — compute noise
+      // next to the exchange it removes. Filter-then-distinct keeps the
+      // distinct's input at verified pairs only; same final set as
+      // distinct-then-verify because cos6 is deterministic per pair.
+      val sigE = emb
+        .select($"vec_id", $"embedding",
+                posexplode(bandSignatures(planes, rows)).as(Seq("band", "bkt")))
+      sigE.as("l")
+        .join(sigE.as("r"),
+              $"l.band" === $"r.band" && $"l.bkt" === $"r.bkt" &&
+              $"l.vec_id" < $"r.vec_id")
+        .select($"l.vec_id".as("a"), $"r.vec_id".as("b"),
+                cos6(dot($"l.embedding", $"r.embedding")).as("cosine"))
+        .where($"cosine" >= NeardupMinCosine)
+        .distinct()
+        .orderBy($"a", $"b")
+    }
   }
 
   private val embeddingNeardupSql =

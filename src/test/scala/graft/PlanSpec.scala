@@ -137,6 +137,38 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nested.isEmpty, s"near-dup pair join is not an equi-join:\n$p")
   }
 
+  test("embedding near-dup fused path: payload rides the signature exchange once," +
+       " never a per-pair exchange") {
+    // the beyond-broadcast-ceiling shape (round-9 sf100p OOM): no broadcast
+    // of the corpus, the embedding column crosses exactly ONE built shuffle
+    // (the (band,bkt) signature exchange; the self-join's other side must be
+    // a ReusedExchange of it), and every exchange ABOVE the verify join
+    // carries ids/cosine only — a pair-level payload exchange is the
+    // 22 KB/vector spill this path exists to prevent
+    sys.props("graft.emb.neardup") = "fused"
+    try withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val p = executed(SparkEntry.queries("sim_emb_neardup")(spark, d))
+      val nested = collectWithSubqueries(p) {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case j: BroadcastHashJoinExec => j
+      }
+      assert(nested.isEmpty, s"fused near-dup must not broadcast the corpus:\n$p")
+      val built = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
+      val carryingPayload = built.filter(
+        _.child.output.exists(_.name == "embedding"))
+      assert(carryingPayload.size == 1,
+        s"embedding payload must cross exactly one built exchange, " +
+        s"found ${carryingPayload.size}:\n$p")
+      val reused = collectWithSubqueries(p) {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }
+      assert(reused.nonEmpty,
+        s"self-join's second side must reuse the signature exchange:\n$p")
+    } finally sys.props.remove("graft.emb.neardup")
+  }
+
   test("repetition metrics are map-only: per-doc signals never shuffle") {
     // max-bigram-count = longest equal run in the sorted bigram array, a
     // per-row fold; a groupBy formulation here would shuffle every
@@ -287,7 +319,7 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     def isCodebookAttach(j: org.apache.spark.sql.execution.SparkPlan): Boolean =
       collectWithSubqueries(j) {
         case l: org.apache.spark.sql.execution.LocalTableScanExec
-          if l.output.exists(n => n.name == "cmat" || n.name == "pmat") => l
+          if l.output.exists(_.name == "pmat") => l
       }.nonEmpty
     val nested = collectWithSubqueries(p) {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec

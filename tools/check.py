@@ -53,8 +53,12 @@ def main():
     # instead of tripping the kernel OOM killer (an unbounded connect()
     # defaults to 80% of RAM with no temp_directory, which at sf10
     # killed the whole check run on a single heavy join oracle).
-    # CHECK_MEM=0 restores the unbounded default.
-    mem = os.environ.get("CHECK_MEM", "40GB")
+    # CHECK_MEM=0 restores the unbounded default. The default derives
+    # from detected RAM (min(40GB, 60%)) — a fixed 40GB on a <48GB host
+    # would be LOOSER than DuckDB's own 80%-of-RAM default and
+    # reintroduce the OOM kill this bound exists to prevent.
+    ram_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 1e9
+    mem = os.environ.get("CHECK_MEM", f"{min(40, int(ram_gb * 0.6))}GB")
     if mem != "0":
         spill = os.environ.get("CHECK_SPILL", "/tmp/duck_spill")
         os.makedirs(spill, exist_ok=True)

@@ -66,6 +66,7 @@ SCHEME = sys.argv[4] if len(sys.argv) > 4 else "perm"
 assert SCHEME in ("perm", "caesar"), SCHEME
 # key offsets are copy*1e6; the largest sf0.1 key is ~15000 and j8/j9's
 # mutant-id space starts at 1e9, so 1000 copies is the hard ceiling
+assert COPIES >= 1, "zero copies would stream no tables into write()"
 assert COPIES <= 1000, "copy offsets would cross the 1e9 mutant-id space"
 
 EPOCH_DAYS = 32  # > the 30-day event span: disjoint epochs
