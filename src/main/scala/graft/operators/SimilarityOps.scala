@@ -454,18 +454,23 @@ object SimilarityOps extends QueryModule {
     val n = embCount(s, d)
     val rows = neardupRows(n)
     val planes = constVectors(s, d, NeardupBands * rows)
-    // SPARK_GRAFT_EMB_NEARDUP ∈ {auto, broadcast, fused}: the knob exists
-    // so the beyond-ceiling path is MEASURABLE on corpora that fit the
-    // broadcast (sf100p is 2M vectors — under the ceiling, so without
-    // the knob the fallback could never be benchmarked before 4M).
-    // System property first (in-process spec override), env var next.
+    // SPARK_GRAFT_EMB_NEARDUP ∈ {auto, broadcast, fused}; auto = fused.
+    // The broadcast variant is retained knob-only for comparison runs —
+    // round-10 measurements had fused FASTER at every decade (sf0.1
+    // 0.8 vs 1.1 s, sf10p 2.4 vs 4.2 s, sf100p 19 vs 175 s warm): the
+    // broadcast path probes 83M+ candidate pairs against two ~550 MB
+    // hashed relations (random access), where fused streams sorted
+    // runs — and above the 4M-vector ceiling broadcast can't run at
+    // all. System property first (in-process spec override), env next.
     val fused = sys.props.get("graft.emb.neardup")
         .orElse(sys.env.get("SPARK_GRAFT_EMB_NEARDUP")).getOrElse("auto") match {
-      case "fused"     => true
       case "broadcast" => false
-      case _           => n > NeardupBroadcastCeiling
+      case _           => true
     }
     if (!fused) {
+      require(n <= NeardupBroadcastCeiling,
+        s"broadcast re-attach needs the corpus driver-resident: $n vectors " +
+        s"> $NeardupBroadcastCeiling ceiling — use the fused (default) path")
       // narrow signature relation (vec_id, band, bkt): the 8× explode
       // carries 3 longs per row, never the 64-float embedding; persisted —
       // both sides of the candidate self-join read it, and the 8r dot
@@ -495,17 +500,17 @@ object SimilarityOps extends QueryModule {
         .where($"cosine" >= NeardupMinCosine)
         .orderBy($"a", $"b")
     } else {
-      // BEYOND the broadcast ceiling: fuse verify into the bucket
-      // self-join — the embedding rides the SIGNATURE exchange
-      // (NeardupBands rows/vector × ~280 B ≈ 2.2 KB/vector, linear by
-      // construction) and the cosine is computed where the collision is
-      // found, so no exchange ever carries a per-PAIR payload. The
-      // round-9 sf100p fallback attached embeddings to candidate pairs
-      // instead: at occupancy-bound ~83 pairs/vector × 272 B ≈ 22 KB/
-      // vector through the second join's exchange — the >80 GB spill
-      // that killed the run. 10× less exchange mass here, and per-vector
-      // cost is a constant (2.2 KB) at ANY corpus size: 10⁹ vectors →
-      // 2.2 TB shuffled ≈ 2.2 GB/executor on a 1000-executor fleet.
+      // DEFAULT: fuse verify into the bucket self-join — the embedding
+      // rides the SIGNATURE exchange (NeardupBands rows/vector ×
+      // ~280 B ≈ 2.2 KB/vector, linear by construction) and the cosine
+      // is computed where the collision is found, so no exchange ever
+      // carries a per-PAIR payload. The round-9 sf100p fallback attached
+      // embeddings to candidate pairs instead: at occupancy-bound
+      // ~83 pairs/vector × 272 B ≈ 22 KB/vector through the second
+      // join's exchange — the >80 GB spill that killed the run. 10× less
+      // exchange mass here, and per-vector cost is a constant (2.2 KB)
+      // at ANY corpus size: 10⁹ vectors → 2.2 TB shuffled ≈ 2.2 GB/
+      // executor on a 1000-executor fleet.
       // Price: a pair colliding in m>1 bands folds its dot product m
       // times (≤8, 64 FLOPs each) before the distinct — compute noise
       // next to the exchange it removes. Filter-then-distinct keeps the
