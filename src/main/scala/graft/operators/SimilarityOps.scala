@@ -113,22 +113,6 @@ object SimilarityOps extends QueryModule {
         .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
     })
 
-  /** The k SMALLEST vec_ids as seeds, ascending. constVectors' id-VALUE
-    * predicate (`vec_id < k`) silently under-selects when the id space
-    * is sparse — the sf10 replication corpus offsets each copy's ids by
-    * 100000, so only copy-0's 2000 ids sit below a corpus-scaled
-    * k = 2048 (caught by the round-8 sf10 gate). Rank-based selection
-    * is scale-safe at any id layout; fine for small fixed n too, but
-    * the demo families (planes n = 8, IVF k = 16) keep constVectors so
-    * their oracles' literal `vec_id < n` stays the exact mirror. */
-  private def seedVectors(s: SparkSession, d: String, k: Int): Seq[(Int, Array[Float])] =
-    vecCache.getOrElseUpdate((embFingerprint(d) + "|seed", k), {
-      import s.implicits._
-      Tbl.embeddings(s, d).orderBy($"vec_id").limit(k)
-        .select($"vec_id".cast("int"), $"embedding")
-        .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
-    })
-
   /** Hyperplane-LSH bucket id: bit j = sign(v · plane_j), planes = the
     * first 8 corpus vectors (fixed, deterministic) as literal arrays. */
   private def bucketCol(planes: Seq[(Int, Array[Float])]): Column =
@@ -889,35 +873,14 @@ object SimilarityOps extends QueryModule {
     g
   }
 
-  /** Driver-side replica of [[org.apache.spark.sql.graft.NearestCellFloat]]'s
-    * argmax — same float→double products, same ascending-index fold,
-    * same floor(acc·10⁶) strict-> compare (ties → smallest index) — used
-    * to group k centroids under g pilots on the driver. k·g·64 FLOPs on
-    * k ≤ 2²⁰ collected centroids: an index-build step, not a data scan. */
-  private def nearestIdx(v: Array[Float], cents: IndexedSeq[Array[Float]]): Int = {
-    var best = 0
-    var bestVal = Double.NegativeInfinity
-    var c = 0
-    while (c < cents.length) {
-      val cv = cents(c)
-      var acc = 0.0
-      var i = 0
-      while (i < v.length) { acc += cv(i).toDouble * v(i).toDouble; i += 1 }
-      val t = math.floor(acc * 1000000.0)
-      if (t > bestVal) { bestVal = t; best = c }
-      c += 1
-    }
-    best
-  }
-
-  /** Two-level (hierarchical) codebook for a centroid list, as TWO
+  /** Two-level (hierarchical) codebook for a centroid RELATION, as TWO
     * broadcast relations — the scale form of the literal centroid
     * matrix (past k ≈ 1k a typedLit matrix bloats every plan string;
     * a broadcast relation ships once per executor and the plan stays
     * constant-size):
     *
     *  - `pilotRel` (1 row, `pmat`): the first g = [[pow2Sqrt]](k)
-    *    centroids flattened — the coarse router.
+    *    centroids (rank ascending) flattened — the coarse router.
     *  - `memberRel` (g rows, `(pidx, mcids, mmat)`): each pilot's
     *    member centroids, cell ids ascending, so the kernel's
     *    positional argmax (ties → smallest index) lands on the
@@ -925,29 +888,71 @@ object SimilarityOps extends QueryModule {
     *
     * Grouping: pilot centroids anchor their own group (so no group a
     * router can pick is ever empty); every other centroid joins its
-    * nearest pilot under [[nearestIdx]] — the exact kernel order, so
-    * the oracle's seed/centroid-grouping CTEs mirror it verbatim.
+    * nearest pilot. The grouping runs AS A SPARK JOB over the k-row
+    * centroid relation — it is itself a nearest-centroid assignment,
+    * so it reuses the exact [[NearestCellFloat]] kernel the corpus
+    * scan uses (same float→double products, same ascending-index
+    * argmax, ties → smallest index), which is what keeps the oracle's
+    * seed/centroid-grouping CTEs a verbatim mirror. Round 9 ran this
+    * grouping as a single-threaded driver loop over COLLECTED
+    * centroids (k·g·64 FLOPs + a k·64-value collect — at the 16·2²⁰
+    * k cap a multi-GB collect and ~10¹⁰ driver FLOPs, the last
+    * driver-side ceiling in the similarity lineage); now the only
+    * value that ever reaches the driver is the k-row COUNT, a
+    * planning probe. `centRel` must carry (cid, embedding, rank)
+    * with rank = row_number ascending by cid.
     * Group population is k/g expected; the Lloyd-trained centroids are
     * spread, so the tail stays mild (measured, not assumed — see the
     * round-9 sf10 gate). */
-  private def hierCodebook(s: SparkSession, cents: Seq[(Int, Array[Float])])
+  private def hierCodebookRel(centRel: DataFrame,
+                              knownCount: Option[Long] = None)
       : (DataFrame, DataFrame) = {
-    import s.implicits._
-    val cv = cents.toIndexedSeq
-    val g = pow2Sqrt(cv.length)
-    val pilotVecs = cv.take(g).map(_._2)
-    val groupOf: IndexedSeq[Int] =
-      cv.indices.map(p => if (p < g) p else nearestIdx(cv(p)._2, pilotVecs))
-    val pilotRel = Seq(Tuple1(pilotVecs.toArray.flatten)).toDF("pmat")
-    val memberRel = cv.indices.groupBy(groupOf).toSeq.sortBy(_._1)
-      .map { case (pidx, members) =>
-        val ms = members.sorted
-        (pidx.toLong,
-         ms.map(i => cv(i)._1.toLong).toArray,
-         ms.toArray.flatMap(i => cv(i)._2))
-      }.toDF("pidx", "mcids", "mmat")
+    import org.apache.spark.sql.graft.NearestCellFloat.nearestCell
+    // knownCount skips the k-row count job where the caller can derive
+    // it (the seed relation is top-k: count = min(k, corpus)); the
+    // trained relation's survivor count is data-dependent and must run
+    val g = pow2Sqrt(knownCount.getOrElse(centRel.count()).toInt)
+    // rank-ordered flatten: array_sort on struct(rank, …) compares rank
+    // first and ranks are unique, so the embedding field never orders
+    val pilotRel = centRel.where(col("rank") <= g)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("rank"), col("embedding")))),
+        x => x("embedding"))).as("pmat"))
+    val grouped = centRel.crossJoin(broadcast(pilotRel))
+      .select(col("cid"), col("embedding"),
+              when(col("rank") <= g, col("rank") - 1)
+                .otherwise(nearestCell(col("embedding"), col("pmat")))
+                .cast("long").as("pidx"))
+    val memberRel = grouped
+      .groupBy(col("pidx"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("embedding"))))
+             .as("ms"))
+      .select(col("pidx"),
+              transform(col("ms"), x => x("cid")).as("mcids"),
+              flatten(transform(col("ms"), x => x("embedding"))).as("mmat"))
     (pilotRel, memberRel)
   }
+
+  /** Memoized, lineage-CUT codebook per (corpus, k, stage, session):
+    * the two relations are eagerly `localCheckpoint`ed — 1 + g rows
+    * materialized as EXECUTOR-held RDD blocks (never the driver), so
+    * repeat query constructions and post-`clearCache` executions reuse
+    * the built codebook instead of re-running the seed scan / Lloyd
+    * train (the round-9 driver-Seq memo's behavior, kept distributed).
+    * `stage` separates the seed codebook from the trained one at the
+    * same k. */
+  private val codebookCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, String, Int), (DataFrame, DataFrame)]
+
+  private def codebookFor(s: SparkSession, d: String, k: Int, stage: String,
+                          centRel: => DataFrame,
+                          knownCount: Option[Long] = None)
+      : (DataFrame, DataFrame) =
+    codebookCache.getOrElseUpdate(
+      (embFingerprint(d), k, stage, System.identityHashCode(s)), {
+        val (p, m) = hierCodebookRel(centRel, knownCount)
+        (p.localCheckpoint(), m.localCheckpoint())
+      })
 
   /** Hierarchical nearest-centroid assignment: a 1-row
     * BroadcastNestedLoopJoin attaches the g-pilot matrix to every
@@ -977,50 +982,70 @@ object SimilarityOps extends QueryModule {
                 .as("cell"))
   }
 
+  /** The k smallest vec_ids AS A RELATION (cid = vec_id, embedding,
+    * rank ascending) — relational seedVectors: the top-k runs
+    * distributed (per-partition LocalLimit, then one k-row merge) and
+    * no seed vector ever reaches the driver. The rank window is
+    * single-partition BY DESIGN: it orders k rows (the codebook, not
+    * the corpus) — k·264 B ≈ 4 GB on one task at the 16·2²⁰ cap,
+    * executor-sized where the round-9 driver collect was not.
+    * Persisted: the codebook build reads it thrice (count probe,
+    * pilot agg, grouping scan). */
+  private def seedRel(s: SparkSession, d: String, k: Int): DataFrame = {
+    import s.implicits._
+    Tbl.embeddings(s, d).orderBy($"vec_id").limit(k)
+      .select($"vec_id".as("cid"), $"embedding")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"cid")))
+      .persist()
+  }
+
   /** One Lloyd step at parametric k: assign every vector to its nearest
     * of the first-k seed vectors, then per-(cell, dim) micro-unit mean —
     * `kmeansRefine` generalized from the fixed demo k=16 to the
     * corpus-scaled k the trained semantic-dedup quantizer needs. Means
     * are exact integer sums ÷ counts (order-free, engine-identical);
-    * the reduce side is k·64 rows regardless of corpus size. */
+    * the reduce side is k·64 rows regardless of corpus size.
+    * Rank-based seeds: the kernel's positional argmax maps through
+    * mcids' ascending cell ids to the actual seed vec_id, so no
+    * id-contiguity is required — the oracle mirrors with a
+    * row_number-ranked seeds CTE (same set, same ascending tiebreak). */
   private def lloydMeansK(s: SparkSession, d: String, k: Int): DataFrame = {
     import s.implicits._
-    // rank-based seeds: the kernel's positional argmax maps through
-    // centRelation's ascending `cids` to the actual seed vec_id, so no
-    // id-contiguity is required — the oracle mirrors with a
-    // row_number-ranked seeds CTE (same set, same ascending tiebreak)
-    val seeds = seedVectors(s, d, k)
-    require(seeds.nonEmpty, s"empty embeddings corpus at $d")
-    hierAssignedBy(Tbl.embeddings(s, d), hierCodebook(s, seeds))
+    require(embCount(s, d) > 0, s"empty embeddings corpus at $d")
+    hierAssignedBy(Tbl.embeddings(s, d),
+                   codebookFor(s, d, k, "seed", seedRel(s, d, k),
+                               Some(math.min(k.toLong, embCount(s, d)))))
       .select($"cell", posexplode($"embedding").as(Seq("dim", "x")))
       .groupBy($"cell", $"dim")
       .agg(expr("sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))" +
                 " div count(*)").as("mean_e6"))
   }
 
-  /** Trained (1-Lloyd-step) centroids at parametric k, collected once
-    * per (corpus, k): k·64 micro-unit longs — the constant-sized
-    * driver step of the index build (512 KB at k=2048). Seed cells
-    * that attract no member vanish here; the survivors keep their seed
-    * cell id, ascending. Float conversion long/10⁶ → double → float is
-    * deterministic IEEE on both engines (proven by `sim_ivf_trained`). */
-  private val trainedCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Int, Array[Float])]]
-
-  private def trainedCentroids(s: SparkSession, d: String, k: Int): Seq[(Int, Array[Float])] =
-    trainedCache.getOrElseUpdate((embFingerprint(d), k), {
+  /** Trained (1-Lloyd-step) centroid RELATION at parametric k
+    * (persisted; built once per corpus/k — [[codebookFor]] memoizes
+    * the checkpointed codebook above this): k rows of
+    * (cid = surviving seed cell id, embedding, rank ascending by cid) —
+    * the codebook never leaves the executors (round 9 collected k·64
+    * micro-unit longs to the driver here). Seed cells that attract no
+    * member vanish; survivors keep their seed cell id. Float conversion
+    * long/10⁶ → double → float is deterministic IEEE on both engines
+    * (proven by `sim_ivf_trained`). The rank window is single-partition
+    * over k codebook rows — executor-sized at any measured k (see
+    * [[seedRel]]). */
+  private def trainedCentRel(s: SparkSession, d: String, k: Int): DataFrame = {
       import s.implicits._
       lloydMeansK(s, d, k)
-        .select($"cell".cast("int"), $"dim".cast("int"), $"mean_e6")
-        .as[(Int, Int, Long)].collect().toSeq
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (c, rows) =>
-          val arr = new Array[Float](64)
-          rows.foreach { case (_, dim, m) =>
-            arr(dim) = (m.toDouble / 1000000.0).toFloat }
-          (c, arr)
-        }
-    })
+        .groupBy($"cell")
+        .agg(array_sort(collect_list(struct($"dim", $"mean_e6"))).as("ds"))
+        .select($"cell".as("cid"),
+                transform($"ds", x =>
+                  (x("mean_e6").cast("double") / 1000000.0).cast("float"))
+                  .as("embedding"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"cid")))
+        .persist()
+  }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023) over a
     * TRAINED coarse quantizer: seed with the first k corpus vectors,
@@ -1047,9 +1072,8 @@ object SimilarityOps extends QueryModule {
   private def semanticDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = semCells(embCount(s, d))
-    val cents = trainedCentroids(s, d, k)
-    val assigned =
-      hierAssignedBy(Tbl.embeddings(s, d), hierCodebook(s, cents)).persist()
+    val assigned = hierAssignedBy(Tbl.embeddings(s, d),
+      codebookFor(s, d, k, "trained", trainedCentRel(s, d, k))).persist()
     val dups = assigned.as("l")
       .join(assigned.as("r"),
             $"l.cell" === $"r.cell" && $"l.vec_id" < $"r.vec_id")
@@ -1071,7 +1095,7 @@ object SimilarityOps extends QueryModule {
        |        (SELECT count(*) FROM embeddings)),
        |seeds AS (
        |  -- the k SMALLEST vec_ids (rank-based, not vec_id < k: the ids
-       |  -- are sparse at replicated SFs — mirrors Scala seedVectors);
+       |  -- are sparse at replicated SFs — mirrors Scala seedRel);
        |  -- rn kept: it orders pilots and anchors the grouping CASE
        |  SELECT vec_id, embedding, rn FROM (
        |    SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn

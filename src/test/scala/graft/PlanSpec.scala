@@ -312,14 +312,14 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // exists to avoid. The ONE permitted nested-loop shape is the 1-row
     // broadcast pilot relation (pmat attach — constant fan-out, the
     // broadcast-codebook idiom; the member-submatrix side is an equi
-    // HASH join on pidx, never nested-loop), recognized by its
-    // LocalTableScan codebook side; corpus-vs-corpus sides are parquet
-    // scans, never that.
+    // HASH join on pidx, never nested-loop), recognized by the pmat
+    // attribute the codebook side outputs (since round 10 the codebook
+    // is a COMPUTED relation, not a driver-built LocalTableScan);
+    // corpus-vs-corpus joins never carry pmat.
     val p = executed(SparkEntry.queries("sim_semantic_dedup")(spark, d))
     def isCodebookAttach(j: org.apache.spark.sql.execution.SparkPlan): Boolean =
       collectWithSubqueries(j) {
-        case l: org.apache.spark.sql.execution.LocalTableScanExec
-          if l.output.exists(_.name == "pmat") => l
+        case n if n.output.exists(_.name == "pmat") => n
       }.nonEmpty
     val nested = collectWithSubqueries(p) {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec
@@ -329,6 +329,21 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
            !isCodebookAttach(j) => j
     }
     assert(nested.isEmpty, s"semantic-dedup pair join is not an equi-join:\n$p")
+  }
+
+  test("semantic-dedup codebook is distributed: no driver-materialized relation") {
+    // the trained codebook (k rows, k ∝ n/128) must enter the plan as a
+    // COMPUTED relation — a LocalTableScan outputting pmat/mmat/mcids
+    // means someone collected the codebook to the driver again (the
+    // round-9 shape: a multi-GB collect + ~10¹⁰ single-threaded FLOPs
+    // at the 16·2²⁰ k cap)
+    val p = executed(SparkEntry.queries("sim_semantic_dedup")(spark, d))
+    val driverBuilt = collectWithSubqueries(p) {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec
+        if l.output.exists(a => Set("pmat", "mmat", "mcids")(a.name)) => l
+    }
+    assert(driverBuilt.isEmpty,
+      s"codebook was collected to the driver and re-shipped:\n$p")
   }
 
   test("range search: corpus scans once, only the output sort shuffles") {
