@@ -52,6 +52,12 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "20").toInt
+    // comma-separated layout filter for big replays (100M-row runs pay
+    // ~10 min/layout; the third-decade evidence only needs the bounded
+    // watermark layouts) — empty/unset = all layouts
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_STREAM_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -126,6 +132,8 @@ object StreamBench {
     val outPath = java.nio.file.Paths.get(f"STREAMBENCH_r$round%02d.json")
 
     queries.foreach { case (name, mode, mk) =>
+      if (only.nonEmpty && !only(name)) ()
+      else {
       val ckpt = Tbl.scratchDir(s"sb_$name")
       val t0 = System.nanoTime()
       val q = mk().writeStream.format("noop")
@@ -211,6 +219,7 @@ object StreamBench {
       java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+      }
     }
     spark.stop()
   }
