@@ -2,8 +2,10 @@ package graft.streaming
 
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
+import java.time.Duration
+
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{GroupState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Keyed cross-batch state done right (SURVEY.md §7.4.4): the reference
   * keeps "last 3 positions per vessel" in a driver-resident global temp
@@ -119,4 +121,139 @@ object StatefulOps {
       out.iterator
     }
   }
+
+  /** HALF_UP cents of a double value (Tbl.cents / oracle round()). */
+  private def cents(v: Double): Long =
+    JBigDecimal.valueOf(v * 100).setScale(0, RoundingMode.HALF_UP).longValue()
+
+  /** [[Ev]] plus the raw event-time column: TimeMode.EventTime reads
+    * the watermark off the input plan, so the `ts` the watermark is
+    * declared on must survive the projection into the typed stream. */
+  final case class TEv(event_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+                       user_id: Long, value: Double)
+
+  /** Open session per key: [start_us, last_us] bounds, row count, exact
+    * cents sum — the state [[TimerSessions]] closes by gap or timer. */
+  final case class Sess(start_us: Long, last_us: Long, n: Long, sum_c: Long)
+
+  /** One closed session (emitted inline on a gap, or by the event-time
+    * timer once the watermark passes last_us + gap). */
+  final case class SessRow(user_id: Long, start_us: Long, end_us: Long,
+                           n: Long, sum_c: Long)
+
+  /** Event-time-TIMER sessionization (30-minute inactivity gap): the
+    * arbitrary-state twin of `session_window` (s10), built on the
+    * transformWithState timer API instead of the built-in operator —
+    * the shape a pipeline needs when session CLOSE must run custom
+    * logic (emit-once alerts, state handoff) rather than an aggregate.
+    *
+    *  - Within a batch, a key's rows fold in (ts, event_id) order; a
+    *    gap > 30 min closes the open session INLINE (emitted
+    *    immediately — no timer latency for sessions interior to the
+    *    data).
+    *  - The final open session per key closes by TIMER: each batch
+    *    re-registers a single event-time timer at last_us + gap (+1 s
+    *    of µs→ms slack; delayed firing never changes the emitted
+    *    session, only when it surfaces). When the watermark passes it,
+    *    handleExpiredTimer emits the session and clears state — O(1)
+    *    state per key at any stream length, the eviction contract a
+    *    100 TB deployment needs.
+    *  - Slack safety: a row arriving between last_us + gap and the
+    *    delayed expiry starts a NEW session inline (the gap comparator
+    *    is authoritative, the timer only flushes), so output is
+    *    batch-equal regardless of when timers fire.
+    *
+    * Determinism: the replay's sentinel row advances the watermark past
+    * every real event, so the terminal no-data batch fires all pending
+    * timers — output = exact batch gaps-and-islands sessionization
+    * (the oracle), independent of chunking. */
+  final class TimerSessions(gapUs: Long)
+      extends StatefulProcessor[Long, TEv, SessRow] {
+    @transient private var state: ValueState[Sess] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Sess](
+        "sess", Encoders.product[Sess], TTLConfig.NONE)
+
+    private def timerMsFor(lastUs: Long): Long = (lastUs + gapUs) / 1000 + 1000
+
+    override def handleInputRows(key: Long, rows: Iterator[TEv],
+                                 timers: TimerValues): Iterator[SessRow] = {
+      val out = List.newBuilder[SessRow]
+      var open = Option(state.get())
+      rows.toList.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        open match {
+          case Some(s) if e.ts_us - s.last_us > gapUs =>
+            out += SessRow(key, s.start_us, s.last_us, s.n, s.sum_c)
+            open = Some(Sess(e.ts_us, e.ts_us, 1L, cents(e.value)))
+          case Some(s) =>
+            open = Some(Sess(s.start_us, e.ts_us, s.n + 1, s.sum_c + cents(e.value)))
+          case None =>
+            open = Some(Sess(e.ts_us, e.ts_us, 1L, cents(e.value)))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        // one live timer per key: drop stale registrations from earlier
+        // batches, then arm for the refreshed open session
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(timerMsFor(s.last_us))
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[SessRow] =
+      Option(state.get()) match {
+        // guard on the CURRENT session's expiry: a stale timer (armed by
+        // an earlier batch, watermark passed both it and the refreshed
+        // one in one jump) must not close a session whose own timer is
+        // still in the future
+        case Some(s) if expired.getExpiryTimeInMs >= timerMsFor(s.last_us) =>
+          state.clear()
+          Iterator.single(SessRow(key, s.start_us, s.last_us, s.n, s.sum_c))
+        case _ => Iterator.empty
+      }
+  }
+
+  /** Per-user profile row: distinct event types seen, total events. */
+  final case class Profile(user_id: Long, n_types: Long, n_events: Long)
+
+  /** MapState + state-TTL embodiment: per-user `event_type → count` map,
+    * emitting the refreshed (distinct-type, total) profile each batch.
+    * TTL is PROCESSING-time (the only mode Spark supports for TTL):
+    * entries idle past `ttl` vanish on read — the state-bounding
+    * contract for slow-churn keys a 100 TB profile store needs (keys
+    * that stop arriving cost nothing forever after one TTL). The
+    * oracled embodiment runs with a 6 h TTL so nothing expires inside a
+    * bounded replay (output = exact batch GROUP BY, the oracle);
+    * the eviction semantics themselves are pinned by a spec that runs
+    * two batches around a sleep > TTL and watches the counts reset. */
+  final class TtlTypeProfile(ttl: Duration)
+      extends StatefulProcessor[Long, EvType, Profile] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[EvType],
+                                 timers: TimerValues): Iterator[Profile] = {
+      rows.foreach { e =>
+        // containsKey, not a null probe: V is a primitive Long in the
+        // Scala signature, so a missing key's null would unbox
+        val prev =
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else 0L
+        counts.updateValue(e.event_type, prev + 1L)
+      }
+      var types = 0L
+      var total = 0L
+      counts.iterator().foreach { kv => types += 1; total += kv._2 }
+      Iterator.single(Profile(key, types, total))
+    }
+  }
+
+  /** Typed row for [[TtlTypeProfile]]. */
+  final case class EvType(user_id: Long, event_type: String)
 }

@@ -597,6 +597,84 @@ object StreamingOps extends QueryModule {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, ts_us, event_id""".stripMargin
 
+  /** s23: event-time TIMER sessionization via transformWithState — the
+    * arbitrary-state twin of s10's `session_window`, closing idle
+    * sessions with registered timers instead of the built-in operator
+    * (see [[StatefulOps.TimerSessions]] for the inline-vs-timer close
+    * contract and why delayed firing never changes output). The replay
+    * sentinel advances the watermark past every real event so the
+    * terminal no-data batch flushes all open sessions; output therefore
+    * equals the batch gaps-and-islands sessionization at a 30-min gap. */
+  private def streamTimerSession(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) { streamTimerSessionInner(s, d) }
+
+  private def streamTimerSessionInner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import StatefulOps._
+    val typed = eventStream(s, d, Seq("view"))
+      .withWatermark("ts", "0 seconds")
+      // ts stays in the projection: the EventTime mode reads the
+      // watermark off the input plan, and projecting the event-time
+      // column away would drop it
+      .select($"event_id", $"ts", unix_micros($"ts").as("ts_us"),
+              $"user_id", $"value")
+      .as[TEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessions(1800000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+    runToTable(s, typed.toDF(), "s_timer_session", OutputMode.Append(),
+               flushFinal = true)
+      .where($"user_id" >= 0) // sentinel key out
+      .select($"user_id", $"start_us", $"end_us", $"n",
+              round($"sum_c" / 100.0, 2).as("sum_value"))
+      .orderBy($"user_id", $"start_us")
+  }
+
+  private val timerSessionSql =
+    """WITH ordered AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |islands AS (
+      |  SELECT user_id, ts_us, value,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                        ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM ordered)
+      |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |       count(*) AS n,
+      |       round(sum(CAST(round(value*100) AS BIGINT)) / 100.0, 2) AS sum_value
+      |FROM islands GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
+  /** s24: MapState + state-TTL per-user type profile (see
+    * [[StatefulOps.TtlTypeProfile]]). The 6 h TTL never fires inside a
+    * bounded replay, so the oracled output is the exact batch GROUP BY;
+    * the eviction semantics are pinned separately by a sleep-based
+    * spec. Update mode + single batch ⇒ one final row per user. */
+  private def streamTtlProfile(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) { streamTtlProfileInner(s, d) }
+
+  private def streamTtlProfileInner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import StatefulOps._
+    val typed = eventStream(s, d)
+      .select($"user_id", $"event_type")
+      .as[EvType]
+      .groupByKey(_.user_id)
+      .transformWithState(new TtlTypeProfile(java.time.Duration.ofHours(6)),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+    runToTable(s, typed.toDF(), "s_ttl_profile", OutputMode.Update())
+      .select($"user_id", $"n_types", $"n_events")
+      .orderBy($"user_id")
+  }
+
+  private val ttlProfileSql =
+    """SELECT user_id, count(DISTINCT event_type) AS n_types,
+      |       count(*) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Stream-stream interval join: clicks ⋈ purchases per user where the
     * purchase lands within 10 minutes after the click. Watermarks on
     * BOTH sides bound the join state — at 100 TB/day this is what keeps
@@ -1137,7 +1215,9 @@ object StreamingOps extends QueryModule {
     "s17_stream_pipecsv_sink" -> (streamPipeCsvSink _),
     "s18_stream_semi_join"  -> (streamSemiJoin _),
     "s13_stream_curation"   -> (streamCuration _),
-    "s14_stream_dedup_wm"   -> (streamDedupWm _))
+    "s14_stream_dedup_wm"   -> (streamDedupWm _),
+    "s23_stream_timer_session" -> (streamTimerSession _),
+    "s24_stream_ttl_profile" -> (streamTtlProfile _))
 
   override val oracles: Map[String, String] = Map(
     "s19_stream_anti_join"  -> streamAntiJoinSql,
@@ -1162,5 +1242,7 @@ object StreamingOps extends QueryModule {
     "s17_stream_pipecsv_sink" -> streamPipeCsvSinkSql,
     "s18_stream_semi_join"  -> streamSemiJoinSql,
     "s13_stream_curation"   -> streamCurationSql,
-    "s14_stream_dedup_wm"   -> dedupWmSql)
+    "s14_stream_dedup_wm"   -> dedupWmSql,
+    "s23_stream_timer_session" -> timerSessionSql,
+    "s24_stream_ttl_profile" -> ttlProfileSql)
 }
