@@ -274,6 +274,46 @@ object AisOps extends QueryModule {
       |                    '%Y-%m-%d %H:%M:%SZ')) AS parsed_us
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** P10: Avro BINARY envelope — the schema'd wire format beside P2/P7's
+    * JSON (see [[org.apache.spark.sql.graft.AvroEnvelope]]). Encode each
+    * event into the fixed Avro record, decode it back, and emit the
+    * decoded fields PLUS the serialized byte length. The roundtrip pins
+    * decode∘encode = id; the length column is recomputed by the oracle
+    * from the Avro spec's own arithmetic (zigzag varint widths +
+    * varint-length string + 8-byte double) — a cross-engine check of
+    * the wire encoding itself. Both expressions are codegen'd scalar
+    * calls: per-row byte twiddling, no shuffle beyond the output sort. */
+  private def avroEnvelopeRt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graft.AvroEnvelope.{avroEnvelope, fromAvroEnvelope}
+    Tbl.events(s, d)
+      .select(avroEnvelope($"event_id", unix_micros($"ts"), $"user_id",
+                           $"event_type", $"value").as("env"))
+      .select(fromAvroEnvelope($"env").as("e"),
+              length($"env").cast("long").as("env_bytes"))
+      .select($"e.event_id".as("event_id"), $"e.ts_us".as("ts_us"),
+              $"e.user_id".as("user_id"), $"e.event_type".as("event_type"),
+              $"e.value".as("value"), $"env_bytes")
+      .orderBy($"event_id")
+  }
+
+  /** Avro zigzag-varint byte width of non-negative 2n (field values here
+    * are non-negative, so zigzag(n) = 2n and the arithmetic stays in
+    * BIGINT range). */
+  private def vlenS(z: String) =
+    s"(CASE WHEN $z < 128 THEN 1 WHEN $z < 16384 THEN 2" +
+    s" WHEN $z < 2097152 THEN 3 WHEN $z < 268435456 THEN 4" +
+    s" WHEN $z < 34359738368 THEN 5 WHEN $z < 4398046511104 THEN 6" +
+    s" WHEN $z < 562949953421312 THEN 7" +
+    s" WHEN $z < 72057594037927936 THEN 8 ELSE 9 END)"
+
+  private val avroEnvelopeSql =
+    s"""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+       |  CAST(${vlenS("2*event_id")} + ${vlenS("2*epoch_us(ts)")}
+       |     + ${vlenS("2*user_id")} + ${vlenS("2*strlen(event_type)")}
+       |     + strlen(event_type) + 8 AS BIGINT) AS env_bytes
+       |FROM events ORDER BY event_id""".stripMargin
+
   /** T7: dead-reckoning projection 60 s ahead from speed + course.
     *
     * Determinism: `round(·,6)` straight over libm trig amplified by
@@ -328,6 +368,7 @@ object AisOps extends QueryModule {
     "p2_json_extract"    -> (jsonExtract _),
     "p7_json_envelope"   -> (jsonEnvelope _),
     "p8_timestamp_parse" -> (timestampParse _),
+    "p10_avro_envelope"  -> (avroEnvelopeRt _),
     "t7_dead_reckoning"  -> (deadReckon _))
 
   override val oracles: Map[String, String] = Map(
@@ -343,5 +384,6 @@ object AisOps extends QueryModule {
     "p2_json_extract"    -> jsonExtractSql,
     "p7_json_envelope"   -> jsonEnvelopeSql,
     "p8_timestamp_parse" -> timestampParseSql,
+    "p10_avro_envelope"  -> avroEnvelopeSql,
     "t7_dead_reckoning"  -> deadReckonSql)
 }

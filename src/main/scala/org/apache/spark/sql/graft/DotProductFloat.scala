@@ -108,5 +108,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(DotProductInt.name),
       new ExpressionInfo(classOf[DotProductInt].getName, DotProductInt.name),
       (args: Seq[Expression]) => DotProductInt(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier(AvroEnvelope.encodeName),
+      new ExpressionInfo(classOf[AvroEncodeEnvelope].getName, AvroEnvelope.encodeName),
+      (args: Seq[Expression]) => AvroEncodeEnvelope(args)))
+    ext.injectFunction((
+      FunctionIdentifier(AvroEnvelope.decodeName),
+      new ExpressionInfo(classOf[AvroDecodeEnvelope].getName, AvroEnvelope.decodeName),
+      (args: Seq[Expression]) => AvroDecodeEnvelope(args.head)))
   }
 }
