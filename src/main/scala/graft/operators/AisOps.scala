@@ -314,6 +314,35 @@ object AisOps extends QueryModule {
        |     + strlen(event_type) + 8 AS BIGINT) AS env_bytes
        |FROM events ORDER BY event_id""".stripMargin
 
+  /** P11: Protocol-Buffers wire envelope — [[p10's|avroEnvelopeRt]]
+    * twin on the OTHER binary format (see
+    * [[org.apache.spark.sql.graft.ProtoEnvelope]]: hand-implemented
+    * wire spec, tags + zigzag varints + len-delimited string + fixed64).
+    * Same oracle strategy: roundtrip pins decode∘encode = id, and the
+    * byte length is recomputed by DuckDB from the wire spec — 1-byte
+    * tags (fields ≤ 15) + zigzag varint widths + plain-varint string
+    * length + 8-byte fixed64. */
+  private def protoEnvelopeRt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graft.ProtoEnvelope.{protoEnvelope, fromProtoEnvelope}
+    Tbl.events(s, d)
+      .select(protoEnvelope($"event_id", unix_micros($"ts"), $"user_id",
+                            $"event_type", $"value").as("env"))
+      .select(fromProtoEnvelope($"env").as("e"),
+              length($"env").cast("long").as("env_bytes"))
+      .select($"e.event_id".as("event_id"), $"e.ts_us".as("ts_us"),
+              $"e.user_id".as("user_id"), $"e.event_type".as("event_type"),
+              $"e.value".as("value"), $"env_bytes")
+      .orderBy($"event_id")
+  }
+
+  private val protoEnvelopeSql =
+    s"""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+       |  CAST(3 + ${vlenS("2*event_id")} + ${vlenS("2*epoch_us(ts)")}
+       |     + ${vlenS("2*user_id")} + 1 + ${vlenS("strlen(event_type)")}
+       |     + strlen(event_type) + 1 + 8 AS BIGINT) AS env_bytes
+       |FROM events ORDER BY event_id""".stripMargin
+
   /** T7: dead-reckoning projection 60 s ahead from speed + course.
     *
     * Determinism: `round(·,6)` straight over libm trig amplified by
@@ -369,6 +398,7 @@ object AisOps extends QueryModule {
     "p7_json_envelope"   -> (jsonEnvelope _),
     "p8_timestamp_parse" -> (timestampParse _),
     "p10_avro_envelope"  -> (avroEnvelopeRt _),
+    "p11_proto_envelope" -> (protoEnvelopeRt _),
     "t7_dead_reckoning"  -> (deadReckon _))
 
   override val oracles: Map[String, String] = Map(
@@ -385,5 +415,6 @@ object AisOps extends QueryModule {
     "p7_json_envelope"   -> jsonEnvelopeSql,
     "p8_timestamp_parse" -> timestampParseSql,
     "p10_avro_envelope"  -> avroEnvelopeSql,
+    "p11_proto_envelope" -> protoEnvelopeSql,
     "t7_dead_reckoning"  -> deadReckonSql)
 }

@@ -116,5 +116,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(AvroEnvelope.decodeName),
       new ExpressionInfo(classOf[AvroDecodeEnvelope].getName, AvroEnvelope.decodeName),
       (args: Seq[Expression]) => AvroDecodeEnvelope(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier(ProtoEnvelope.encodeName),
+      new ExpressionInfo(classOf[ProtoEncodeEnvelope].getName, ProtoEnvelope.encodeName),
+      (args: Seq[Expression]) => ProtoEncodeEnvelope(args)))
+    ext.injectFunction((
+      FunctionIdentifier(ProtoEnvelope.decodeName),
+      new ExpressionInfo(classOf[ProtoDecodeEnvelope].getName, ProtoEnvelope.decodeName),
+      (args: Seq[Expression]) => ProtoDecodeEnvelope(args.head)))
   }
 }
