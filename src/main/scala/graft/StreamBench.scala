@@ -114,6 +114,22 @@ object StreamBench {
               st.update(Ring(next))
               Iterator((user, next.size))
             }).toDF("user_id", "n_kept")),
+      // s23-class: transformWithState sessionization with EVENT-TIME
+      // TIMERS — every batch re-arms one timer per active key and the
+      // watermark sweep fires the idle ones; state = open sessions
+      // (bounded by active keys), so per-row cost must stay flat while
+      // the timer registry churns at full replay volume
+      ("timer_session", OutputMode.Append(), () =>
+        src().withWatermark("ts", "0 seconds")
+          .select($"event_id", $"ts", unix_micros($"ts").as("ts_us"),
+                  $"user_id", $"value")
+          .as[graft.streaming.StatefulOps.TEv]
+          .groupByKey(_.user_id)
+          .transformWithState(
+            new graft.streaming.StatefulOps.TimerSessions(1800000000L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Append())
+          .toDF()),
       ("ss_interval_join", OutputMode.Append(), () => {
         val l = src().where($"event_type" === "view")
           .select($"user_id".as("l_user"), $"ts".as("l_ts"))

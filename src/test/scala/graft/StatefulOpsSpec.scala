@@ -396,6 +396,63 @@ class StatefulOpsSpec extends SparkSpec {
       "flatMapGroupsWithState ring state was not recovered from the checkpoint")
   }
 
+  test("restart recovery: registered event-time timers survive stop/restart (s23)") {
+    // the timer differential: run 1 leaves a session OPEN (watermark
+    // never passes its expiry) and stops; run 2's input contains NOTHING
+    // for that key — the session can only be emitted if both the
+    // ValueState and the REGISTERED TIMER were restored from the
+    // checkpoint and the run-2 watermark sweep fired it
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType, TimestampType}
+    graft.streaming.StreamingOps.configureStreaming(spark)
+    // the fire happens in a terminal NO-DATA batch (watermark advanced
+    // by run 2's last data batch) — keep those enabled
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val srcDir = java.nio.file.Files.createTempDirectory("timer_restart_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("timer_restart_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("timer_restart_ck").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("ts_us", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    def tev(id: Long, tsS: Long, user: Long, v: Double) =
+      TEv(id, new java.sql.Timestamp(tsS * 1000L), tsS * 1000000L, user, v)
+    def stage(rows: Seq[TEv]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      val out = spark.readStream.schema(schema).parquet(srcDir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("event_id"), col("ts"), col("ts_us"), col("user_id"), col("value"))
+        .as[TEv]
+        .groupByKey(_.user_id)
+        .transformWithState(new TimerSessions(1800000000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+      val q = out.toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.stop()
+    }
+    def emitted(): Set[(Long, Long, Long, Long)] =
+      spark.read.parquet(outDir).as[SessRow].collect()
+        .map(r => (r.user_id, r.start_us, r.end_us, r.n)).toSet
+    // run 1: u7 session [1000s,1010s] stays OPEN (watermark 1010s <
+    // expiry 2800s); nothing emitted
+    stage(Seq(tev(1, 1000, 7, 1.0), tev(2, 1010, 7, 2.0)))
+    run()
+    assert(emitted().isEmpty, s"session must still be open after run 1: ${emitted()}")
+    // run 2: only a u9 event — its watermark sweep (10000s) must fire
+    // u7's RECOVERED timer (expiry ~2801s)
+    stage(Seq(tev(3, 10000, 9, 0.5)))
+    run()
+    assert(emitted() == Set((7L, 1000000000L, 1010000000L, 2L)),
+      "registered timer + session state were not recovered from the checkpoint")
+  }
+
   test("restart recovery: spatial-join symmetric state survives stop/restart (s22)") {
     // s22's machinery: join state format v3 with the (cell, time-bucket)
     // equi-key and the exploded probe side. Run 1 buffers a lone point A
