@@ -380,7 +380,63 @@ object ScaleOps extends QueryModule {
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events""".stripMargin
 
+  private val KmvK = 64
+
+  /** KMV (k-minimum-values) distinct-cardinality sketch — the bounded
+    * estimator for "how many distinct users in 100 TB" when the exact
+    * distinct's vocabulary-sized shuffle is itself too big. Keep the k
+    * SMALLEST distinct values of a uniform 60-bit hash; the k-th
+    * smallest order statistic estimates the cardinality as
+    * (k−1)·2⁶⁰ / h₍ₖ₎ (±1/√k relative error). Plan shape: map-side
+    * partial dedup → distinct-hash shuffle → TakeOrdered k — the wide
+    * exchange carries DISTINCT hashes (vocabulary-sized), and the
+    * result is k rows at ANY corpus size; sketches from partitions/days
+    * merge by keeping the k smallest of a union, which is what makes
+    * this the incremental form. Deterministic end to end: md5 hashing,
+    * no RNG, and the (k−1)·2⁶⁰ numerator holds only 6 significant bits
+    * so the double arithmetic is IEEE-identical in both engines (the
+    * long→double rounding of h₍ₖ₎ is the same round-to-nearest on
+    * both). Emits the estimate BESIDE the exact count so the gate
+    * checks the sketch math, not just plumbing; corpora with fewer
+    * than k users take the exact branch (k_eff < k ⇒ every value kept
+    * ⇒ the sketch IS the count) — sf0.001 exercises that branch, every
+    * larger SF the estimation branch. */
+  private def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val kept = Tbl.events(s, d).select(h.as("h")).distinct()
+      .orderBy($"h").limit(KmvK)
+    val sketch = kept.agg(count(lit(1)).as("k_eff"), max($"h").as("kth"))
+    val truth = Tbl.events(s, d)
+      .agg(countDistinct($"user_id").as("true_distinct"))
+    sketch.crossJoin(truth)
+      .select($"k_eff", $"kth",
+              when($"k_eff" < KmvK, $"k_eff")
+                .otherwise(floor(lit((KmvK - 1).toDouble) *
+                                 lit(1152921504606846976.0) /
+                                 $"kth".cast("double")).cast("long"))
+                .cast("long").as("est_distinct"),
+              $"true_distinct")
+  }
+
+  private val kmvDistinctSql =
+    s"""WITH hs AS (
+       |  SELECT DISTINCT CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+       |                       AS BIGINT) AS h
+       |  FROM events),
+       |kept AS (SELECT h FROM hs ORDER BY h LIMIT $KmvK),
+       |sk AS (SELECT count(*) AS k_eff, max(h) AS kth FROM kept),
+       |tr AS (SELECT count(DISTINCT user_id) AS true_distinct FROM events)
+       |SELECT k_eff, kth,
+       |  CAST(CASE WHEN k_eff < $KmvK THEN k_eff
+       |       ELSE floor(${KmvK - 1} * 1152921504606846976.0 / kth)
+       |       END AS BIGINT) AS est_distinct,
+       |  true_distinct
+       |FROM sk, tr""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_kmv_distinct"      -> (kmvDistinct _),
     "x_observe_quality"   -> (observeQuality _),
     "x_incremental_agg"   -> (incrementalAgg _),
     "x_skew_profile"      -> (skewProfile _),
@@ -392,6 +448,7 @@ object ScaleOps extends QueryModule {
     "x_partition_pruning" -> (partitionPruning _))
 
   override val oracles: Map[String, String] = Map(
+    "x_kmv_distinct"      -> kmvDistinctSql,
     "x_observe_quality"   -> observeQualitySql,
     "x_incremental_agg"   -> incrementalAggSql,
     "x_skew_profile"      -> skewProfileSql,

@@ -346,6 +346,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"codebook was collected to the driver and re-shipped:\n$p")
   }
 
+  test("KMV sketch: k-smallest runs as TakeOrdered, never a full global sort") {
+    // the sketch's claim to 100 TB is that the k-minimum selection is a
+    // per-partition bounded heap merged once (TakeOrderedAndProject) —
+    // a Sort + GlobalLimit over the distinct-hash relation would
+    // materialize and sort the whole vocabulary instead
+    val p = executed(SparkEntry.queries("x_kmv_distinct")(spark, d))
+    val takeOrdered = collectWithSubqueries(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takeOrdered.nonEmpty, s"no TakeOrderedAndProject in:\n$p")
+    val globalSorts = collectWithSubqueries(p) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, s"global sort in the sketch plan:\n$p")
+  }
+
   test("range search: corpus scans once, only the output sort shuffles") {
     val p = executed(SparkEntry.queries("sim_range_search")(spark, d))
     val shuffles = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
