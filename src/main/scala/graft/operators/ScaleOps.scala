@@ -435,8 +435,92 @@ object ScaleOps extends QueryModule {
        |  true_distinct
        |FROM sk, tr""".stripMargin
 
+  /** KMV SET ALGEBRA — union and intersection cardinality from merged
+    * sketches ([[kmvDistinct]]'s real 100 TB payoff: sketches built
+    * per partition/day/source MERGE by keeping the k smallest of a
+    * union, so |A∪B| and |A∩B| come from two bounded sketches without
+    * ever co-shuffling the underlying sets). A = click users, B =
+    * purchase users. The merged sketch is the k smallest distinct
+    * hashes over A∪B, each kept hash flagged for membership; then
+    *   est_union = (k−1)·2⁶⁰ / h₍ₖ₎,
+    *   est_inter = (n_both / k) · est_union   (Jaccard × union)
+    * with both estimates collapsing to exact counts when k_eff < k
+    * (the sketch holds the whole union). FP determinism: identical
+    * operation order in both engines (double mul before div), IEEE
+    * round-to-nearest on both. Exact counts ride beside the estimates
+    * so the gate checks the sketch algebra itself. A/B are document
+    * sets with REAL partial overlap (docs containing 'vector' vs
+    * 'stream': ~64%/78%/91% of universe for ∩/A/∪ at sf0.01) — the
+    * events table's users are all-active, so user-level sets would
+    * degenerate to A = B = universe and never discriminate the
+    * intersection path. */
+  private def kmvSetops(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val inA = $"text".contains("vector")
+    val inB = $"text".contains("stream")
+    val kept = Tbl.documents(s, d)
+      .where(inA || inB)
+      .select(h.as("h"),
+              when(inA, 1).otherwise(0).as("in_a"),
+              when(inB, 1).otherwise(0).as("in_b"))
+      .orderBy($"h").limit(KmvK)
+    val sk = kept.agg(
+      count(lit(1)).as("k_eff"), max($"h").as("kth"),
+      sum($"in_a" * $"in_b").cast("long").as("n_both"))
+    val truth = Tbl.documents(s, d)
+      .where(inA || inB)
+      .agg(count(lit(1)).as("true_union"),
+           sum(when(inA && inB, 1).otherwise(0)).cast("long").as("true_inter"))
+    val estUnion = when($"k_eff" < KmvK, $"k_eff")
+      .otherwise(floor(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
+                       $"kth".cast("double")).cast("long"))
+    sk.crossJoin(truth)
+      .select($"k_eff", $"n_both",
+              estUnion.cast("long").as("est_union"),
+              when($"k_eff" < KmvK, $"n_both")
+                .otherwise(floor($"n_both".cast("double") *
+                                 estUnion.cast("double") /
+                                 $"k_eff".cast("double")).cast("long"))
+                .cast("long").as("est_inter"),
+              $"true_union", $"true_inter")
+  }
+
+  private val kmvSetopsSql =
+    s"""WITH kept AS (
+       |  SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) AS h,
+       |         CASE WHEN contains(text, 'vector') THEN 1 ELSE 0 END AS in_a,
+       |         CASE WHEN contains(text, 'stream') THEN 1 ELSE 0 END AS in_b
+       |  FROM documents
+       |  WHERE contains(text, 'vector') OR contains(text, 'stream')
+       |  ORDER BY h LIMIT $KmvK),
+       |sk AS (SELECT count(*) AS k_eff, max(h) AS kth,
+       |              CAST(sum(in_a * in_b) AS BIGINT) AS n_both FROM kept),
+       |tr AS (
+       |  SELECT count(*) AS true_union,
+       |         CAST(sum(CASE WHEN contains(text, 'vector')
+       |                        AND contains(text, 'stream')
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS true_inter
+       |  FROM documents
+       |  WHERE contains(text, 'vector') OR contains(text, 'stream')),
+       |est AS (
+       |  SELECT k_eff, n_both,
+       |    CAST(CASE WHEN k_eff < $KmvK THEN k_eff
+       |         ELSE floor(${KmvK - 1} * 1152921504606846976.0 / kth)
+       |         END AS BIGINT) AS est_union
+       |  FROM sk)
+       |SELECT e.k_eff, e.n_both, e.est_union,
+       |  CAST(CASE WHEN e.k_eff < $KmvK THEN e.n_both
+       |       ELSE floor(CAST(e.n_both AS DOUBLE) * CAST(e.est_union AS DOUBLE)
+       |                  / CAST(e.k_eff AS DOUBLE))
+       |       END AS BIGINT) AS est_inter,
+       |  t.true_union, t.true_inter
+       |FROM est e, tr t""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_kmv_distinct"      -> (kmvDistinct _),
+    "x_kmv_setops"        -> (kmvSetops _),
     "x_observe_quality"   -> (observeQuality _),
     "x_incremental_agg"   -> (incrementalAgg _),
     "x_skew_profile"      -> (skewProfile _),
@@ -449,6 +533,7 @@ object ScaleOps extends QueryModule {
 
   override val oracles: Map[String, String] = Map(
     "x_kmv_distinct"      -> kmvDistinctSql,
+    "x_kmv_setops"        -> kmvSetopsSql,
     "x_observe_quality"   -> observeQualitySql,
     "x_incremental_agg"   -> incrementalAggSql,
     "x_skew_profile"      -> skewProfileSql,
