@@ -290,6 +290,56 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Unigram cross-entropy quality score — the language-model-based
+    * filter beside the heuristic `tx_quality_score`: score each doc by
+    * its average token surprisal −(1/n)·Σ ln p(w) under the corpus's
+    * OWN unigram distribution (word-salad and boilerplate score LOW
+    * surprisal, rare-token noise scores HIGH; both tails are the
+    * filter's prey). Same two-phase shape as [[oovRate]]: vocab-sized
+    * count agg broadcast back against the token stream, one
+    * constant-width doc_id shuffle to finish — the token stream never
+    * shuffles for the model. Determinism across engines: ln() is libm,
+    * so each token's surprisal is rounded to 7 decimals FIRST (the
+    * dead-reckoning discipline) and then floored to integer MICRO-NATS;
+    * all aggregation is exact integer arithmetic (a float Σ would be
+    * order-sensitive, and Spark's partial aggregation order is not
+    * deterministic). */
+  private def unigramLogprob(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tbl.documents(s, d)
+      .select($"doc_id", explode(split(TextNorm.norm($"text"), " ")).as("token"))
+      .where($"token" =!= "")
+    val counts = tok.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(broadcast(counts), Seq("token"))
+      .crossJoin(broadcast(total))
+      .select($"doc_id",
+              floor(round(log($"cnt".cast("double") / $"n_total".cast("double")), 7)
+                      * 1000000.0).cast("long").as("u"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"u").as("sum_u"))
+      .select($"doc_id", $"n_tokens",
+              expr("(-sum_u) div n_tokens").as("xent_unat"))
+      .orderBy($"doc_id")
+  }
+
+  private val unigramLogprobSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(${TextNorm.normSql}, ' ')) AS token
+       |  FROM documents),
+       |tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+       |tot AS (SELECT count(*) AS n_total FROM tok2),
+       |cnts AS (SELECT token, count(*) AS cnt FROM tok2 GROUP BY token),
+       |sc AS (
+       |  SELECT t.doc_id,
+       |    CAST(floor(round(ln(CAST(c.cnt AS DOUBLE) / CAST(s.n_total AS DOUBLE)), 7)
+       |               * 1000000.0) AS BIGINT) AS u
+       |  FROM tok2 t JOIN cnts c USING (token), tot s)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST((-sum(u)) // count(*) AS BIGINT) AS xent_unat
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val oovRateSql =
     s"""WITH tok AS (
        |  SELECT doc_id,
@@ -852,6 +902,7 @@ object TextOps extends QueryModule {
     "tx_corpus_sampler" -> (corpusSampler _),
     "tx_domain_mix"    -> (domainMix _),
     "tx_oov_rate"      -> (oovRate _),
+    "tx_unigram_logprob" -> (unigramLogprob _),
     "tx_chunk_split"   -> (chunkSplit _),
     "tx_heavy_hitters" -> (heavyHitters _),
     "tx_bpe_pairs"     -> (bpePairs _),
@@ -870,6 +921,7 @@ object TextOps extends QueryModule {
     "tx_corpus_sampler" -> corpusSamplerSql,
     "tx_domain_mix"    -> domainMixSql,
     "tx_oov_rate"      -> oovRateSql,
+    "tx_unigram_logprob" -> unigramLogprobSql,
     "tx_chunk_split"   -> chunkSplitSql,
     "tx_heavy_hitters" -> heavyHittersSql,
     "tx_bpe_pairs"     -> bpePairsSql,
