@@ -256,4 +256,42 @@ object StatefulOps {
 
   /** Typed row for [[TtlTypeProfile]]. */
   final case class EvType(user_id: Long, event_type: String)
+
+  /** Typed row for [[StreamingKmv]]: pre-hashed key member. */
+  final case class TypeHash(event_type: String, h: Long)
+
+  /** KMV sketch state: the ≤k smallest distinct hashes, ascending. */
+  final case class KmvState(hs: Array[Long])
+
+  /** Per-batch sketch emission; the cardinality estimate is derived in
+    * the output projection (same expressions as the batch twin). */
+  final case class KmvRow(event_type: String, k_eff: Long, kth: Long)
+
+  /** STREAMING KMV — the batch `x_kmv_distinct` sketch as keyed
+    * cross-batch state: per event_type, keep the k smallest distinct
+    * user-id hashes ever seen; each batch merges its arrivals into the
+    * state (union → distinct → k smallest — exactly the sketch's merge
+    * operation, which is why per-partition/per-batch sketches compose).
+    * State is k longs per key at ANY stream length — the bounded
+    * "distinct users so far" estimator an unbounded 100 TB stream needs
+    * where exact streaming distinct (s4's dropDuplicates) grows without
+    * limit. Update-mode emission per key per batch; a bounded replay's
+    * final emission equals the batch sketch (the oracle). */
+  final class StreamingKmv(k: Int)
+      extends StatefulProcessor[String, TypeHash, KmvRow] {
+    @transient private var state: ValueState[KmvState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KmvState](
+        "kmv", Encoders.product[KmvState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TypeHash],
+                                 timers: TimerValues): Iterator[KmvRow] = {
+      val prev = Option(state.get()).map(_.hs).getOrElse(Array.empty[Long])
+      val merged = (prev.iterator ++ rows.map(_.h)).toArray
+        .distinct.sorted.take(k)
+      state.update(KmvState(merged))
+      Iterator.single(KmvRow(key, merged.length.toLong, merged.last))
+    }
+  }
 }

@@ -675,6 +675,57 @@ object StreamingOps extends QueryModule {
       |       count(*) AS n_events
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** s25: STREAMING KMV distinct-cardinality sketch per event_type —
+    * `x_kmv_distinct`'s unbounded-stream form (see
+    * [[StatefulOps.StreamingKmv]]): state = the k smallest distinct
+    * user-id hashes per key, merged per batch; the estimate arithmetic
+    * in the output projection is expression-identical to the batch
+    * twin. k = 64 (matches the batch sketch). Update mode + bounded
+    * replay ⇒ final emission per key = the batch sketch (the oracle). */
+  private def streamKmv(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) { streamKmvInner(s, d) }
+
+  private val StreamKmvK = 64
+
+  private def streamKmvInner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import StatefulOps._
+    val typed = eventStream(s, d)
+      .select($"event_type",
+              conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+                .cast("long").as("h"))
+      .as[TypeHash]
+      .groupByKey(_.event_type)
+      .transformWithState(new StreamingKmv(StreamKmvK),
+        TimeMode.None(), OutputMode.Update())
+    runToTable(s, typed.toDF(), "s_kmv", OutputMode.Update())
+      .select($"event_type", $"k_eff", $"kth",
+              when($"k_eff" < StreamKmvK, $"k_eff")
+                .otherwise(floor(lit((StreamKmvK - 1).toDouble) *
+                                 lit(1152921504606846976.0) /
+                                 $"kth".cast("double")).cast("long"))
+                .cast("long").as("est_distinct"))
+      .orderBy($"event_type")
+  }
+
+  private val streamKmvSql =
+    s"""WITH hs AS (
+       |  SELECT DISTINCT event_type,
+       |    CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 15)) AS BIGINT) AS h
+       |  FROM events),
+       |kept AS (
+       |  SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM hs),
+       |sk AS (
+       |  SELECT event_type, count(*) AS k_eff, max(h) AS kth
+       |  FROM kept WHERE rn <= $StreamKmvK GROUP BY event_type)
+       |SELECT event_type, k_eff, kth,
+       |  CAST(CASE WHEN k_eff < $StreamKmvK THEN k_eff
+       |       ELSE floor(${StreamKmvK - 1} * 1152921504606846976.0 / kth)
+       |       END AS BIGINT) AS est_distinct
+       |FROM sk ORDER BY event_type""".stripMargin
+
   /** Stream-stream interval join: clicks ⋈ purchases per user where the
     * purchase lands within 10 minutes after the click. Watermarks on
     * BOTH sides bound the join state — at 100 TB/day this is what keeps
@@ -1217,7 +1268,8 @@ object StreamingOps extends QueryModule {
     "s13_stream_curation"   -> (streamCuration _),
     "s14_stream_dedup_wm"   -> (streamDedupWm _),
     "s23_stream_timer_session" -> (streamTimerSession _),
-    "s24_stream_ttl_profile" -> (streamTtlProfile _))
+    "s24_stream_ttl_profile" -> (streamTtlProfile _),
+    "s25_stream_kmv"        -> (streamKmv _))
 
   override val oracles: Map[String, String] = Map(
     "s19_stream_anti_join"  -> streamAntiJoinSql,
@@ -1244,5 +1296,6 @@ object StreamingOps extends QueryModule {
     "s13_stream_curation"   -> streamCurationSql,
     "s14_stream_dedup_wm"   -> dedupWmSql,
     "s23_stream_timer_session" -> timerSessionSql,
-    "s24_stream_ttl_profile" -> ttlProfileSql)
+    "s24_stream_ttl_profile" -> ttlProfileSql,
+    "s25_stream_kmv"        -> streamKmvSql)
 }

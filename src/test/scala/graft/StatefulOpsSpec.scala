@@ -644,6 +644,44 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("StreamingKmv: cross-batch merge keeps the k smallest distinct hashes") {
+    // batch 2's smaller hash must displace batch 1's largest kept value
+    // (kth DECREASES) — impossible unless the sketch state merged, and
+    // the defining property of the KMV merge operation
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[TypeHash]
+    val out = input.toDS()
+      .groupByKey(_.event_type)
+      .transformWithState(new StreamingKmv(3),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+    val q = out.writeStream.format("memory").queryName("t_kmv")
+      .outputMode("update")
+      .option("checkpointLocation", Tbl.scratchDir("ckpt_kmv"))
+      .start()
+    try {
+      input.addData(TypeHash("a", 90L), TypeHash("a", 50L), TypeHash("a", 99L),
+                    TypeHash("a", 80L), TypeHash("a", 50L)) // dup must not double
+      q.processAllAvailable()
+      val b1 = spark.table("t_kmv").as[KmvRow].collect()
+      assert(b1.toList == List(KmvRow("a", 3, 90L))) // kept {50,80,90}
+      input.addData(TypeHash("a", 10L))
+      q.processAllAvailable()
+      val b2 = spark.table("t_kmv").as[KmvRow].collect()
+        .filter(_.kth != 90L)
+      assert(b2.toList == List(KmvRow("a", 3, 80L)), // kept {10,50,80}
+        s"merge must keep the k smallest across batches: ${b2.toList}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("gapFill: exact 60s gap synthesizes nothing") {
     val st = new FakeState[LastSeen]
     gapFill(1L, Iterator(ev(1, 0, 1, 1.0)), st)
