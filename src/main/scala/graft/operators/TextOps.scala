@@ -309,10 +309,17 @@ object TextOps extends QueryModule {
     val tok = Tbl.documents(s, d)
       .select($"doc_id", explode(split(TextNorm.norm($"text"), " ")).as("token"))
       .where($"token" =!= "")
+    // N rides ON the counts relation as an unpartitioned window sum —
+    // one counts build (not one per consumer), the window runs over
+    // |vocab| rows (single partition BY DESIGN: it is the model, not
+    // the corpus), and the token stream is scanned exactly twice
+    // (once into the counts agg, once through the broadcast join); a
+    // separate 1-row total relation would recompute the counts subtree
     val counts = tok.groupBy($"token").agg(count(lit(1)).as("cnt"))
-    val total = tok.agg(count(lit(1)).as("n_total"))
+      .withColumn("n_total",
+        sum($"cnt").over(org.apache.spark.sql.expressions.Window
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
     tok.join(broadcast(counts), Seq("token"))
-      .crossJoin(broadcast(total))
       .select($"doc_id",
               floor(round(log($"cnt".cast("double") / $"n_total".cast("double")), 7)
                       * 1000000.0).cast("long").as("u"))
