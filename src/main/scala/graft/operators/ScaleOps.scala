@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tbl}
 import graft.plans.Top3Aggregator
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-technique operators: the patterns that keep the 100 TB plan
@@ -518,9 +518,73 @@ object ScaleOps extends QueryModule {
        |  t.true_union, t.true_inter
        |FROM est e, tr t""".stripMargin
 
+  private val BloomBits = 8192 // m bits = 128 longs ≈ 1 KB resident
+
+  /** BLOOM-FILTER SEMI-JOIN REDUCTION — the shuffle-mass killer for a
+    * big⋈big join with a selective build side: at 100 TB the dim side
+    * (10⁸ customers) is past the broadcast ceiling so the join is
+    * sort-merge, and without a pre-filter EVERY fact row shuffles just
+    * to be dropped by the join. A bloom filter over the build keys IS
+    * broadcastable at any dim size (m bits, here 1 KB; 10⁸ keys wants
+    * ~10⁸ bits ≈ 120 MB — still broadcast-sized), and the probe drops
+    * non-matching fact rows AT THE SCAN, before the exchange. Spark 4
+    * has a runtime version (`spark.sql.optimizer.runtime.bloomFilter`);
+    * this is the explicit form a pipeline reaches for when the
+    * optimizer's heuristics don't fire, built from deterministic md5
+    * hashes (j=2, two 32-bit md5 lanes) so any engine builds the same
+    * filter. False positives are harmless BY CONSTRUCTION: the exact
+    * join behind the probe drops them, so the oracle is the PLAIN join
+    * — the bloom is provably a pure optimization. The bitset is a dense
+    * 128-long array probed O(1) per row (element_at + mask), not an
+    * array_contains scan. */
+  private def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def lane(c: Column, from: Int) =
+      conv(substring(md5(c.cast("string")), from, 8), 16, 10)
+        .cast("long") % BloomBits
+    val dim = Tbl.customer(s, d).where($"c_nationkey" === 7)
+      .select($"c_custkey", $"c_name")
+    // build: set bits h1, h2 per key → per-word OR → dense 128-long array
+    val words = dim
+      .select(explode(array(lane($"c_custkey", 1), lane($"c_custkey", 9)))
+                .as("pos"))
+      .groupBy(expr("pos div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
+             .as("mask"))
+    val bitsRel = words
+      .agg(map_from_entries(collect_list(struct($"w", $"mask"))).as("wm"))
+      .select(transform(sequence(lit(0L), lit(BloomBits / 64 - 1L)),
+                        i => coalesce(element_at($"wm", i), lit(0L))).as("bits"))
+    val prefiltered = Tbl.orders(s, d)
+      .crossJoin(broadcast(bitsRel))
+      .withColumn("bh", lane($"o_custkey", 1))
+      .withColumn("bh2", lane($"o_custkey", 9))
+      .where((element_at($"bits", ($"bh" / 64).cast("int") + 1)
+                .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(bh % 64 AS INT))")) =!= 0) &&
+             (element_at($"bits", ($"bh2" / 64).cast("int") + 1)
+                .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(bh2 % 64 AS INT))")) =!= 0))
+      .select($"o_custkey", $"o_totalprice")
+    // the exact join behind the probe: false positives die here
+    prefiltered.join(dim, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(Tbl.cents($"o_totalprice")) / 100.0, 2).as("sum_price"))
+      .orderBy($"c_custkey")
+  }
+
+  private val bloomJoinSql =
+    """SELECT c.c_custkey, c.c_name, count(*) AS n_orders,
+      |  round(sum(CAST(round(o.o_totalprice*100) AS BIGINT))/100.0, 2)
+      |    AS sum_price
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_nationkey = 7
+      |GROUP BY c.c_custkey, c.c_name
+      |ORDER BY c.c_custkey""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_kmv_distinct"      -> (kmvDistinct _),
     "x_kmv_setops"        -> (kmvSetops _),
+    "x_bloom_join"        -> (bloomJoin _),
     "x_observe_quality"   -> (observeQuality _),
     "x_incremental_agg"   -> (incrementalAgg _),
     "x_skew_profile"      -> (skewProfile _),
@@ -534,6 +598,7 @@ object ScaleOps extends QueryModule {
   override val oracles: Map[String, String] = Map(
     "x_kmv_distinct"      -> kmvDistinctSql,
     "x_kmv_setops"        -> kmvSetopsSql,
+    "x_bloom_join"        -> bloomJoinSql,
     "x_observe_quality"   -> observeQualitySql,
     "x_incremental_agg"   -> incrementalAggSql,
     "x_skew_profile"      -> skewProfileSql,

@@ -362,6 +362,35 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(globalSorts.isEmpty, s"global sort in the sketch plan:\n$p")
   }
 
+  test("bloom join: the bitset probe filters the fact side BEFORE the key join") {
+    // the probe must be a scan-side reduction: a Filter whose predicate
+    // is the element_at bitset test, with nothing but the 1-row bitset
+    // attach (BroadcastNestedLoop over a constant relation) between it
+    // and the orders scan — a probe sitting ABOVE the custkey join
+    // would shuffle every fact row first and reduce nothing
+    // the optimizer folds the where() into the 1-row bitset attach's
+    // join condition (BroadcastNestedLoopJoin with the element_at
+    // predicate) — accept either embodiment, but wherever the probe
+    // lives, its subtree must hold only the orders scan + bitset build
+    val p = executed(SparkEntry.queries("x_bloom_join")(spark, d))
+    val probes = collectWithSubqueries(p) {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("element_at") => f: org.apache.spark.sql.execution.SparkPlan
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        if j.condition.exists(_.toString.contains("element_at")) => j
+    }
+    assert(probes.nonEmpty, s"no bitset probe in:\n$p")
+    val scanSide = probes.filter { f =>
+      f.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if !j.isInstanceOf[
+            org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] => j
+      }.isEmpty
+    }
+    assert(scanSide.nonEmpty,
+      s"bitset probe sits above the key join (no scan-side copy):\n$p")
+  }
+
   test("range search: corpus scans once, only the output sort shuffles") {
     val p = executed(SparkEntry.queries("sim_range_search")(spark, d))
     val shuffles = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
