@@ -26,6 +26,7 @@ object SparkEntry {
     DedupOps,
     SimilarityOps,
     MultimodalOps,
+    GraphOps,
     ScaleOps,
     SourceOps,
     StreamingOps)

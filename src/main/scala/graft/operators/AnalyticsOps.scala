@@ -368,7 +368,54 @@ object AnalyticsOps extends QueryModule {
       |FROM activity a JOIN cohort c ON a.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY cohort_h, offset_h""".stripMargin
 
+  /** 2D skyline (Pareto frontier): orders not dominated on
+    * (recency, price) — s dominates r iff s is ≥ on both axes and
+    * strictly better on one. The classic formulation is a quadratic
+    * NOT EXISTS self-join; the distributed form here is two linear
+    * passes: (1) per-DAY max price (one groupBy — the only shuffle
+    * over the fact), (2) a suffix-max window over the DAY-GRAIN
+    * relation only (thousands of rows at any SF, so the
+    * single-partition ordered window is over a bounded domain, never
+    * the fact table), broadcast back to the fact scan. A row survives
+    * iff it beats every strictly-later day's max and ties its own
+    * day's max. Prices compare in exact cents. */
+  private def skyline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tbl.orders(s, d)
+      .select($"o_orderkey", $"o_orderdate",
+              Tbl.cents($"o_totalprice").as("price_c"),
+              datediff($"o_orderdate".cast("date"),
+                       lit("1970-01-01").cast("date")).as("day"))
+    val dayMax = base.groupBy($"day").agg(max($"price_c").as("m_day"))
+    val suffix = dayMax.withColumn("m_later",
+      max($"m_day").over(Window.orderBy($"day")
+        .rangeBetween(1, Window.unboundedFollowing)))
+    base.join(broadcast(suffix), "day")
+      .where(($"m_later".isNull || $"price_c" > $"m_later") &&
+             $"price_c" === $"m_day")
+      .select($"o_orderkey", $"o_orderdate", $"price_c")
+      .orderBy($"o_orderdate".desc, $"o_orderkey")
+  }
+
+  private val skylineSql =
+    """WITH b AS (
+      |  SELECT o_orderkey, o_orderdate,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+      |    date_diff('day', DATE '1970-01-01',
+      |              CAST(o_orderdate AS DATE)) AS day
+      |  FROM orders),
+      |dm AS (SELECT day, max(price_c) AS m_day FROM b GROUP BY day),
+      |sfx AS (SELECT day, m_day,
+      |  max(m_day) OVER (ORDER BY day
+      |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS m_later
+      |  FROM dm)
+      |SELECT b.o_orderkey, b.o_orderdate, b.price_c
+      |FROM b JOIN sfx USING (day)
+      |WHERE (m_later IS NULL OR price_c > m_later) AND price_c = m_day
+      |ORDER BY o_orderdate DESC, o_orderkey""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_skyline"          -> (skyline _),
     "x_cohort_retention" -> (cohortRetention _),
     "x_scd2"            -> (scd2 _),
     "x_pivot"           -> (pivotCounts _),
@@ -382,6 +429,7 @@ object AnalyticsOps extends QueryModule {
     "x_merge_intervals" -> (mergeIntervals _))
 
   override val oracles: Map[String, String] = Map(
+    "x_skyline"          -> skylineSql,
     "x_cohort_retention" -> cohortRetentionSql,
     "x_scd2"            -> scd2Sql,
     "x_pivot"           -> pivotCountsSql,

@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.{QueryModule, Tbl}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over a relation-derived graph — the two
+  * classic shapes a data-curation pipeline meets beyond connected
+  * components (`dd_dup_clusters`): triangle enumeration (local
+  * clustering / cohesion audit) and PageRank-style value propagation
+  * (centrality). Both run over the supplier co-purchase graph derived
+  * from `lineitem` (suppliers co-occurring in an order among small-lot
+  * line items), so the graph is REAL table output, sparse by
+  * construction (expected triangles ≈ avg-degree³/6, roughly constant
+  * across SF), and both engines derive it identically.
+  *
+  * Scale notes:
+  *  - Triangle enumeration is degree-ordered ("rank by (degree, id),
+  *    orient every edge low→high"): wedge work per vertex is
+  *    C(out-degree, 2) and orientation caps out-degree at O(√m) for ANY
+  *    degree distribution — the standard defense against hub vertices
+  *    that makes the naive a<b<c self-join blow up (a hub of degree h
+  *    contributes C(h,2) wedges un-oriented, ~C(√m,2) oriented). All
+  *    joins are hash equi-joins on long keys; nothing all-pairs.
+  *  - PageRank runs a FIXED 5 iterations in exact integer micro-units
+  *    (floor division before the order-free integer sum), so the result
+  *    is bit-identical in any execution order and the oracle can unroll
+  *    the same five steps as chained CTEs. Each round is one join +
+  *    groupBy over the edge relation; `localCheckpoint` truncates the
+  *    per-round lineage exactly as `dd_dup_clusters` does.
+  */
+object GraphOps extends QueryModule {
+
+  /** Undirected canonical edge list (a < b): supplier pairs sharing an
+    * order among small-lot (quantity ≤ 5) line items. The quantity cut
+    * keeps per-order groups small so the pair explode is bounded (≤
+    * C(items,2) per order, items ≤ 13 in this corpus) and the graph
+    * stays sparse at every SF — degree ~20-25 from sf0.01 to sf0.1. */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tbl.lineitem(s, d)
+      .where($"l_quantity" <= 5)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
+      .distinct()
+    li.as("x").join(li.as("y"), $"x.ok" === $"y.ok" && $"x.sk" < $"y.sk")
+      .select($"x.sk".as("a"), $"y.sk".as("b"))
+      .distinct()
+  }
+
+  private val edgesSql =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      |       FROM lineitem WHERE l_quantity <= 5),
+      |e AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+      |      FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk)""".stripMargin
+
+  /** Per-supplier triangle participation, top 50. Degree-ordered
+    * enumeration: rank vertices by (degree, id), orient each edge from
+    * lower to higher rank, and count wedges (s→u, s→v with rank(u) <
+    * rank(v)) closed by an oriented edge u→v. Each triangle is found
+    * exactly once (from its lowest-ranked corner), and orientation
+    * bounds per-vertex wedge fan-out at O(√m) even under hub skew —
+    * the un-oriented self-join has no such bound. The oracle states the
+    * naive a<b<c enumeration; the triangle SET is identical. */
+  private def triangleCount(s: SparkSession, d: String): DataFrame =
+    triangleParticipation(edges(s, d))
+
+  /** `private[graft]` so the spec can drive it with planted graphs
+    * (cliques, hubs, paths) whose triangle counts are known — the
+    * corpus graph never exercises, e.g., the hub-orientation bound.
+    * `canon` must be canonical undirected edges (a < b, distinct). */
+  private[graft] def triangleParticipation(canon: DataFrame): DataFrame = {
+    val s = canon.sparkSession
+    import s.implicits._
+    val e = canon.persist()
+    val deg = e.select($"a".as("v")).union(e.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+    // total-order key (degree, id) packed into one long: degree is
+    // capped by the vertex count, ids are dense and < 1e10, so
+    // deg·1e10 + id never collides or overflows at any plausible SF
+    val rk = deg.select($"v", ($"deg" * 10000000000L + $"v").as("rk"))
+    val oriented = e
+      .join(rk.select($"v".as("a"), $"rk".as("rka")), "a")
+      .join(rk.select($"v".as("b"), $"rk".as("rkb")), "b")
+      .select(when($"rka" < $"rkb", $"a").otherwise($"b").as("src"),
+              when($"rka" < $"rkb", $"b").otherwise($"a").as("dst"),
+              greatest($"rka", $"rkb").as("rkd"))
+      .persist()
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+            $"e1.src" === $"e2.src" && $"e1.rkd" < $"e2.rkd")
+      .select($"e1.src".as("x"), $"e1.dst".as("u"), $"e2.dst".as("w"))
+      // closing edge u—w is oriented u→w because rank(u) < rank(w)
+      .join(oriented.as("e3").select($"src".as("u"), $"dst".as("w")),
+            Seq("u", "w"))
+    tri.select(explode(array($"x", $"u", $"w")).as("suppkey"))
+      .groupBy($"suppkey").agg(count(lit(1)).as("n_tri"))
+      .orderBy($"n_tri".desc, $"suppkey")
+      .limit(50)
+  }
+
+  private val triangleCountSql =
+    s"""WITH $edgesSql,
+       |t AS (SELECT e1.a AS x, e1.b AS u, e2.b AS w
+       |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |v AS (SELECT x AS suppkey FROM t UNION ALL
+       |      SELECT u FROM t UNION ALL SELECT w FROM t)
+       |SELECT suppkey, count(*) AS n_tri FROM v
+       |GROUP BY suppkey ORDER BY n_tri DESC, suppkey LIMIT 50""".stripMargin
+
+  private val PrIters = 5
+  private val PrUnit  = 1000000L // rank in integer micro-units
+
+  /** 5-iteration PageRank (d = 0.85) over the undirected co-purchase
+    * graph, exact integer arithmetic: contribution = rank div degree
+    * (integral floor), new rank = 150000 + (85 · Σcontrib) div 100 —
+    * division happens BEFORE the sum, so the sum is an order-free
+    * integer reduction and the fixed-point is bit-stable under any
+    * partitioning. Emits every vertex (vertex relation ≈ supplier
+    * count, orders below the edge relation at every SF). */
+  private def pageRank(s: SparkSession, d: String): DataFrame =
+    pageRankOn(edges(s, d))
+
+  /** `private[graft]` for planted-graph specs (see
+    * triangleParticipation); `e0` is canonical a<b undirected edges. */
+  private[graft] def pageRankOn(e0: DataFrame): DataFrame = {
+    val s = e0.sparkSession
+    import s.implicits._
+    val und = e0.union(e0.select($"b", $"a")).toDF("src", "dst").persist()
+    val deg = und.groupBy($"src".as("v")).agg(count(lit(1)).as("deg"))
+      .persist()
+    var rank = deg.select($"v", lit(PrUnit).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = und
+        .join(deg.select($"v".as("src"), $"deg"), "src")
+        .join(rank.select($"v".as("src"), $"r"), "src")
+        .groupBy($"dst".as("v"))
+        .agg(sum(expr("r div deg")).as("c"))
+      // every vertex of an undirected edge has an incoming edge, but the
+      // left join + coalesce keeps the shape total if the graph ever
+      // gains dangling orientation; localCheckpoint truncates the
+      // round-on-round lineage (same rationale as dd_dup_clusters)
+      rank = deg.select($"v").join(contrib, Seq("v"), "left")
+        .select($"v",
+                (lit(150000L) + expr("85 * coalesce(c, 0L) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    rank.select($"v".as("suppkey"), $"r".as("rank_micro"))
+      .orderBy($"rank_micro".desc, $"suppkey")
+  }
+
+  private val pageRankSql = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT deg.v,
+         |    CAST(150000 + (85 * CAST(coalesce(c.c, 0) AS BIGINT)) // 100
+         |         AS BIGINT) AS r
+         |  FROM deg LEFT JOIN (
+         |    SELECT u.dst AS v, CAST(sum(p.r // deg.deg) AS BIGINT) AS c
+         |    FROM u JOIN deg ON u.src = deg.v JOIN $prev p ON u.src = p.v
+         |    GROUP BY u.dst) c ON deg.v = c.v)""".stripMargin
+    val iters = (1 to PrIters)
+      .map(i => iter(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))
+      .mkString(",\n")
+    s"""WITH $edgesSql,
+       |u AS (SELECT a AS src, b AS dst FROM e
+       |      UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT src AS v, count(*) AS deg FROM u GROUP BY src),
+       |r0 AS (SELECT v, CAST($PrUnit AS BIGINT) AS r FROM deg),
+       |$iters
+       |SELECT v AS suppkey, r AS rank_micro FROM r$PrIters
+       |ORDER BY rank_micro DESC, suppkey""".stripMargin
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("x_triangle_count" -> (triangleCount _),
+        "x_pagerank"       -> (pageRank _))
+
+  override val oracles: Map[String, String] =
+    Map("x_triangle_count" -> triangleCountSql,
+        "x_pagerank"       -> pageRankSql)
+}

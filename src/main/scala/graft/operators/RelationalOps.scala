@@ -220,7 +220,38 @@ object RelationalOps extends QueryModule {
       |FROM events WHERE event_type IN ('purchase','signup')
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Set operators (INTERSECT / EXCEPT) as a retention cohort: buyers
+    * active in both halves of the order history vs only the first.
+    * Catalyst rewrites Intersect to a distinct left-SEMI join and
+    * Except to a distinct left-ANTI join — the same broadcast-able
+    * hash-join shapes as j2, so the set-op surface inherits every join
+    * strategy (broadcast under the threshold, shuffled-hash beyond)
+    * instead of needing its own physical operator. */
+  private def setopsCohort(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tbl.orders(s, d)
+    val split = lit("1998-01-01").cast("timestamp")
+    val early = o.where($"o_orderdate" < split).select($"o_custkey")
+    val late  = o.where($"o_orderdate" >= split).select($"o_custkey")
+    early.intersect(late).select($"o_custkey", lit("retained").as("cohort"))
+      .union(early.except(late).select($"o_custkey", lit("lapsed").as("cohort")))
+      .orderBy($"cohort", $"o_custkey")
+  }
+
+  private val setopsCohortSql =
+    """WITH a AS (SELECT o_custkey FROM orders
+      |           WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+      |b AS (SELECT o_custkey FROM orders
+      |      WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+      |SELECT o_custkey, 'retained' AS cohort
+      |FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+      |UNION ALL
+      |SELECT o_custkey, 'lapsed'
+      |FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+      |ORDER BY cohort, o_custkey""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_setops_cohort"    -> (setopsCohort _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "j2_star_revenue"    -> (starRevenue _),
     "j2_semi_join"       -> (semiJoin _),
@@ -232,6 +263,7 @@ object RelationalOps extends QueryModule {
     "w2_in_filter"       -> (inFilter _))
 
   override val oracles: Map[String, String] = Map(
+    "x_setops_cohort"    -> setopsCohortSql,
     "q1_pricing_summary" -> q1Sql,
     "j2_star_revenue"    -> starRevenueSql,
     "j2_semi_join"       -> semiJoinSql,

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.DataFrame
+
+/** Planted-graph semantics for the graph operators: the corpus-derived
+  * co-purchase graph is sparse and hub-free, so these specs drive the
+  * degree-ordered triangle enumeration and the integer PageRank with
+  * graphs whose answers are known in closed form (cliques, stars,
+  * cycles) or computable by a trivial driver-side reference loop.
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(pairs: (Long, Long)*): DataFrame =
+    pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("a", "b")
+
+  test("triangles: K4 — every vertex sits in C(3,2)=3 triangles") {
+    // complete graph on 4 vertices: 4 triangles, each vertex in 3
+    val e = canon(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    val got = GraphOps.triangleParticipation(e)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: hub star + one rim edge — orientation finds the single triangle once") {
+    // hub 0 connected to 1..6 (degree 6); rim edge 1-2 closes exactly
+    // one triangle (0,1,2). The hub is the HIGHEST-ranked vertex, so
+    // the degree-ordered enumeration must find the triangle from a rim
+    // corner, never by fanning C(6,2) wedges out of the hub.
+    val e = canon((1L to 6L).map(i => 0L -> i) :+ (1L -> 2L): _*)
+    val got = GraphOps.triangleParticipation(e)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("triangles: triangle-free path yields no rows") {
+    val e = canon(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    assert(GraphOps.triangleParticipation(e).count() == 0L)
+  }
+
+  /** Driver-side reference: the same fixed-point arithmetic (floor
+    * division before the order-free sum) over an adjacency map. */
+  private def refRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = und.groupBy(_._2).map { case (v, in) =>
+        v -> in.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = deg.keys.map(v => v -> (150000L + 85L * contrib.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pagerank: regular graph (C4 cycle) is an exact integer fixed point") {
+    // every vertex degree 2: contribution in = 2·(1e6 div 2) = 1e6,
+    // rank' = 150000 + 85·1e6 div 100 = 1000000 — bit-exact stability
+    val e = canon(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L)
+    val got = GraphOps.pageRankOn(e).as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1000000L), s"cycle drifted: $got")
+  }
+
+  test("pagerank: star matches the reference loop exactly (integer arithmetic)") {
+    val edges = (1L to 5L).map(i => 0L -> i)
+    val got = GraphOps.pageRankOn(canon(edges: _*))
+      .as[(Long, Long)].collect().toMap
+    assert(got == refRank(edges, 5), s"got $got vs ${refRank(edges, 5)}")
+    assert(got(0L) > got(1L), "hub must out-rank leaves")
+  }
+}

@@ -706,6 +706,49 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("set ops lower to semi join + fused filter, no physical set operator") {
+    // Intersect lowers to a distinct left-SEMI join; Except on two
+    // filters of the SAME source does even better — Catalyst's
+    // ReplaceExceptWithFilter folds it into `p1 AND NOT p2` on one
+    // scan, so the anti join disappears entirely. Pin both: exactly
+    // one join in the whole plan (the semi), and it is LeftSemi.
+    val p = executed(SparkEntry.queries("x_setops_cohort")(spark, d))
+    val joins = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.map(_.joinType.toString) == Seq("LeftSemi"),
+           s"expected exactly one LeftSemi join (Except should fuse " +
+           s"into a filter, Intersect into a semi join):\n$p")
+  }
+
+  test("skyline: the ordered window runs over the day grain, not the fact") {
+    // the single-partition suffix-max window is safe ONLY because its
+    // input is the per-day aggregate (bounded domain); a refactor that
+    // windows the raw orders relation would serialize the whole fact
+    // table through one task at 100 TB
+    val p = executed(SparkEntry.queries("x_skyline")(spark, d))
+    val wins = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size == 1, s"expected exactly one Window:\n$p")
+    val aggBelow = collect(wins.head) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggBelow.nonEmpty,
+           s"window input is not the day-grain aggregate:\n$p")
+    val bhj = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"day frontier must broadcast back to the fact:\n$p")
+  }
+
+  test("triangle count: every join is an equi-join — no nested-loop, no cartesian") {
+    val p = executed(SparkEntry.queries("x_triangle_count")(spark, d))
+    val bad = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bad.isEmpty, s"triangle enumeration fell off the hash-join path:\n$p")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
