@@ -527,7 +527,88 @@ object DedupOps extends QueryModule {
       |      (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
       |GROUP BY 1 ORDER BY keeper""".stripMargin
 
+  /** Exact-threshold set-similarity join via PREFIX FILTERING (the
+    * PPJoin family): for Jaccard ≥ t, two trigram sets MUST share at
+    * least one token among each set's (n − ⌈t·n⌉ + 1)-token prefix in
+    * a global rare-first order — so candidate generation joins only on
+    * prefix tokens, not every shared gram. Three reductions compose:
+    *  - prefix filter: ~(1−t) of each doc's grams enter the join, and
+    *    they are the RAREST grams (global (df, gram) order), so prefix
+    *    collisions are the low-df end of the gram spectrum;
+    *  - length filter, inside the join condition: |A| and |B| within
+    *    a factor t of each other or the threshold is unreachable;
+    *  - fused verify: each side carries its full gram array through
+    *    the prefix exchange once (the `sim_emb_neardup` signature-
+    *    exchange pattern), so the exact |A∩B| is computed at the
+    *    collision site — no per-pair exchange, no second join tier.
+    * Unlike `dd_ngram_jaccard` (all shared-gram pairs counted, df cap
+    * trading recall for the bound), the prefix join is EXACT at its
+    * threshold: the oracle states the UNFILTERED ground truth
+    * (every shared-gram pair, exact intersection), so a hash match
+    * proves the prefix+length filters are lossless, not just
+    * self-consistent. */
+  private val PrefixT = (6, 10) // Jaccard threshold 0.6 as an exact rational
+
+  private def prefixJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (tn, td) = PrefixT
+    val docGrams = withShingles(Tbl.documents(s, d))
+      .select($"doc_id", $"sh").persist()
+    val ex = docGrams.select($"doc_id", explode($"sh").as("gram"))
+    // global document frequency = the canonical rare-first token order;
+    // vocabulary-sized relation, shuffled on the same gram key the
+    // prefix join uses
+    val gramDf = ex.groupBy($"gram").agg(count(lit(1)).as("df"))
+    // (df, gram) is unique within a doc (grams are distinct), so the
+    // per-doc rank — and with it the prefix — is deterministic
+    val ranked = ex.join(gramDf, "gram")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"gram")))
+    val pref = ranked
+      .join(docGrams.withColumn("n", size($"sh")), "doc_id")
+      .where($"rk" <= $"n" - expr(s"($tn * n + ${td - 1}) div $td") + 1)
+      .select($"doc_id", $"gram", $"n", $"sh")
+      // persisted: both self-join sides read the prefix relation;
+      // without it each side re-runs the df + array prep joins (the
+      // same lesson ngramJaccard's `kept` records)
+      .persist()
+    pref.as("l")
+      .join(pref.as("r"),
+            $"l.gram" === $"r.gram" && $"l.doc_id" < $"r.doc_id" &&
+            lit(td) * least($"l.n", $"r.n") >=
+              lit(tn) * greatest($"l.n", $"r.n"))
+      .select($"l.doc_id".as("a"), $"r.doc_id".as("b"),
+              size(array_intersect($"l.sh", $"r.sh")).cast("long").as("i"),
+              $"l.n".cast("long").as("na"), $"r.n".cast("long").as("nb"))
+      .where(lit(td) * $"i" >= lit(tn) * ($"na" + $"nb" - $"i"))
+      .select($"a", $"b",
+              expr("i * 1000 div (na + nb - i)").as("jacc_permille"))
+      // a pair colliding on m prefix grams appears m times with the
+      // same exact jaccard — filter-then-distinct, as in the fused
+      // near-dup verify
+      .distinct()
+      .orderBy($"a", $"b")
+  }
+
+  private val prefixJoinSql = {
+    val (tn, td) = PrefixT
+    s"""WITH dg AS (SELECT doc_id, $shinglesSql AS g FROM documents),
+       |n AS (SELECT doc_id, len(g) AS n FROM dg),
+       |ex AS (SELECT doc_id, unnest(g) AS gram FROM dg),
+       |shd AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+       |        FROM ex l JOIN ex r
+       |          ON l.gram = r.gram AND l.doc_id < r.doc_id
+       |        GROUP BY 1, 2)
+       |SELECT a, b,
+       |  CAST(i * 1000 // (na.n + nb.n - i) AS BIGINT) AS jacc_permille
+       |FROM shd JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
+       |WHERE $td * i >= $tn * (na.n + nb.n - i)
+       |ORDER BY a, b""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_prefix_join"   -> (prefixJoin _),
     "dd_dup_spans"     -> (dupSpans _),
     "dd_exact"         -> (exactDedup _),
     "dd_incremental"   -> (incrementalDedup _),
@@ -539,6 +620,7 @@ object DedupOps extends QueryModule {
     "dd_ngram_jaccard" -> (ngramJaccard _))
 
   override val oracles: Map[String, String] = Map(
+    "dd_prefix_join"   -> prefixJoinSql,
     "dd_dup_spans"     -> dupSpansSql,
     "dd_exact"         -> exactDedupSql,
     "dd_incremental"   -> incrementalDedupSql,

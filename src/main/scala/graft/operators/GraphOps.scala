@@ -162,10 +162,22 @@ object GraphOps extends QueryModule {
     val iters = (1 to PrIters)
       .map(i => iter(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))
       .mkString(",\n")
-    s"""WITH $edgesSql,
-       |u AS (SELECT a AS src, b AS dst FROM e
-       |      UNION ALL SELECT b, a FROM e),
-       |deg AS (SELECT src AS v, count(*) AS deg FROM u GROUP BY src),
+    // AS MATERIALIZED: without it DuckDB inlines the edge-derivation
+    // chain (lineitem self-join + distinct) into EVERY iteration CTE —
+    // at sf10 that re-evaluation spilled past the host's scratch disk.
+    // Materializing the 3 shared relations makes each unrolled
+    // iteration a join over the cached edge list, mirroring what the
+    // engine's persist() does.
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+       |  FROM lineitem WHERE l_quantity <= 5),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.sk AS a, y.sk AS b
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+       |u AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+       |                   UNION ALL SELECT b, a FROM e),
+       |deg AS MATERIALIZED (
+       |  SELECT src AS v, count(*) AS deg FROM u GROUP BY src),
        |r0 AS (SELECT v, CAST($PrUnit AS BIGINT) AS r FROM deg),
        |$iters
        |SELECT v AS suppkey, r AS rank_micro FROM r$PrIters

@@ -749,6 +749,28 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bad.isEmpty, s"triangle enumeration fell off the hash-join path:\n$p")
   }
 
+  test("prefix join: verify is fused into the candidate join — one pair join, no re-attach tier") {
+    // the prep joins (df + gram-array attach) live inside the persisted
+    // prefix relation, so the executed plan shows exactly ONE join: the
+    // gram self-join, with the exact-intersection verify pushed into
+    // its CONDITION (array_intersect evaluated at the collision site).
+    // A second visible join would mean the verify left the collision
+    // site and re-attached per-PAIR payloads — the exchange shape the
+    // fused near-dup path exists to prevent.
+    val p = executed(SparkEntry.queries("dd_prefix_join")(spark, d))
+    val joins = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size == 1, s"expected exactly 1 visible join, got ${joins.size}:\n$p")
+    assert(joins.head.condition.exists(_.toString.contains("array_intersect")),
+           s"exact-set verify is not fused into the join condition:\n$p")
+    val bad = joins.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bad.isEmpty, s"prefix join fell off the hash-join path:\n$p")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
