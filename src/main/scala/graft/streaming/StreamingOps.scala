@@ -1269,7 +1269,67 @@ object StreamingOps extends QueryModule {
     "s14_stream_dedup_wm"   -> (streamDedupWm _),
     "s23_stream_timer_session" -> (streamTimerSession _),
     "s24_stream_ttl_profile" -> (streamTtlProfile _),
-    "s25_stream_kmv"        -> (streamKmv _))
+    "s25_stream_kmv"        -> (streamKmv _),
+    "s26_stream_asof_join"  -> (streamAsofJoin _))
+
+  /** s26: STREAMING AS-OF join — for each purchase, the LATEST click by
+    * the same user within the preceding 10 minutes. Spark has no native
+    * stream-stream as-of, so it composes from two watermark-evictable
+    * stateful operators: the time-interval join (same state shape as
+    * s12) feeding a CHAINED aggregation keyed on the purchase with a
+    * deterministic `max_by` argmax — the join→agg multi-stateful
+    * pipeline (s20 chains agg→agg). `p_ts` sits in the group keys so
+    * the agg's state evicts by the propagated watermark; the sentinel
+    * rows advance it past the tail so append-mode finals flush. The
+    * argmax tie-breaks on (c_ts, click_id), the same total order the
+    * oracle's row_number states — deterministic under any partitioning
+    * or batch layout. */
+  private def streamAsofJoin(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) {
+      import s.implicits._
+      val base = eventStream(s, d, Seq("click", "purchase"))
+        .select($"user_id", $"event_id", $"event_type", $"ts")
+      val clicks = base
+        .withWatermark("ts", "10 minutes")
+        .where($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+                $"ts".as("c_ts"))
+      val purchases = base
+        .withWatermark("ts", "10 minutes")
+        .where($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+                $"ts".as("p_ts"))
+      val joined = clicks.join(purchases,
+        $"c_user" === $"p_user" &&
+        $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 10 MINUTES"))
+      val asof = joined
+        .groupBy($"p_user", $"purchase_id", $"p_ts")
+        .agg(max_by($"click_id", struct($"c_ts", $"click_id"))
+               .as("asof_click_id"),
+             max($"c_ts").as("asof_c_ts"))
+      runToTable(s, asof, "s_asof_join", OutputMode.Append(),
+                 flushFinal = true)
+        .where($"p_user" >= 0) // drop the watermark sentinels
+        .select($"p_user".as("user_id"), $"purchase_id", $"asof_click_id",
+                (unix_micros($"p_ts") - unix_micros($"asof_c_ts")).as("lag_us"))
+        .orderBy($"user_id", $"purchase_id")
+    }
+
+  private val streamAsofJoinSql =
+    """WITH j AS (
+      |  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS p_ts,
+      |         c.event_id AS click_id, c.ts AS c_ts
+      |  FROM events p JOIN events c
+      |    ON c.user_id = p.user_id
+      |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE),
+      |r AS (SELECT user_id, purchase_id, p_ts, click_id, c_ts,
+      |        row_number() OVER (PARTITION BY purchase_id
+      |                           ORDER BY c_ts DESC, click_id DESC) AS rn
+      |      FROM j)
+      |SELECT user_id, purchase_id, click_id AS asof_click_id,
+      |       epoch_us(p_ts) - epoch_us(c_ts) AS lag_us
+      |FROM r WHERE rn = 1 ORDER BY user_id, purchase_id""".stripMargin
 
   override val oracles: Map[String, String] = Map(
     "s19_stream_anti_join"  -> streamAntiJoinSql,
@@ -1297,5 +1357,6 @@ object StreamingOps extends QueryModule {
     "s14_stream_dedup_wm"   -> dedupWmSql,
     "s23_stream_timer_session" -> timerSessionSql,
     "s24_stream_ttl_profile" -> ttlProfileSql,
-    "s25_stream_kmv"        -> streamKmvSql)
+    "s25_stream_kmv"        -> streamKmvSql,
+    "s26_stream_asof_join"  -> streamAsofJoinSql)
 }

@@ -245,6 +245,70 @@ class StatefulOpsSpec extends SparkSpec {
       s"restarted join must match restored state AND flush outer nulls: $fin")
   }
 
+  test("restart recovery: as-of join→argmax pipeline merges state across restart (s26)") {
+    // s26's shape: time-interval join feeding a chained argmax agg.
+    // Run 1 leaves BOTH operators holding state for purchase 101 (two
+    // candidate clicks joined, agg un-finalized — append mode, no
+    // watermark passage). Run 2, a NEW query on the same checkpoint,
+    // delivers a LATER click that (a) must match the RESTORED join
+    // state's purchase and (b) must displace the restored argmax —
+    // then sentinels advance the watermark so the final row flushes.
+    // Result is correct only if both stateful operators recovered and
+    // the argmax merged across the restart boundary.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    graft.streaming.StreamingOps.configureStreaming(spark)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val srcDir = java.nio.file.Files.createTempDirectory("asof_restart_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("asof_restart_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("asof_restart_ck").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("user", LongType),
+      StructField("typ", StringType), StructField("ts_s", LongType)))
+    def stage(rows: Seq[(Long, Long, String, Long)]): Unit =
+      rows.toDF("id", "user", "typ", "ts_s").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      val base = spark.readStream.schema(schema).parquet(srcDir)
+        .withColumn("ts", timestamp_seconds($"ts_s"))
+      val clicks = base.withWatermark("ts", "10 minutes")
+        .where($"typ" === "click")
+        .select($"user".as("c_user"), $"id".as("click_id"), $"ts".as("c_ts"))
+      val purchases = base.withWatermark("ts", "10 minutes")
+        .where($"typ" === "purchase")
+        .select($"user".as("p_user"), $"id".as("purchase_id"), $"ts".as("p_ts"))
+      val asof = clicks.join(purchases,
+          $"c_user" === $"p_user" &&
+          $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 10 MINUTES"))
+        .groupBy($"p_user", $"purchase_id", $"p_ts")
+        .agg(max_by($"click_id", struct($"c_ts", $"click_id")).as("asof_click_id"),
+             max($"c_ts").as("asof_c_ts"))
+      val q = asof.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.stop()
+    }
+    // run 1: two clicks then the purchase — joined rows enter the agg,
+    // nothing finalizes (watermark stays behind p_ts)
+    stage(Seq((1L, 1L, "click", 1000L), (2L, 1L, "click", 1100L),
+              (101L, 1L, "purchase", 1150L)))
+    run()
+    assert(spark.read.parquet(outDir).where($"p_user" >= 0).isEmpty,
+           "append-mode argmax must not finalize before the watermark")
+    // run 2: a later click inside the restored purchase's window must
+    // beat click 2's restored argmax; sentinels flush the final
+    stage(Seq((3L, 1L, "click", 1120L),
+              (-1L, -1L, "click", 10000000L),
+              (-2L, -1L, "purchase", 10000000L)))
+    run()
+    val fin = spark.read.parquet(outDir).where($"p_user" >= 0)
+      .select($"purchase_id", $"asof_click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fin == Set((101L, 3L)),
+      s"restarted pipeline must merge the post-restart click into the argmax: $fin")
+  }
+
   test("restart recovery: chained windowed agg continues across restart") {
     // s20's machinery: BOTH stateful aggregation stages' state must
     // survive restart — run 1's three events sit in the first agg's
