@@ -314,7 +314,16 @@ object TextOps extends QueryModule {
     // |vocab| rows (single partition BY DESIGN: it is the model, not
     // the corpus), and the token stream is scanned exactly twice
     // (once into the counts agg, once through the broadcast join); a
-    // separate 1-row total relation would recompute the counts subtree
+    // separate 1-row total relation would recompute the counts subtree.
+    // Measured and rejected alternative (sf10p, TimeOne best-of-2):
+    // reducing the stream once to (doc_id, token, c) and weighting both
+    // consumers — 38.7/33.0 s vs this shape's 42.3/32.1 s, a wash warm,
+    // because the saved second explode is repaid by a NEW wide exchange
+    // of distinct (doc_id, token) partials that this plan never builds:
+    // here the only exchanges are |vocab| rows (model agg) and ~1 row
+    // per doc per input partition (map-side-combined doc agg), so the
+    // occurrence stream stays inside its scan tasks — the shape that
+    // wins when scan CPU is 1000-way parallel and shuffle is the wall.
     val counts = tok.groupBy($"token").agg(count(lit(1)).as("cnt"))
       .withColumn("n_total",
         sum($"cnt").over(org.apache.spark.sql.expressions.Window
