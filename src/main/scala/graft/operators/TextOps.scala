@@ -908,6 +908,103 @@ object TextOps extends QueryModule {
       |GROUP BY source, lang
       |ORDER BY source, lang""".stripMargin
 
+  private val Bm25QLo   = 4   // query terms: df-ranks 4..11 (8 terms)
+  private val Bm25QHi   = 11
+  private val Bm25TopK  = 10
+
+  /** BM25 top-k retrieval — the keyword-search ranking every
+    * retrieval-augmented training pipeline runs over its corpus: an
+    * 8-term query set scored with Okapi BM25 (k1 = 1.2, b = 0.75,
+    * Lucene's non-negative `ln(1 + (N-df+0.5)/(df+0.5))` idf), top-10
+    * documents per query term. The query set is corpus-derived (df-ranks
+    * 4..11, ties by term) so the benchmark scales with the corpus
+    * instead of hard-coding tokens.
+    *
+    * Determinism across engines — the [[unigramLogprob]] discipline,
+    * extended to BM25's rational tf saturation: idf is the ONLY libm
+    * value, rounded to 7 decimals then floored to integer micro-nats;
+    * k1 and b become exact integer ratios (k1 = 6/5, b = 3/4) and avgdl
+    * is fixed to integer CENTI-tokens (`t_tokens*100 div n_docs`), so
+    * the per-term contribution is one integer expression:
+    *   idf_unat * (22*tf*avgdl_c) div (10*tf*avgdl_c + 3*avgdl_c + 900*dl)
+    * (multiply through `tf + k1*(1-b) + k1*b*dl/avgdl` by `10*avgdl_c`).
+    * All aggregation is exact integer sums — order-free under Spark's
+    * nondeterministic partial-agg order. Overflow headroom: the widest
+    * product is idf_unat·22·tf·avgdl_c ≤ 2^63 ⟹ tf·avgdl_c ≤ ~2.7e10 —
+    * safe past 10⁶-token documents at 10⁴-token mean length.
+    *
+    * Scale shape: the token stream never shuffles wide — `dl` and `df`
+    * are map-side-combined aggs (≤1 row per doc / per vocab term per
+    * input partition), the 8-row query relation and 1-row (N, T) totals
+    * are broadcast, and the only per-match exchange carries (qid, term,
+    * doc_id) triples for documents actually containing a query term.
+    * Final top-10-per-qid is the rank≤k window the RankLimitToTopK rule
+    * rewrites to the native bounded-heap exec — no global sort. */
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ex = Tbl.documents(s, d)
+      .select($"doc_id", explode(split(norm($"text"), " ")).as("term"))
+      .where($"term" =!= "")
+    val dl = ex.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val nt = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_tokens"))
+      .select($"n_docs", expr("t_tokens * 100 div n_docs").as("avgdl_c"))
+    val dfreq = ex.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val qw = org.apache.spark.sql.expressions.Window
+      .orderBy($"df".desc, $"term")
+    val qterms = dfreq.orderBy($"df".desc, $"term").limit(Bm25QHi)
+      .withColumn("qid", row_number().over(qw))
+      .where($"qid" >= Bm25QLo)
+      .select($"qid", $"term", $"df")
+    val tf = ex.join(broadcast(qterms), "term")
+      .groupBy($"qid", $"df", $"doc_id").agg(count(lit(1)).as("tf"))
+    val idf = floor(round(log(lit(1.0) +
+        ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)), 7) * 1000000.0)
+      .cast("long")
+    val scored = tf.join(dl, "doc_id").crossJoin(broadcast(nt))
+      .select($"qid", $"doc_id",
+              (idf * (lit(22L) * $"tf" * $"avgdl_c")).as("cnum"),
+              (lit(10L) * $"tf" * $"avgdl_c" +
+                 lit(3L) * $"avgdl_c" + lit(900L) * $"dl").as("cden"))
+      .select($"qid", $"doc_id", expr("cnum div cden").as("contrib"))
+      .groupBy($"qid", $"doc_id")
+      .agg(sum($"contrib").as("score_unat"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"score_unat".desc, $"doc_id")
+    scored.withColumn("rk", row_number().over(rw))
+      .where($"rk" <= Bm25TopK)
+      .orderBy($"qid", $"rk")
+  }
+
+  private val bm25Sql =
+    s"""WITH ex AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+       |  FROM documents),
+       |ex2 AS (SELECT doc_id, term FROM ex WHERE term <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM ex2 GROUP BY 1),
+       |nt AS (SELECT count(*) AS n_docs, sum(dl) * 100 // count(*) AS avgdl_c
+       |       FROM dl),
+       |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM ex2 GROUP BY 1),
+       |q AS (SELECT qid, term, df FROM (
+       |    SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS qid
+       |    FROM dfreq ORDER BY df DESC, term LIMIT $Bm25QHi)
+       |  WHERE qid >= $Bm25QLo),
+       |tf AS (SELECT q.qid, q.df, e.doc_id, count(*) AS tf
+       |       FROM ex2 e JOIN q ON e.term = q.term GROUP BY 1, 2, 3),
+       |sc AS (SELECT qid, t.doc_id,
+       |    CAST(floor(round(ln(1.0 + (n.n_docs - t.df + 0.5) / (t.df + 0.5)), 7)
+       |               * 1000000.0) AS BIGINT)
+       |      * (22 * t.tf * n.avgdl_c)
+       |      // (10 * t.tf * n.avgdl_c + 3 * n.avgdl_c + 900 * d.dl) AS contrib
+       |  FROM tf t JOIN dl d ON t.doc_id = d.doc_id, nt n),
+       |agg AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score_unat
+       |        FROM sc GROUP BY 1, 2)
+       |SELECT qid, doc_id, score_unat, rk FROM (
+       |  SELECT qid, doc_id, score_unat,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY score_unat DESC, doc_id) AS rk
+       |  FROM agg)
+       |WHERE rk <= $Bm25TopK ORDER BY qid, rk""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_tfidf"         -> (tfidf _),
     "tx_token_stats"   -> (tokenStats _),
@@ -925,7 +1022,8 @@ object TextOps extends QueryModule {
     "tx_bpe_train"     -> (bpeTrain _),
     "tx_bpe_apply"     -> (bpeApply _),
     "tx_decontaminate" -> (decontaminate _),
-    "tx_source_stats"  -> (sourceStats _))
+    "tx_source_stats"  -> (sourceStats _),
+    "tx_bm25"          -> (bm25 _))
 
   override val oracles: Map[String, String] = Map(
     "tx_tfidf"         -> tfidfSql,
@@ -944,5 +1042,6 @@ object TextOps extends QueryModule {
     "tx_bpe_train"     -> bpeTrainSql,
     "tx_bpe_apply"     -> bpeApplySql,
     "tx_decontaminate" -> decontaminateSql,
-    "tx_source_stats"  -> sourceStatsSql)
+    "tx_source_stats"  -> sourceStatsSql,
+    "tx_bm25"          -> bm25Sql)
 }

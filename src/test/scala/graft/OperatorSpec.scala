@@ -245,6 +245,23 @@ class OperatorSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("tx_bm25: ranks contiguous per qid, scores monotone, hits contain the term") {
+    val df = SparkEntry.queries("tx_bm25")(spark, d).persist()
+    // 8 query terms (df-ranks 4..11); every returned rank list is 1..n
+    val byQ = df.groupBy($"qid")
+      .agg(count(lit(1)).as("n"), max($"rk").as("maxrk"), min($"rk").as("minrk"))
+    assert(byQ.where($"qid" < 4 || $"qid" > 11).count() == 0)
+    assert(byQ.where($"n" > 10 || $"maxrk" =!= $"n" || $"minrk" =!= 1).count() == 0)
+    // scores non-increasing in rank order; a single-term query's score is
+    // positive (Lucene idf > 0, tf >= 1)
+    val self = df.select($"qid", $"rk", $"score_unat")
+    val next = df.select($"qid", ($"rk" - 1).as("rk"), $"score_unat".as("next_score"))
+    assert(self.join(next, Seq("qid", "rk"))
+      .where($"next_score" > $"score_unat").count() == 0)
+    assert(df.where($"score_unat" <= 0L).count() == 0)
+    df.unpersist()
+  }
+
   test("mm_decode_features: ImageIO decode roundtrip is pixel-exact") {
     import graft.operators.MultimodalOps.MediaCodec
     // the query's digest comes from ImageIO.read over real PNG bytes;
