@@ -27,6 +27,7 @@ object SparkEntry {
     SimilarityOps,
     MultimodalOps,
     GraphOps,
+    MiningOps,
     ScaleOps,
     SourceOps,
     StreamingOps)

@@ -184,11 +184,76 @@ object GraphOps extends QueryModule {
        |ORDER BY rank_micro DESC, suppkey""".stripMargin
   }
 
+  private val BfsHops = 6
+
+  /** Single-source shortest path (hop count) from the lowest-id vertex,
+    * fixed [[BfsHops]] relaxation rounds — the third classic iterative
+    * graph shape beside min-label CC (`dd_dup_clusters`) and value
+    * propagation (`x_pagerank`). Each round relaxes every edge once:
+    * d_{i+1}(v) = min(d_i(v), min over in-edges of d_i(u)+1) — one hash
+    * join on the frontier relation + one min-groupBy, `localCheckpoint`
+    * truncating the per-round lineage. Fixed depth (like PrIters) keeps
+    * the plan static and lets the oracle unroll the identical rounds as
+    * chained CTEs; vertices beyond [[BfsHops]] hops are absent from both
+    * engines by the same rule. Emits hop DISTANCES, so the result is
+    * unique even where shortest paths are not. */
+  private def shortestPath(s: SparkSession, d: String): DataFrame =
+    shortestPathOn(edges(s, d))
+
+  /** `private[graft]` for planted-graph specs (paths, cycles, stars)
+    * whose hop distances are known in closed form. */
+  private[graft] def shortestPathOn(e0: DataFrame): DataFrame = {
+    val s = e0.sparkSession
+    import s.implicits._
+    val und = e0.union(e0.select($"b", $"a")).toDF("src", "dst").persist()
+    // source = global min vertex id; with canonical a<b edges that is
+    // min(a) (every vertex that only appears as b beats some a below it)
+    var dist = e0.agg(min($"a").as("v")).select($"v", lit(0L).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to BfsHops) {
+      val relaxed = und
+        .join(dist.select($"v".as("src"), $"d"), "src")
+        .select($"dst".as("v"), ($"d" + 1L).as("d"))
+      dist = dist.union(relaxed)
+        .groupBy($"v").agg(min($"d").as("d"))
+        .localCheckpoint()
+    }
+    dist.select($"v".as("suppkey"), $"d".as("dist")).orderBy($"suppkey")
+  }
+
+  private val shortestPathSql = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT v, CAST(min(d) AS BIGINT) AS d FROM (
+         |    SELECT v, d FROM $prev
+         |    UNION ALL
+         |    SELECT u.dst AS v, p.d + 1 AS d FROM u JOIN $prev p ON u.src = p.v)
+         |  GROUP BY v)""".stripMargin
+    val rounds = (1 to BfsHops)
+      .map(i => round(if (i == 1) "d0" else s"d${i - 1}", s"d$i"))
+      .mkString(",\n")
+    // AS MATERIALIZED for the same reason as pageRankSql: the unrolled
+    // rounds must share one edge list, not re-derive it per CTE
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+       |  FROM lineitem WHERE l_quantity <= 5),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.sk AS a, y.sk AS b
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+       |u AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+       |                   UNION ALL SELECT b, a FROM e),
+       |d0 AS (SELECT min(a) AS v, CAST(0 AS BIGINT) AS d FROM e),
+       |$rounds
+       |SELECT v AS suppkey, d AS dist FROM d$BfsHops ORDER BY suppkey""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("x_triangle_count" -> (triangleCount _),
-        "x_pagerank"       -> (pageRank _))
+        "x_pagerank"       -> (pageRank _),
+        "x_shortest_path"  -> (shortestPath _))
 
   override val oracles: Map[String, String] =
     Map("x_triangle_count" -> triangleCountSql,
-        "x_pagerank"       -> pageRankSql)
+        "x_pagerank"       -> pageRankSql,
+        "x_shortest_path"  -> shortestPathSql)
 }

@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.{QueryModule, Tbl}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-mining / statistics shapes a curation pipeline layers on top of
+  * the relational core (extension mandate; the reference's surface stops
+  * at windowed aggregation): market-basket association rules, Markov
+  * transition matrices over event sequences, OHLC time-bucket
+  * downsampling, and MAD-based robust anomaly detection.
+  *
+  * Determinism discipline (SURVEY.md §7.1): every ratio is integer
+  * micro-units with floor division (`div` here, `//` in DuckDB — both
+  * floor, and every operand here is non-negative), every quantile runs
+  * over exact integer cents where the interpolated midpoint is a
+  * half-integer both engines represent exactly in IEEE doubles.
+  */
+object MiningOps extends QueryModule {
+
+  /** Association rules over (user, event-type) baskets: support,
+    * confidence and lift per unordered type pair, all integer-exact.
+    *
+    * Scale shape: the basket relation is one `distinct` shuffle on
+    * (user_id, item); the pair self-join is keyed on user_id, so its
+    * fan-out per user is C(items-per-user, 2) ≤ C(5, 2) here — bounded
+    * by the ITEM VOCABULARY, not the corpus. With a high-cardinality
+    * item space (parts, n-grams) the same plan needs a min-support
+    * pre-filter on the item counts before pairing (classic a-priori
+    * pruning); with 5 event types the full pair lattice is 10 rows.
+    * Overflow bound: pc·users·1e6 ≤ users²·1e6 stays under 2⁶³ while
+    * users < 3·10⁶ — at larger corpora drop to lift_e3. */
+  private def assocRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = Tbl.events(s, d)
+      .select($"user_id", $"event_type").distinct().persist()
+    val cnt = b.groupBy($"event_type").agg(count(lit(1)).as("cnt"))
+    val n = b.select(countDistinct($"user_id").as("n_users"))
+    b.as("x").join(b.as("y"),
+        $"x.user_id" === $"y.user_id" && $"x.event_type" < $"y.event_type")
+      .groupBy($"x.event_type".as("item_a"), $"y.event_type".as("item_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .join(cnt.select($"event_type".as("item_a"), $"cnt".as("cnt_a")), "item_a")
+      .join(cnt.select($"event_type".as("item_b"), $"cnt".as("cnt_b")), "item_b")
+      .crossJoin(broadcast(n))
+      .select($"item_a", $"item_b", $"pair_cnt", $"cnt_a", $"cnt_b",
+              expr("pair_cnt * 1000000L div cnt_a").as("conf_ab_e6"),
+              expr("pair_cnt * 1000000L div cnt_b").as("conf_ba_e6"),
+              expr("pair_cnt * n_users * 1000000L div (cnt_a * cnt_b)")
+                .as("lift_e6"))
+      .orderBy($"item_a", $"item_b")
+  }
+
+  private val assocRulesSql =
+    """WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+      |cnt AS (SELECT event_type, count(*) AS cnt FROM b GROUP BY 1),
+      |n AS (SELECT count(DISTINCT user_id) AS n_users FROM b),
+      |p AS (SELECT x.event_type AS item_a, y.event_type AS item_b,
+      |             count(*) AS pair_cnt
+      |      FROM b x JOIN b y ON x.user_id = y.user_id
+      |                       AND x.event_type < y.event_type
+      |      GROUP BY 1, 2)
+      |SELECT item_a, item_b, pair_cnt, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+      |  pair_cnt * 1000000 // ca.cnt AS conf_ab_e6,
+      |  pair_cnt * 1000000 // cb.cnt AS conf_ba_e6,
+      |  pair_cnt * n_users * 1000000 // (ca.cnt * cb.cnt) AS lift_e6
+      |FROM p JOIN cnt ca ON p.item_a = ca.event_type
+      |       JOIN cnt cb ON p.item_b = cb.event_type, n
+      |ORDER BY item_a, item_b""".stripMargin
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence (ordered by (ts, event_id) — event_id breaks timestamp
+    * ties so both engines walk identical sequences). One user_id
+    * shuffle for the lag, then a vocabulary-sized (|types|²) aggregate;
+    * transition probability in floor-e6 units off the per-source row
+    * totals. */
+  private def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t_us", $"event_id")
+    val pairs = Tbl.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("t_us"),
+              $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .where($"prev".isNotNull)
+      .groupBy($"prev".as("from_type"), $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy($"from_type").agg(sum($"n").as("tot"))
+    pairs.join(broadcast(tot), "from_type")
+      .select($"from_type", $"to_type", $"n",
+              expr("n * 1000000L div tot").as("p_e6"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  private val markovTransitionsSql =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |p AS (SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+      |      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+      |      FROM p GROUP BY 1)
+      |SELECT from_type, to_type, n, n * 1000000 // tot AS p_e6
+      |FROM p JOIN t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
+  private val BarUs = 3600000000L // 1-hour bars, pure integer µs floor
+
+  /** OHLC downsampling: per (event_type, hour) open/high/low/close in
+    * exact cents, bucketed by integer-µs floor (no calendar functions —
+    * the bucket is `t_us div 3600e6`, identical in any time zone).
+    * open/close are selected by row_number over (t_us, event_id) — a
+    * total order, so ties can't make the engines pick different rows.
+    * One shuffle on (type, bar); both window passes and the final
+    * aggregate run inside that partitioning. */
+  private def ohlcBars(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tbl.events(s, d)
+      .select($"event_type", unix_micros($"ts").as("t_us"), $"event_id",
+              Tbl.cents($"value").as("v_c"))
+      .withColumn("bar_us", expr(s"t_us div ${BarUs}L * ${BarUs}L"))
+    val part = Window.partitionBy($"event_type", $"bar_us")
+    val asc  = part.orderBy($"t_us".asc,  $"event_id".asc)
+    val desc = part.orderBy($"t_us".desc, $"event_id".desc)
+    ev.withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy($"event_type", $"bar_us")
+      .agg(max(when($"rn_a" === 1, $"v_c")).as("open_c"),
+           max($"v_c").as("high_c"),
+           min($"v_c").as("low_c"),
+           max(when($"rn_d" === 1, $"v_c")).as("close_c"),
+           count(lit(1)).as("n"),
+           sum($"v_c").as("vol_c"))
+      .orderBy($"event_type", $"bar_us")
+  }
+
+  private val ohlcBarsSql =
+    s"""WITH ev AS (
+       |  SELECT event_type, epoch_us(ts) AS t_us, event_id,
+       |         CAST(round(value*100) AS BIGINT) AS v_c,
+       |         epoch_us(ts) // $BarUs * $BarUs AS bar_us
+       |  FROM events),
+       |r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY event_type, bar_us
+       |                       ORDER BY t_us, event_id) AS rn_a,
+       |    row_number() OVER (PARTITION BY event_type, bar_us
+       |                       ORDER BY t_us DESC, event_id DESC) AS rn_d
+       |  FROM ev)
+       |SELECT event_type, bar_us,
+       |  max(CASE WHEN rn_a = 1 THEN v_c END) AS open_c,
+       |  max(v_c) AS high_c, min(v_c) AS low_c,
+       |  max(CASE WHEN rn_d = 1 THEN v_c END) AS close_c,
+       |  count(*) AS n, CAST(sum(v_c) AS BIGINT) AS vol_c
+       |FROM r GROUP BY event_type, bar_us
+       |ORDER BY event_type, bar_us""".stripMargin
+
+  /** Robust anomaly detection: per-type median and MAD (median absolute
+    * deviation), flagging values beyond 3·MAD — the outlier rule that,
+    * unlike z-scores, a single corrupt batch can't drag. Exactness:
+    * medians run over integer cents, so the even-count midpoint is a
+    * half-integer; doubling before the cast (med2 = 2·median,
+    * mad4 = 2·median(2·|dev|)) keeps every emitted stat an exact
+    * BIGINT, and the outlier test `2·dev2 > 3·mad4` is the pure-integer
+    * form of |v−med| > 3·MAD. Scale shape: two grouped exact quantiles
+    * (per-group buffers — see x_approx_quantile for the sketch path at
+    * 100 TB) plus two broadcast joins of a |types|-row relation; the
+    * corpus is scanned, never shuffled on a wide key. */
+  private def anomalyMad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tbl.events(s, d)
+      .select($"event_type", Tbl.cents($"value").as("v_c"))
+    val med = ev.groupBy($"event_type")
+      .agg((percentile($"v_c", lit(0.5)) * 2).cast("long").as("med2"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select($"event_type", $"med2", abs($"v_c" * 2 - $"med2").as("dev2"))
+    val mad = dev.groupBy($"event_type")
+      .agg((percentile($"dev2", lit(0.5)) * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), max($"med2").as("med2"),
+           max($"mad4").as("mad4"),
+           sum(when($"dev2" * 2 > $"mad4" * 3, 1L).otherwise(0L))
+             .as("n_out"))
+      .orderBy($"event_type")
+  }
+
+  private val anomalyMadSql =
+    """WITH ev AS (SELECT event_type,
+      |                   CAST(round(value*100) AS BIGINT) AS v_c
+      |            FROM events),
+      |med AS (SELECT event_type,
+      |               CAST(2*quantile_cont(v_c, 0.5) AS BIGINT) AS med2
+      |        FROM ev GROUP BY 1),
+      |dev AS (SELECT ev.event_type, med2, abs(v_c*2 - med2) AS dev2
+      |        FROM ev JOIN med USING (event_type)),
+      |mad AS (SELECT event_type,
+      |               CAST(2*quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+      |        FROM dev GROUP BY 1)
+      |SELECT event_type, count(*) AS n, max(med2) AS med2, max(mad4) AS mad4,
+      |       CAST(count(*) FILTER (WHERE dev2*2 > mad4*3) AS BIGINT) AS n_out
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("x_assoc_rules"        -> (assocRules _),
+        "x_markov_transitions" -> (markovTransitions _),
+        "x_ohlc_bars"          -> (ohlcBars _),
+        "x_anomaly_mad"        -> (anomalyMad _))
+
+  override val oracles: Map[String, String] =
+    Map("x_assoc_rules"        -> assocRulesSql,
+        "x_markov_transitions" -> markovTransitionsSql,
+        "x_ohlc_bars"          -> ohlcBarsSql,
+        "x_anomaly_mad"        -> anomalyMadSql)
+}

@@ -71,4 +71,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == refRank(edges, 5), s"got $got vs ${refRank(edges, 5)}")
     assert(got(0L) > got(1L), "hub must out-rank leaves")
   }
+
+  test("shortest path: path graph gives exact hop distances from the min vertex") {
+    // 1-2-3-4-5-6-7-8: source = 1; vertex 8 is 7 hops away — beyond the
+    // 6-round relaxation, so it must be ABSENT, not wrong
+    val e = canon((1L to 7L).map(i => i -> (i + 1)): _*)
+    val got = GraphOps.shortestPathOn(e).as[(Long, Long)].collect().toMap
+    assert(got == (1L to 7L).map(i => i -> (i - 1)).toMap, s"got $got")
+  }
+
+  test("shortest path: cycle takes the shorter way around") {
+    // C6 1..6: dist(4) = 3 via either arc; dist(6) = 1 backwards
+    val e = canon(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L, 1L -> 6L)
+    val got = GraphOps.shortestPathOn(e).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+                      5L -> 2L, 6L -> 1L), s"got $got")
+  }
+
+  test("shortest path: disconnected component is absent") {
+    val e = canon(1L -> 2L, 5L -> 6L)
+    val got = GraphOps.shortestPathOn(e).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L), s"got $got")
+  }
 }

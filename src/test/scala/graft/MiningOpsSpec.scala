@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Planted-fixture semantics for the mining operators: tiny event
+  * corpora whose association lifts, transition matrices, OHLC bars and
+  * MAD statistics are known in closed form. Fixtures are written as
+  * parquet star-schema fragments so the specs drive the EXACT public
+  * query entry points (name → (spark, sfDir) → DataFrame). */
+class MiningOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write an events.parquet with the given rows into a temp sfDir. */
+  private def eventsDir(
+      rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("mining_fx").toString
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .selectExpr("event_id", "timestamp_micros(ts_us) AS ts", "user_id",
+                  "event_type", "value", "CAST(null AS STRING) AS props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def run(name: String, d: String) =
+    SparkEntry.queries(name)(spark, d)
+
+  test("assoc rules: planted baskets give exact counts, confidence and lift") {
+    // users 1,2,3: {a,b}, {a,b}, {a}  → cnt(a)=3, cnt(b)=2, pair(a,b)=2
+    // conf(a→b) = 2/3, conf(b→a) = 1, lift = 2·3/(3·2) = 1
+    val d = eventsDir(Seq(
+      (1L, 1000L, 1L, "a", 1.0), (2L, 2000L, 1L, "b", 1.0),
+      (3L, 3000L, 2L, "a", 1.0), (4L, 4000L, 2L, "b", 1.0),
+      (5L, 5000L, 3L, "a", 1.0)))
+    val got = run("x_assoc_rules", d)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List(("a", "b", 2L, 3L, 2L, 666666L, 1000000L, 1000000L)))
+  }
+
+  test("markov: planted sequence a→b→b→a yields exact floor-e6 probabilities") {
+    // one user, order by ts: a,b,b,a → transitions ab, bb, ba
+    // from a: {b:1} tot 1; from b: {a:1, b:1} tot 2
+    val d = eventsDir(Seq(
+      (1L, 1000L, 7L, "a", 0.0), (2L, 2000L, 7L, "b", 0.0),
+      (3L, 3000L, 7L, "b", 0.0), (4L, 4000L, 7L, "a", 0.0)))
+    val got = run("x_markov_transitions", d)
+      .as[(String, String, Long, Long)].collect().toList
+    assert(got == List(("a", "b", 1L, 1000000L),
+                       ("b", "a", 1L, 500000L),
+                       ("b", "b", 1L, 500000L)))
+  }
+
+  test("markov: timestamp ties break by event_id") {
+    // two events at the SAME ts: event_id order decides the sequence
+    val d = eventsDir(Seq(
+      (1L, 1000L, 7L, "a", 0.0), (2L, 1000L, 7L, "b", 0.0)))
+    val got = run("x_markov_transitions", d)
+      .as[(String, String, Long, Long)].collect().toList
+    assert(got == List(("a", "b", 1L, 1000000L)))
+  }
+
+  test("ohlc: open/close follow (ts, event_id) order; high/low/vol exact") {
+    val h = 3600000000L // one bar
+    val d = eventsDir(Seq(
+      (2L, 100L, 1L, "t", 5.0),          // same ts as event 1 — id breaks tie
+      (1L, 100L, 1L, "t", 3.0),          //   → open = 3.00
+      (3L, 200L, 1L, "t", 9.0),          // high
+      (4L, 300L, 1L, "t", 1.0),          // low, close (latest ts)
+      (5L, h + 1L, 1L, "t", 7.0)))       // second bar, single row
+    val got = run("x_ohlc_bars", d)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got == List(
+      ("t", 0L, 300L, 900L, 100L, 100L, 4L, 1800L),
+      ("t", h, 700L, 700L, 700L, 700L, 1L, 700L)))
+  }
+
+  test("mad: planted values give exact med2/mad4 and the 3-MAD outlier count") {
+    // v_c = {100, 200, 300, 10000}: median = 250 → med2 = 500
+    // dev2 = |2v−500| = {300, 100, 100, 19500}: median(dev2) = 200 → mad4 = 400
+    // outliers: 2·dev2 > 3·400 = 1200 → only 19500 → n_out = 1
+    val d = eventsDir(Seq(
+      (1L, 1000L, 1L, "t", 1.0), (2L, 2000L, 1L, "t", 2.0),
+      (3L, 3000L, 1L, "t", 3.0), (4L, 4000L, 1L, "t", 100.0)))
+    val got = run("x_anomaly_mad", d)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(got == List(("t", 4L, 500L, 400L, 1L)))
+  }
+}

@@ -771,6 +771,39 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bad.isEmpty, s"prefix join fell off the hash-join path:\n$p")
   }
 
+  test("assoc rules: basket pairing is a user-keyed equi-join; the only NL join is the 1-row total attach") {
+    // the pair generation must join baskets on user_id (hash/SMJ), never
+    // all-pairs; the single BNLJ allowed is the broadcast of the ONE-ROW
+    // n_users aggregate (constant-size by construction)
+    val p = executed(SparkEntry.queries("x_assoc_rules")(spark, d))
+    val cart = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(cart.isEmpty, s"assoc rules planned a cartesian product:\n$p")
+    val nl = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nl.size <= 1, s"unexpected nested-loop joins:\n$p")
+    nl.foreach { j =>
+      val oneRow = Seq(j.left, j.right).exists(
+        _.output.exists(_.name == "n_users"))
+      assert(oneRow, s"NL join is not the 1-row n_users attach:\n$j")
+    }
+  }
+
+  test("anomaly mad: per-type stats re-attach by broadcast, corpus never wide-shuffles") {
+    // both the median and MAD relations are |event types| rows — they
+    // must come back as broadcast hash joins, leaving the corpus scan
+    // unshuffled (the groupBy agg exchanges only |types|-sized partials)
+    val p = executed(SparkEntry.queries("x_anomaly_mad")(spark, d))
+    val bhj = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"expected 2 broadcast re-attaches:\n$p")
+    val smj = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, s"stats re-attach fell off the broadcast path:\n$p")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
