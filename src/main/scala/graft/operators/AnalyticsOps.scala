@@ -414,7 +414,51 @@ object AnalyticsOps extends QueryModule {
       |WHERE (m_later IS NULL OR price_c > m_later) AND price_c = m_day
       |ORDER BY o_orderdate DESC, o_orderkey""".stripMargin
 
+  /** Correlated subqueries through the SQL front door — the Catalyst
+    * path none of the DataFrame-built queries exercise: two correlated
+    * SCALAR subqueries (per-customer order count and cents total, so the
+    * above-average test is exact integer cross-multiplication — no AVG
+    * division) plus a correlated NOT EXISTS, all of which
+    * `DecorrelateInnerQuery`/`RewriteCorrelatedScalarSubquery` must turn
+    * into aggregate-then-join plans (Spark refuses to execute a
+    * correlated subquery per-row, so this compiling AT ALL means the
+    * rewrite fired; the plan spec additionally pins the join shapes).
+    * Semantics: urgent-free customers' orders strictly above their own
+    * customer's average price. */
+  private def correlatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Tbl.orders(s, d).createOrReplaceTempView("ord_cs")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+        |FROM ord_cs o
+        |WHERE CAST(round(o_totalprice*100) AS BIGINT)
+        |        * (SELECT count(*) FROM ord_cs i
+        |           WHERE i.o_custkey = o.o_custkey)
+        |      > (SELECT sum(CAST(round(i.o_totalprice*100) AS BIGINT))
+        |         FROM ord_cs i WHERE i.o_custkey = o.o_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM ord_cs i
+        |                  WHERE i.o_custkey = o.o_custkey
+        |                    AND i.o_orderpriority = '1-URGENT')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val correlatedSubquerySql =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+      |FROM orders o
+      |WHERE CAST(round(o_totalprice*100) AS BIGINT)
+      |        * (SELECT count(*) FROM orders i
+      |           WHERE i.o_custkey = o.o_custkey)
+      |      > (SELECT CAST(sum(CAST(round(i.o_totalprice*100) AS BIGINT))
+      |                AS BIGINT)
+      |         FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders i
+      |                  WHERE i.o_custkey = o.o_custkey
+      |                    AND i.o_orderpriority = '1-URGENT')
+      |ORDER BY o_orderkey""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_correlated_subquery" -> (correlatedSubquery _),
     "x_skyline"          -> (skyline _),
     "x_cohort_retention" -> (cohortRetention _),
     "x_scd2"            -> (scd2 _),
@@ -429,6 +473,7 @@ object AnalyticsOps extends QueryModule {
     "x_merge_intervals" -> (mergeIntervals _))
 
   override val oracles: Map[String, String] = Map(
+    "x_correlated_subquery" -> correlatedSubquerySql,
     "x_skyline"          -> skylineSql,
     "x_cohort_retention" -> cohortRetentionSql,
     "x_scd2"            -> scd2Sql,

@@ -247,13 +247,82 @@ object GraphOps extends QueryModule {
        |SELECT v AS suppkey, d AS dist FROM d$BfsHops ORDER BY suppkey""".stripMargin
   }
 
+  private val LpaRounds = 4
+
+  /** Synchronized label propagation (community detection), fixed
+    * [[LpaRounds]] rounds: every vertex simultaneously adopts the MODE
+    * of its neighbors' previous-round labels, ties broken by the
+    * smaller label — a deterministic argmax, so the fixed-round result
+    * is bit-stable under any partitioning (the classic async/random-tie
+    * LPA is not oracle-able; this is the standard synchronous
+    * determinization). Differs in kind from min-label CC
+    * (`dd_dup_clusters`): the mode favors DENSE agreement, so two
+    * cliques joined by one bridge keep distinct labels where CC merges
+    * them. Per round: one join of the edge relation with the |V|-row
+    * label relation, a (v, lbl) count, and a per-v argmax via
+    * row_number — all equi-keyed, `localCheckpoint` truncating lineage
+    * exactly as the other iterative shapes. */
+  private def labelPropagation(s: SparkSession, d: String): DataFrame =
+    labelPropagationOn(edges(s, d))
+
+  /** `private[graft]` for planted-graph specs against a driver-side
+    * reference loop (see GraphOpsSpec). */
+  private[graft] def labelPropagationOn(e0: DataFrame): DataFrame = {
+    val s = e0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val und = e0.union(e0.select($"b", $"a")).toDF("src", "dst").persist()
+    var lbl = und.select($"src".as("v")).distinct()
+      .select($"v", $"v".as("lbl")).localCheckpoint()
+    val byMode = Window.partitionBy($"v").orderBy($"c".desc, $"lbl".asc)
+    for (_ <- 1 to LpaRounds) {
+      lbl = und.join(lbl.select($"v".as("src"), $"lbl"), "src")
+        .groupBy($"dst".as("v"), $"lbl").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byMode))
+        .where($"rn" === 1)
+        .select($"v", $"lbl")
+        .localCheckpoint()
+    }
+    lbl.select($"v".as("suppkey"), $"lbl".as("community"))
+      .orderBy($"suppkey")
+  }
+
+  private val labelPropagationSql = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT v, lbl FROM (
+         |    SELECT v, lbl, row_number() OVER (
+         |      PARTITION BY v ORDER BY c DESC, lbl) AS rn
+         |    FROM (SELECT u.dst AS v, p.lbl, count(*) AS c
+         |          FROM u JOIN $prev p ON u.src = p.v
+         |          GROUP BY u.dst, p.lbl) g) r
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to LpaRounds)
+      .map(i => round(if (i == 1) "l0" else s"l${i - 1}", s"l$i"))
+      .mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+       |  FROM lineitem WHERE l_quantity <= 5),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.sk AS a, y.sk AS b
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+       |u AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+       |                   UNION ALL SELECT b, a FROM e),
+       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM u),
+       |$rounds
+       |SELECT v AS suppkey, lbl AS community FROM l$LpaRounds
+       |ORDER BY suppkey""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("x_triangle_count" -> (triangleCount _),
-        "x_pagerank"       -> (pageRank _),
-        "x_shortest_path"  -> (shortestPath _))
+    Map("x_triangle_count"    -> (triangleCount _),
+        "x_pagerank"          -> (pageRank _),
+        "x_shortest_path"     -> (shortestPath _),
+        "x_label_propagation" -> (labelPropagation _))
 
   override val oracles: Map[String, String] =
-    Map("x_triangle_count" -> triangleCountSql,
-        "x_pagerank"       -> pageRankSql,
-        "x_shortest_path"  -> shortestPathSql)
+    Map("x_triangle_count"    -> triangleCountSql,
+        "x_pagerank"          -> pageRankSql,
+        "x_shortest_path"     -> shortestPathSql,
+        "x_label_propagation" -> labelPropagationSql)
 }

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * the relational core (extension mandate; the reference's surface stops
   * at windowed aggregation): market-basket association rules, Markov
   * transition matrices over event sequences, OHLC time-bucket
-  * downsampling, and MAD-based robust anomaly detection.
+  * downsampling, MAD-based robust anomaly detection, and Pearson
+  * correlation/regression from exact mergeable sufficient statistics.
   *
   * Determinism discipline (SURVEY.md §7.1): every ratio is integer
   * micro-units with floor division (`div` here, `//` in DuckDB — both
@@ -204,14 +205,123 @@ object MiningOps extends QueryModule {
       |FROM dev JOIN mad USING (event_type)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Pearson correlation + OLS slope between value and hour-of-day per
+    * event type, from EXACT integer sufficient statistics: one scan
+    * accumulates n, Σx, Σy, Σxy, Σx², Σy² as order-free BIGINT sums
+    * (x = cents ≤ 5·10⁴, y = hour ≤ 23 → Σxy ≤ n·1.2·10⁶, inside 2⁶³ to
+    * n ≈ 7·10¹²; Σx² ≤ n·2.5·10⁹, inside to n ≈ 3·10⁹ — at larger
+    * corpora shift x to deci-cents), then ONE double formula over the
+    * exact sums, identically parenthesized in both engines (IEEE *,-,/
+    * and sqrt are correctly rounded, so identical inputs + identical
+    * evaluation order = identical bits) and surfaced at 6 decimals.
+    * This is the mergeable-statistics pattern: partial (n, Σ…) tuples
+    * combine associatively, so map-side partials do all the work and
+    * the exchange carries |types| rows. */
+  private def correlation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val corrD =
+      "(n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))"
+    val betaD = "(n*sxy - sx*sy) / (n*syy - sy*sy)"
+    Tbl.events(s, d)
+      .select($"event_type", Tbl.cents($"value").as("x"),
+              expr("unix_micros(ts) div 3600000000L % 24").as("y"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), sum($"x").as("sxl"), sum($"y").as("syl"),
+           sum($"x" * $"y").as("sxyl"), sum($"x" * $"x").as("sxxl"),
+           sum($"y" * $"y").as("syyl"))
+      // promote the EXACT integer sums to double BEFORE the formula —
+      // BIGINT·BIGINT products would wrap, and the oracle promotes at
+      // the same point so both engines round the same doubles
+      .select($"event_type", $"cnt".as("keep_n"),
+              $"cnt".cast("double").as("n"),
+              $"sxl".cast("double").as("sx"), $"syl".cast("double").as("sy"),
+              $"sxyl".cast("double").as("sxy"),
+              $"sxxl".cast("double").as("sxx"),
+              $"syyl".cast("double").as("syy"))
+      .select($"event_type", $"keep_n".as("n"),
+              round(expr(s"$corrD"), 6).as("corr_r6"),
+              round(expr(s"$betaD"), 6).as("beta_r6"))
+      .orderBy($"event_type")
+  }
+
+  // CAST every sum: DuckDB types sum(BIGINT) as HUGEINT, and HUGEINT
+  // arithmetic would diverge from the engine's double formula. The
+  // double promotion must happen on the SAME exact integers both sides.
+  private val correlationSql = {
+    val corrD =
+      "(n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))"
+    val betaD = "(n*sxy - sx*sy) / (n*syy - sy*sy)"
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS x,
+       |         epoch_us(ts) // 3600000000 % 24 AS y
+       |  FROM events),
+       |st AS (
+       |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+       |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+       |         CAST(sum(x*y) AS DOUBLE) AS sxy,
+       |         CAST(sum(x*x) AS DOUBLE) AS sxx,
+       |         CAST(sum(y*y) AS DOUBLE) AS syy
+       |  FROM ev GROUP BY 1)
+       |SELECT event_type, CAST(n AS BIGINT) AS n,
+       |       round($corrD, 6) AS corr_r6,
+       |       round($betaD, 6) AS beta_r6
+       |FROM st ORDER BY event_type""".stripMargin
+  }
+
+  private val NtileBuckets = 10
+
+  /** Equi-depth feature binning: decile buckets per event type via
+    * `ntile` over the (v_c, event_id) TOTAL order (the standard SQL
+    * fill rule — first n mod b buckets one row larger — is identical in
+    * both engines only when the order is total; value ties alone would
+    * let row placement differ), then per-bucket count/min/max/sum. The
+    * training-data shape behind quantile feature transforms: bucket
+    * BOUNDARIES come out as min_c/max_c per decile. One shuffle on
+    * event_type; the sort and both passes run in-partition. At 100 TB
+    * per-type partitions exceed a task: swap ntile for the
+    * percentile_approx cut-point path (`x_approx_quantile`) — binning
+    * by broadcast cut points is scan-parallel. */
+  private def ntileBucketing(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"v_c".asc, $"event_id".asc)
+    Tbl.events(s, d)
+      .select($"event_type", $"event_id", Tbl.cents($"value").as("v_c"))
+      .withColumn("decile", ntile(NtileBuckets).over(w))
+      .groupBy($"event_type", $"decile")
+      .agg(count(lit(1)).as("n"), min($"v_c").as("min_c"),
+           max($"v_c").as("max_c"), sum($"v_c").as("sum_c"))
+      .orderBy($"event_type", $"decile")
+  }
+
+  private val ntileBucketingSql =
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id,
+       |         CAST(round(value*100) AS BIGINT) AS v_c
+       |  FROM events),
+       |b AS (
+       |  SELECT event_type, v_c,
+       |         ntile($NtileBuckets) OVER (PARTITION BY event_type
+       |                                    ORDER BY v_c, event_id) AS decile
+       |  FROM ev)
+       |SELECT event_type, CAST(decile AS INT) AS decile, count(*) AS n,
+       |       min(v_c) AS min_c, max(v_c) AS max_c,
+       |       CAST(sum(v_c) AS BIGINT) AS sum_c
+       |FROM b GROUP BY event_type, decile
+       |ORDER BY event_type, decile""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("x_assoc_rules"        -> (assocRules _),
+        "x_correlation"        -> (correlation _),
+        "x_ntile_bucketing"    -> (ntileBucketing _),
         "x_markov_transitions" -> (markovTransitions _),
         "x_ohlc_bars"          -> (ohlcBars _),
         "x_anomaly_mad"        -> (anomalyMad _))
 
   override val oracles: Map[String, String] =
     Map("x_assoc_rules"        -> assocRulesSql,
+        "x_correlation"        -> correlationSql,
+        "x_ntile_bucketing"    -> ntileBucketingSql,
         "x_markov_transitions" -> markovTransitionsSql,
         "x_ohlc_bars"          -> ohlcBarsSql,
         "x_anomaly_mad"        -> anomalyMadSql)

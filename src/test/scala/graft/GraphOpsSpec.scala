@@ -93,4 +93,41 @@ class GraphOpsSpec extends SparkSpec {
     val got = GraphOps.shortestPathOn(e).as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 2L -> 1L), s"got $got")
   }
+
+  /** Driver-side reference for synchronized LPA: mode of neighbor
+    * labels, ties to the smaller label, all vertices update at once. */
+  private def refLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var l = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      l = adj.map { case (v, ns) =>
+        val counts = ns.groupBy(l).view.mapValues(_.size).toSeq
+        v -> counts.minBy { case (lbl, c) => (-c, lbl) }._1
+      }
+    }
+    l
+  }
+
+  test("label propagation: two cliques + bridge keep distinct communities") {
+    // K4 {1..4} and K4 {5..8} joined by 4-5: the mode favors the dense
+    // side, so the bridge never merges them (min-label CC would)
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield i -> j
+    val k4b = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield i -> j
+    val edges = k4a ++ k4b :+ (4L -> 5L)
+    val got = GraphOps.labelPropagationOn(canon(edges: _*))
+      .as[(Long, Long)].collect().toMap
+    assert(got == refLpa(edges, 4), s"got $got vs ${refLpa(edges, 4)}")
+    val aLbls = (1L to 4L).map(got).toSet
+    val bLbls = (5L to 8L).map(got).toSet
+    assert((aLbls & bLbls).isEmpty,
+           s"bridge merged the cliques: $got")
+  }
+
+  test("label propagation: star collapses onto the mode with min-label ties") {
+    val edges = (1L to 5L).map(i => 0L -> i)
+    val got = GraphOps.labelPropagationOn(canon(edges: _*))
+      .as[(Long, Long)].collect().toMap
+    assert(got == refLpa(edges, 4), s"got $got vs ${refLpa(edges, 4)}")
+  }
 }

@@ -75,6 +75,53 @@ class MiningOpsSpec extends SparkSpec {
       ("t", h, 700L, 700L, 700L, 700L, 1L, 700L)))
   }
 
+  test("correlation: perfectly linear planted data gives corr 1, beta exact") {
+    // hours y = 0,1,2 with x = 100(y+1) cents → corr = 1.0, slope = 100
+    val h = 3600000000L
+    val d = eventsDir(Seq(
+      (1L, 0L, 1L, "t", 1.0), (2L, h, 1L, "t", 2.0), (3L, 2 * h, 1L, "t", 3.0)))
+    val got = run("x_correlation", d)
+      .as[(String, Long, Double, Double)].collect().toList
+    assert(got == List(("t", 3L, 1.0, 100.0)))
+  }
+
+  test("correlated subquery: above-own-average orders from urgent-free customers only") {
+    // cust 1: 100, 200, 300 (no urgent) → only the 300 is strictly above
+    // cust 2: has an URGENT order → excluded by NOT EXISTS
+    // cust 3: single order equals its own average → strict > drops it
+    val dir = java.nio.file.Files.createTempDirectory("cs_fx").toString
+    Seq(
+      (10L, 1L, "O", 100.0, 0L, "3-MEDIUM"),
+      (11L, 1L, "O", 200.0, 0L, "3-MEDIUM"),
+      (12L, 1L, "O", 300.0, 0L, "3-MEDIUM"),
+      (20L, 2L, "O", 100.0, 0L, "1-URGENT"),
+      (21L, 2L, "O", 900.0, 0L, "3-MEDIUM"),
+      (30L, 3L, "O", 500.0, 0L, "3-MEDIUM"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "ts_us", "o_orderpriority")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                  "timestamp_micros(ts_us) AS o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = run("x_correlated_subquery", dir)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((12L, 1L, 30000L)))
+  }
+
+  test("ntile: 12 rows over 10 buckets — first two deciles get the extra rows") {
+    // SQL fill rule: n mod b leading buckets are one larger (2,2,1,...)
+    val d = eventsDir((1L to 12L).map(i =>
+      (i, i * 1000L, 1L, "t", i.toDouble)))
+    val got = run("x_ntile_bucketing", d)
+      .as[(String, Int, Long, Long, Long, Long)].collect().toList
+    val exp = List(
+      ("t", 1, 2L, 100L, 200L, 300L),  ("t", 2, 2L, 300L, 400L, 700L),
+      ("t", 3, 1L, 500L, 500L, 500L),  ("t", 4, 1L, 600L, 600L, 600L),
+      ("t", 5, 1L, 700L, 700L, 700L),  ("t", 6, 1L, 800L, 800L, 800L),
+      ("t", 7, 1L, 900L, 900L, 900L),  ("t", 8, 1L, 1000L, 1000L, 1000L),
+      ("t", 9, 1L, 1100L, 1100L, 1100L), ("t", 10, 1L, 1200L, 1200L, 1200L))
+    assert(got == exp, s"got $got")
+  }
+
   test("mad: planted values give exact med2/mad4 and the 3-MAD outlier count") {
     // v_c = {100, 200, 300, 10000}: median = 250 → med2 = 500
     // dev2 = |2v−500| = {300, 100, 100, 19500}: median(dev2) = 200 → mad4 = 400

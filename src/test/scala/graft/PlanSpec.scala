@@ -791,6 +791,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("correlated subqueries decorrelate to equi-joins — no per-row subquery, no NL join") {
+    // two correlated scalars + a NOT EXISTS must become aggregate-then-
+    // join (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery);
+    // any cartesian/NL shape means decorrelation produced a non-equi join
+    val p = executed(SparkEntry.queries("x_correlated_subquery")(spark, d))
+    val nested = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nested.isEmpty, s"decorrelation fell off the equi-join path:\n$p")
+    val joins = collectWithSubqueries(p) {
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.size >= 2,
+           s"expected the rewritten scalar + anti joins, got ${joins.size}:\n$p")
+  }
+
   test("anomaly mad: per-type stats re-attach by broadcast, corpus never wide-shuffles") {
     // both the median and MAD relations are |event types| rows — they
     // must come back as broadcast hash joins, leaving the corpus scan
