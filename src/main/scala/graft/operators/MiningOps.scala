@@ -310,9 +310,70 @@ object MiningOps extends QueryModule {
        |FROM b GROUP BY event_type, decile
        |ORDER BY event_type, decile""".stripMargin
 
+  /** Distribution drift between the corpus's first and second time
+    * halves (per-event-type histogram): add-one-smoothed KL and PSI
+    * contributions per bin — the data-quality gate a training pipeline
+    * runs between ingestion batches. Exactness: the only libm call is
+    * one ln per BIN, rounded to 7 decimals then floored to integer
+    * micro-nats (the [[graft.operators.TextOps]] surprisal discipline);
+    * proportions are floor-e9 integers of positive counts (truncation =
+    * floor when non-negative, so `div` and DuckDB's `//` agree), and the
+    * kl/psi contributions are pure integer PRODUCTS — no signed
+    * division anywhere, because Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, and they disagree exactly on the
+    * negative values PSI produces. Scale shape: one corpus scan into a
+    * |types|-row aggregate; the time midpoint and totals ride as a
+    * 1-row broadcast and unpartitioned window sums over the BIN
+    * relation (the model, not the corpus). */
+  private def distDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tbl.events(s, d)
+      .select($"event_type", unix_micros($"ts").as("t_us"))
+    val mid = ev.agg(expr("(min(t_us) + max(t_us)) div 2").as("mid_us"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+    ev.crossJoin(broadcast(mid))
+      .groupBy($"event_type")
+      .agg(sum(when($"t_us" < $"mid_us", 1L).otherwise(0L)).as("pc"),
+           sum(when($"t_us" >= $"mid_us", 1L).otherwise(0L)).as("qc"))
+      .withColumn("pn1", sum($"pc" + 1).over(wAll))
+      .withColumn("qn1", sum($"qc" + 1).over(wAll))
+      .select($"event_type", $"pc", $"qc",
+              expr("(pc + 1) * 1000000000L div pn1").as("p_e9"),
+              expr("(qc + 1) * 1000000000L div qn1").as("q_e9"),
+              floor(round(log((($"pc" + 1).cast("double") * $"qn1".cast("double")) /
+                              (($"qc" + 1).cast("double") * $"pn1".cast("double"))), 7)
+                      * 1000000.0).cast("long").as("ln_e6"))
+      .select($"event_type", $"pc", $"qc", $"p_e9", $"q_e9", $"ln_e6",
+              ($"p_e9" * $"ln_e6").as("kl_c"),
+              (($"p_e9" - $"q_e9") * $"ln_e6").as("psi_c"))
+      .orderBy($"event_type")
+  }
+
+  private val distDriftSql =
+    """WITH ev AS (SELECT event_type, epoch_us(ts) AS t_us FROM events),
+      |m AS (SELECT (min(t_us) + max(t_us)) // 2 AS mid_us FROM ev),
+      |h AS (SELECT event_type,
+      |             CAST(count(*) FILTER (WHERE t_us <  mid_us) AS BIGINT) AS pc,
+      |             CAST(count(*) FILTER (WHERE t_us >= mid_us) AS BIGINT) AS qc
+      |      FROM ev, m GROUP BY event_type),
+      |t AS (SELECT CAST(sum(pc + 1) AS BIGINT) AS pn1,
+      |             CAST(sum(qc + 1) AS BIGINT) AS qn1 FROM h),
+      |b AS (SELECT event_type, pc, qc,
+      |             (pc + 1) * 1000000000 // pn1 AS p_e9,
+      |             (qc + 1) * 1000000000 // qn1 AS q_e9,
+      |             CAST(floor(round(ln((CAST(pc + 1 AS DOUBLE) * CAST(qn1 AS DOUBLE)) /
+      |                                 (CAST(qc + 1 AS DOUBLE) * CAST(pn1 AS DOUBLE))), 7)
+      |                        * 1000000.0) AS BIGINT) AS ln_e6
+      |      FROM h, t)
+      |SELECT event_type, pc, qc, p_e9, q_e9, ln_e6,
+      |       p_e9 * ln_e6 AS kl_c, (p_e9 - q_e9) * ln_e6 AS psi_c
+      |FROM b ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("x_assoc_rules"        -> (assocRules _),
         "x_correlation"        -> (correlation _),
+        "x_dist_drift"         -> (distDrift _),
         "x_ntile_bucketing"    -> (ntileBucketing _),
         "x_markov_transitions" -> (markovTransitions _),
         "x_ohlc_bars"          -> (ohlcBars _),
@@ -321,6 +382,7 @@ object MiningOps extends QueryModule {
   override val oracles: Map[String, String] =
     Map("x_assoc_rules"        -> assocRulesSql,
         "x_correlation"        -> correlationSql,
+        "x_dist_drift"         -> distDriftSql,
         "x_ntile_bucketing"    -> ntileBucketingSql,
         "x_markov_transitions" -> markovTransitionsSql,
         "x_ohlc_bars"          -> ohlcBarsSql,

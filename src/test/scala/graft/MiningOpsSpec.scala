@@ -122,6 +122,29 @@ class MiningOpsSpec extends SparkSpec {
     assert(got == exp, s"got $got")
   }
 
+  test("dist drift: planted halves give exact smoothed proportions and micro-nat terms") {
+    // ts 0,10 (first half: 2×a) vs 100 (second half: 1×b); mid = 50
+    // smoothed: pn1 = Σ(pc+1) = 4, qn1 = Σ(qc+1) = 3
+    val d = eventsDir(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, 10L, 1L, "a", 0.0),
+      (3L, 100L, 1L, "b", 0.0)))
+    // mirror of the engines' rounding: ln → 7dp HALF_UP → floor(·1e6)
+    def lnE6(r: Double): Long =
+      math.floor(BigDecimal(math.log(r))
+        .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6).toLong
+    val lnA = lnE6(3.0 * 3.0 / (1.0 * 4.0)) // pc1·qn1 / (qc1·pn1)
+    val lnB = lnE6(1.0 * 3.0 / (2.0 * 4.0)) // negative: floor ≠ truncate
+    val got = run("x_dist_drift", d)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    val pA = 3L * 1000000000L / 4; val qA = 1L * 1000000000L / 3
+    val pB = 1L * 1000000000L / 4; val qB = 2L * 1000000000L / 3
+    assert(got == List(
+      ("a", 2L, 0L, pA, qA, lnA, pA * lnA, (pA - qA) * lnA),
+      ("b", 0L, 1L, pB, qB, lnB, pB * lnB, (pB - qB) * lnB)), s"got $got")
+    assert(lnB < 0 && got(1)._6 == lnB, "negative-term floor discipline broken")
+  }
+
   test("mad: planted values give exact med2/mad4 and the 3-MAD outlier count") {
     // v_c = {100, 200, 300, 10000}: median = 250 → med2 = 500
     // dev2 = |2v−500| = {300, 100, 100, 19500}: median(dev2) = 200 → mad4 = 400
