@@ -791,6 +791,20 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("iterative graph ops (pagerank, BFS, LPA) stay on equi-joins every round") {
+    // each relaxation/propagation round joins the edge relation with a
+    // |V|-row state relation on a long key — any cartesian/NL shape in
+    // ANY unrolled round is the O(V·E) plan the key-join exists to avoid
+    for (q <- Seq("x_pagerank", "x_shortest_path", "x_label_propagation")) {
+      val p = executed(SparkEntry.queries(q)(spark, d))
+      val nested = collectWithSubqueries(p) {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      assert(nested.isEmpty, s"$q round joined without a key:\n$p")
+    }
+  }
+
   test("correlated subqueries decorrelate to equi-joins — no per-row subquery, no NL join") {
     // two correlated scalars + a NOT EXISTS must become aggregate-then-
     // join (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery);
