@@ -1270,7 +1270,70 @@ object StreamingOps extends QueryModule {
     "s23_stream_timer_session" -> (streamTimerSession _),
     "s24_stream_ttl_profile" -> (streamTtlProfile _),
     "s25_stream_kmv"        -> (streamKmv _),
-    "s26_stream_asof_join"  -> (streamAsofJoin _))
+    "s26_stream_asof_join"  -> (streamAsofJoin _),
+    "s27_stream_drift"      -> (streamDrift _))
+
+  /** s27: STREAMING drift monitor — the `x_dist_drift` family as a live
+    * gate: per-day tumbling windows of the event stream score their
+    * per-type histogram against a static whole-corpus baseline
+    * (broadcast, the stream-static shape of s6). The stateful part is
+    * ONLY the watermarked windowed count — bounded by watermark
+    * eviction at any volume; the drift arithmetic (floor-e9 smoothed
+    * proportions, one 7dp-rounded micro-nat ln per bin, pure integer
+    * PRODUCTS so no signed division — see x_dist_drift) runs batch-side
+    * on the |windows|·|types| sink table. Update mode: with
+    * AvailableNow's single batch every window emits its final count. */
+  private def streamDrift(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.{Window => W}
+      val base = Tbl.events(s, d).groupBy($"event_type")
+        .agg(count(lit(1)).as("qc"))
+      val agg = eventStream(s, d)
+        .withWatermark("ts", "5 minutes")
+        .groupBy(window($"ts", "1 day"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val sunk = runToTable(s, agg, "s_drift", OutputMode.Update())
+        .select(unix_micros($"window.start").as("ws_us"), $"event_type", $"n")
+      val qn1 = base.agg(sum($"qc" + 1).as("qn1"))
+      sunk
+        .withColumn("pn1", sum($"n" + 1).over(W.partitionBy($"ws_us")))
+        .join(broadcast(base), "event_type")
+        .crossJoin(broadcast(qn1))
+        .select($"ws_us", $"event_type", $"n", $"qc",
+                expr("(n + 1) * 1000000000L div pn1").as("p_e9"),
+                expr("(qc + 1) * 1000000000L div qn1").as("q_e9"),
+                floor(round(log((($"n" + 1).cast("double") * $"qn1".cast("double")) /
+                                (($"qc" + 1).cast("double") * $"pn1".cast("double"))), 7)
+                        * 1000000.0).cast("long").as("ln_e6"))
+        .select($"ws_us", $"event_type", $"n", $"qc", $"p_e9", $"q_e9",
+                $"ln_e6", ($"p_e9" * $"ln_e6").as("kl_c"),
+                (($"p_e9" - $"q_e9") * $"ln_e6").as("psi_c"))
+        .orderBy($"ws_us", $"event_type")
+    }
+
+  private val streamDriftSql =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 86400000000 * 86400000000 AS ws_us,
+      |         event_type
+      |  FROM events),
+      |w AS (SELECT ws_us, event_type, count(*) AS n FROM ev GROUP BY 1, 2),
+      |pt AS (SELECT ws_us, CAST(sum(n + 1) AS BIGINT) AS pn1
+      |       FROM w GROUP BY 1),
+      |b AS (SELECT event_type, count(*) AS qc FROM events GROUP BY 1),
+      |bt AS (SELECT CAST(sum(qc + 1) AS BIGINT) AS qn1 FROM b),
+      |j AS (SELECT w.ws_us, w.event_type, w.n, b.qc, pn1, qn1
+      |      FROM w JOIN pt USING (ws_us) JOIN b USING (event_type), bt),
+      |k AS (SELECT ws_us, event_type, n, qc,
+      |             (n + 1) * 1000000000 // pn1 AS p_e9,
+      |             (qc + 1) * 1000000000 // qn1 AS q_e9,
+      |             CAST(floor(round(ln((CAST(n + 1 AS DOUBLE) * CAST(qn1 AS DOUBLE)) /
+      |                                 (CAST(qc + 1 AS DOUBLE) * CAST(pn1 AS DOUBLE))), 7)
+      |                        * 1000000.0) AS BIGINT) AS ln_e6
+      |      FROM j)
+      |SELECT ws_us, event_type, n, qc, p_e9, q_e9, ln_e6,
+      |       p_e9 * ln_e6 AS kl_c, (p_e9 - q_e9) * ln_e6 AS psi_c
+      |FROM k ORDER BY ws_us, event_type""".stripMargin
 
   /** s26: STREAMING AS-OF join — for each purchase, the LATEST click by
     * the same user within the preceding 10 minutes. Spark has no native
@@ -1358,5 +1421,6 @@ object StreamingOps extends QueryModule {
     "s23_stream_timer_session" -> timerSessionSql,
     "s24_stream_ttl_profile" -> ttlProfileSql,
     "s25_stream_kmv"        -> streamKmvSql,
-    "s26_stream_asof_join"  -> streamAsofJoinSql)
+    "s26_stream_asof_join"  -> streamAsofJoinSql,
+    "s27_stream_drift"      -> streamDriftSql)
 }

@@ -145,6 +145,20 @@ class MiningOpsSpec extends SparkSpec {
     assert(lnB < 0 && got(1)._6 == lnB, "negative-term floor discipline broken")
   }
 
+  test("streaming drift: windows align to days, products are consistent, smoothing bounds hold") {
+    val got = run("s27_stream_drift", "/root/testdata/sf0.001")
+      .as[(Long, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(got.nonEmpty, "no drift windows emitted")
+    got.foreach { case (ws, _, n, qc, p9, q9, ln6, klc, psic) =>
+      assert(ws % 86400000000L == 0, s"window start $ws not day-aligned")
+      assert(n > 0 && qc > 0)
+      assert(p9 > 0 && p9 <= 1000000000L && q9 > 0 && q9 <= 1000000000L)
+      assert(klc == p9 * ln6 && psic == (p9 - q9) * ln6,
+             "product columns drifted from their factors")
+    }
+  }
+
   test("mad: planted values give exact med2/mad4 and the 3-MAD outlier count") {
     // v_c = {100, 200, 300, 10000}: median = 250 → med2 = 500
     // dev2 = |2v−500| = {300, 100, 100, 19500}: median(dev2) = 200 → mad4 = 400
