@@ -942,21 +942,37 @@ object TextOps extends QueryModule {
     * rewrites to the native bounded-heap exec — no global sort. */
   private def bm25(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ex = Tbl.documents(s, d)
+    // ONE token-stream scan, reduced to the (doc_id, term, c) posting
+    // relation before anything else consumes it. The naive three-reader
+    // shape (dl / df / tf each re-exploding the corpus) measured
+    // 69.9/64.5 s at sf10p and 622.8 s at sf100p — linear, but paying
+    // the norm+split+explode scan CPU three times; this single-scan
+    // shape measured 28.5/20.5 s at sf10p (2.5-3.1×) and its only new
+    // exchange is vocabulary-bounded (≤ |vocab| rows per doc after
+    // map-side combine — the corpus vocab is small, so postings ≈
+    // 31·|docs|, orders below the raw token stream). Contrast with
+    // tx_unigram_logprob, where the SAME pre-reduction measured a wash:
+    // there the two consumers re-read the stream through a broadcast
+    // join (no exchange at all), so the saved scan was repaid by a new
+    // wide distinct; here the third reader (tf) already exchanged, and
+    // df = countDistinct(doc) collapses to count(*) over postings.
+    val rel = Tbl.documents(s, d)
       .select($"doc_id", explode(split(norm($"text"), " ")).as("term"))
       .where($"term" =!= "")
-    val dl = ex.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .persist()
+    val dl = rel.groupBy($"doc_id").agg(sum($"c").as("dl"))
     val nt = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_tokens"))
       .select($"n_docs", expr("t_tokens * 100 div n_docs").as("avgdl_c"))
-    val dfreq = ex.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val dfreq = rel.groupBy($"term").agg(count(lit(1)).as("df"))
     val qw = org.apache.spark.sql.expressions.Window
       .orderBy($"df".desc, $"term")
     val qterms = dfreq.orderBy($"df".desc, $"term").limit(Bm25QHi)
       .withColumn("qid", row_number().over(qw))
       .where($"qid" >= Bm25QLo)
       .select($"qid", $"term", $"df")
-    val tf = ex.join(broadcast(qterms), "term")
-      .groupBy($"qid", $"df", $"doc_id").agg(count(lit(1)).as("tf"))
+    val tf = rel.join(broadcast(qterms), "term")
+      .select($"qid", $"df", $"doc_id", $"c".as("tf"))
     val idf = floor(round(log(lit(1.0) +
         ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)), 7) * 1000000.0)
       .cast("long")
