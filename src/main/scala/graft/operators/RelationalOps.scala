@@ -250,8 +250,50 @@ object RelationalOps extends QueryModule {
       |FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
       |ORDER BY cohort, o_custkey""".stripMargin
 
+  /** Multiset set ops (INTERSECT ALL / EXCEPT ALL): per-part shipment
+    * multiplicities shared between the returned ('R') and accepted
+    * ('A') lineitem streams, and the surplus unique to 'R'.
+    *
+    * A different Catalyst path from x_setops_cohort's semi/anti
+    * lowering: `RewriteIntersectAll`/`RewriteExceptAll` tag each side
+    * with constant markers, run ONE grouped aggregate over the union,
+    * and re-inflate the surviving multiplicities through
+    * `Generate(ReplicateRows)` — multiset difference without any join,
+    * so the only exchange is the |keys|-sized aggregate shuffle and the
+    * replication fan-out is computed per key, never materialized as a
+    * pre-join relation. The trailing groupBy collapses the replicated
+    * rows back to (key, copies) so the output stays |parts|-bounded at
+    * any corpus size while the plan still carries the Generate stage
+    * (plan-spec-pinned). */
+  private def setopsAll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tbl.lineitem(s, d)
+    val r = li.where($"l_returnflag" === "R").select($"l_partkey")
+    val a = li.where($"l_returnflag" === "A").select($"l_partkey")
+    val shared = r.intersectAll(a)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("copies"))
+      .select(lit("intersect_all").as("op"), $"l_partkey", $"copies")
+    val surplus = r.exceptAll(a)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("copies"))
+      .select(lit("except_all").as("op"), $"l_partkey", $"copies")
+    shared.unionByName(surplus).orderBy($"op", $"l_partkey")
+  }
+
+  private val setopsAllSql =
+    """WITH r AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+      |a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+      |ia AS (SELECT l_partkey FROM r INTERSECT ALL SELECT l_partkey FROM a),
+      |ea AS (SELECT l_partkey FROM r EXCEPT ALL SELECT l_partkey FROM a)
+      |SELECT 'intersect_all' AS op, l_partkey, count(*) AS copies
+      |FROM ia GROUP BY l_partkey
+      |UNION ALL
+      |SELECT 'except_all' AS op, l_partkey, count(*) AS copies
+      |FROM ea GROUP BY l_partkey
+      |ORDER BY op, l_partkey""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_setops_cohort"    -> (setopsCohort _),
+    "x_setops_all"       -> (setopsAll _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "j2_star_revenue"    -> (starRevenue _),
     "j2_semi_join"       -> (semiJoin _),
@@ -264,6 +306,7 @@ object RelationalOps extends QueryModule {
 
   override val oracles: Map[String, String] = Map(
     "x_setops_cohort"    -> setopsCohortSql,
+    "x_setops_all"       -> setopsAllSql,
     "q1_pricing_summary" -> q1Sql,
     "j2_star_revenue"    -> starRevenueSql,
     "j2_semi_join"       -> semiJoinSql,

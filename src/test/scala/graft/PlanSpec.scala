@@ -721,6 +721,28 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
            s"into a filter, Intersect into a semi join):\n$p")
   }
 
+  test("multiset set ops lower to ReplicateRows generates, zero joins") {
+    // INTERSECT ALL / EXCEPT ALL must take the RewriteIntersectAll /
+    // RewriteExceptAll path: one grouped aggregate over the tagged
+    // union, multiplicities re-inflated by Generate(ReplicateRows) —
+    // no join anywhere (a join-based multiset difference would shuffle
+    // the fact per set op; the rewrite shuffles |keys| rows once).
+    val p = executed(SparkEntry.queries("x_setops_all")(spark, d))
+    val gens = collectWithSubqueries(p) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.size == 2,
+           s"expected one ReplicateRows generate per set op:\n$p")
+    assert(gens.forall(_.generator.isInstanceOf[
+             org.apache.spark.sql.catalyst.expressions.ReplicateRows]),
+           s"generator is not ReplicateRows:\n$p")
+    val joins = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty,
+           s"multiset rewrite must be join-free:\n$p")
+  }
+
   test("skyline: the ordered window runs over the day grain, not the fact") {
     // the single-partition suffix-max window is safe ONLY because its
     // input is the per-day aggregate (bounded domain); a refactor that
