@@ -457,7 +457,63 @@ object AnalyticsOps extends QueryModule {
       |                    AND i.o_orderpriority = '1-URGENT')
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Recursive CTE through the SQL front door (`WITH RECURSIVE`,
+    * Spark 4.1's UnionLoop executor): revenue rollup over a
+    * variable-depth part hierarchy. Parent = floor(key/10), a decimal
+    * forest whose depth varies with key width, so the recursion runs to
+    * FIXPOINT inside the engine — different in KIND from the iterative
+    * graph queries (x_pagerank/x_shortest_path/x_label_propagation),
+    * which unroll a FIXED round count as a driver-side loop; here
+    * Catalyst owns the loop (ResolveWithCTE → UnionLoopExec,
+    * plan-spec-pinned) and decides convergence from the per-step row
+    * count. The recursive step is functional (one parent per node), so
+    * UNION ALL accumulates exactly depth(node) rows per node — closure
+    * size ≈ 5·|parts|, no combinatorial blow-up at any corpus size —
+    * and the rollup target (the two-digit level of the hierarchy)
+    * bounds the output at ≤ 90 rows regardless of scale. Both engines
+    * run `CAST(floor(cur/10) AS BIGINT)` (DuckDB has no DIV; int `/`
+    * is double-valued in both, exact far past any key width here). */
+  private def recursiveHierarchy(s: SparkSession, d: String): DataFrame = {
+    // The default cteRecursionRowLimit (1M accumulated rows) is a
+    // runaway-recursion guard sized for demos; this recursion is
+    // provably linear — the step is functional (one parent per node),
+    // so the closure is exactly Σ depth(node) ≤ ~7·|parts| rows — and
+    // already exceeds 1M at 200k parts. Raise the guard, don't fight
+    // it: the termination property comes from the monotone key
+    // division, not from the limit.
+    s.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue.toString)
+    Tbl.part(s, d).createOrReplaceTempView("part_rh")
+    Tbl.lineitem(s, d).createOrReplaceTempView("li_rh")
+    s.sql(recursiveHierarchyQuery("part_rh", "li_rh"))
+  }
+
+  private def recursiveHierarchyQuery(part: String, li: String) =
+    s"""WITH RECURSIVE anc AS (
+       |  SELECT p_partkey AS node, p_partkey AS cur FROM $part
+       |  UNION ALL
+       |  SELECT node, CAST(floor(cur / 10) AS BIGINT) AS cur
+       |  FROM anc WHERE cur >= 100
+       |),
+       |lvl2 AS (SELECT node, cur AS ancestor FROM anc
+       |         WHERE cur BETWEEN 10 AND 99),
+       |rev AS (SELECT l_partkey,
+       |               sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+       |                 AS rev_c
+       |        FROM $li GROUP BY l_partkey)
+       |SELECT l.ancestor, count(DISTINCT l.node) AS n_parts,
+       |       CAST(sum(r.rev_c) AS BIGINT) AS revenue_c
+       |FROM lvl2 l JOIN rev r ON r.l_partkey = l.node
+       |GROUP BY l.ancestor
+       |ORDER BY l.ancestor""".stripMargin
+
+  // identical text against the raw tables — the WITH RECURSIVE
+  // fixpoint semantics (UNION ALL accumulation, termination on an
+  // empty step) are ANSI and DuckDB executes the same program
+  private def recursiveHierarchySql =
+    recursiveHierarchyQuery("part", "lineitem")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_recursive_hierarchy" -> (recursiveHierarchy _),
     "x_correlated_subquery" -> (correlatedSubquery _),
     "x_skyline"          -> (skyline _),
     "x_cohort_retention" -> (cohortRetention _),
@@ -473,6 +529,7 @@ object AnalyticsOps extends QueryModule {
     "x_merge_intervals" -> (mergeIntervals _))
 
   override val oracles: Map[String, String] = Map(
+    "x_recursive_hierarchy" -> recursiveHierarchySql,
     "x_correlated_subquery" -> correlatedSubquerySql,
     "x_skyline"          -> skylineSql,
     "x_cohort_retention" -> cohortRetentionSql,

@@ -743,6 +743,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
            s"multiset rewrite must be join-free:\n$p")
   }
 
+  test("recursive CTE runs through UnionLoop, not a hand-unrolled union") {
+    // WITH RECURSIVE must reach Spark 4.1's native fixpoint executor —
+    // the engine owns the loop and terminates on an empty step. If the
+    // analyzer ever falls back to inlining (no UnionLoopExec), the
+    // query silently becomes a depth-limited approximation.
+    val p = executed(
+      SparkEntry.queries("x_recursive_hierarchy")(spark, d))
+    val loops = collectWithSubqueries(p) {
+      case l: org.apache.spark.sql.execution.UnionLoopExec => l
+    }
+    assert(loops.size == 1, s"expected one UnionLoopExec:\n$p")
+  }
+
   test("skyline: the ordered window runs over the day grain, not the fact") {
     // the single-partition suffix-max window is safe ONLY because its
     // input is the per-day aggregate (bounded domain); a refactor that
