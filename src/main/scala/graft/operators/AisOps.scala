@@ -256,6 +256,46 @@ object AisOps extends QueryModule {
       |  event_type, user_id
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** P12 (P2's schema-on-read twin): VARIANT ingestion — the Spark 4
+    * path for feeds whose schema drifts, where the reference's
+    * fixed-schema `from_json` (`preprocess.py:43-44`) would silently
+    * null new fields. The envelope round-trips through
+    * `parse_json` → typed `variant_get` paths: a nested struct path
+    * (`$.u.v_c`), a JSON-string-in-JSON double parse (`$.props` is
+    * itself a JSON document, re-parsed and drilled to `$.k`), and a
+    * missing path pinned to NULL (counted — a non-null would shift
+    * `n_miss` and fail the hash). The oracle never builds JSON at all:
+    * it aggregates the SOURCE columns, so the hash match proves the
+    * whole build→parse→extract chain lossless. Scale: one scan,
+    * per-row expression work, |types|-row exchange. */
+  private def variantExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .withColumn("env",
+        to_json(struct($"event_id", $"event_type",
+          struct($"user_id", Tbl.cents($"value").as("v_c")).as("u"),
+          $"props")))
+      .withColumn("vr", expr("parse_json(env)"))
+      .select(
+        expr("variant_get(vr, '$.event_type', 'string')").as("event_type"),
+        expr("variant_get(vr, '$.u.v_c', 'bigint')").as("v_c"),
+        expr("variant_get(parse_json(variant_get(vr, '$.props', 'string'))" +
+             ", '$.k', 'int')").as("k"),
+        expr("variant_get(vr, '$.not_there', 'bigint')").as("miss"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_v_c"),
+           sum($"k").as("sum_k"), count($"miss").as("n_miss"))
+      .orderBy($"event_type")
+  }
+
+  private val variantExtractSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+      |    AS sum_k,
+      |  CAST(0 AS BIGINT) AS n_miss
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** P8: timestamp format + parse round trip with the reference's
     * quoted-Z pattern (`preprocess.py:64-65`). */
   private def timestampParse(s: SparkSession, d: String): DataFrame = {
@@ -399,6 +439,7 @@ object AisOps extends QueryModule {
     "p8_timestamp_parse" -> (timestampParse _),
     "p10_avro_envelope"  -> (avroEnvelopeRt _),
     "p11_proto_envelope" -> (protoEnvelopeRt _),
+    "p12_variant_extract" -> (variantExtract _),
     "t7_dead_reckoning"  -> (deadReckon _))
 
   override val oracles: Map[String, String] = Map(
@@ -416,5 +457,6 @@ object AisOps extends QueryModule {
     "p8_timestamp_parse" -> timestampParseSql,
     "p10_avro_envelope"  -> avroEnvelopeSql,
     "p11_proto_envelope" -> protoEnvelopeSql,
+    "p12_variant_extract" -> variantExtractSql,
     "t7_dead_reckoning"  -> deadReckonSql)
 }
