@@ -88,6 +88,38 @@ object GeoFunctions {
   def pixelRow(lat: Column, latMax: Double, deg: Double): Column =
     floor((lit(latMax) - lat) / deg).cast("long")
 
+  /** F9 — point-in-polygon by even-odd ray casting over INTEGER
+    * coordinates (centi-degrees), multiply-only crossing test so the
+    * arithmetic is exact int64 and therefore engine-agnostic: a
+    * horizontal +x ray from (px,py) crosses edge (x1,y1)→(x2,y2) iff
+    * the edge straddles py ((y1>py) != (y2>py)) and the signed area
+    * (x2−x1)(py−y1) − (px−x1)(y2−y1) carries the sign of (y2−y1) —
+    * the division-free form of `px < x1 + (x2−x1)(py−y1)/(y2−y1)`.
+    * The polygon is a compile-time constant, so the per-edge
+    * indicators unroll into ONE codegen'd integer expression: map-only,
+    * no join against a vertex relation, no HOF, no UDF. Geofencing is
+    * the natural next step past W1's axis-aligned bbox — the reference
+    * stops at the bbox (`preprocess.py:52-55`); this is the same
+    * predicate family generalized to arbitrary simple polygons.
+    * Horizontal edges (y1 == y2) never straddle — they are dropped at
+    * construction time (their term is constant 0, and Spark would warn
+    * about the trivially-constant straddle comparison).
+    * Boundary points get a deterministic (side-dependent) parity —
+    * identical in both engines because every op is exact. */
+  def pointInPolygon(px: Column, py: Column, poly: Seq[(Int, Int)]): Column = {
+    val crossings = poly.indices.flatMap { i =>
+      val (x1, y1) = poly(i)
+      val (x2, y2) = poly((i + 1) % poly.size)
+      if (y1 == y2) None else Some {
+        val straddles = (lit(y1.toLong) > py) =!= (lit(y2.toLong) > py)
+        val cross = lit((x2 - x1).toLong) * (py - y1.toLong) -
+          (px - x1.toLong) * lit((y2 - y1).toLong)
+        when(straddles && ((cross > 0) === lit(y2 > y1)), 1L).otherwise(0L)
+      }
+    }.reduce(_ + _)
+    crossings % 2
+  }
+
   /** T7 — dead-reckoning straight-line projection (`README.md:46`):
     * advance a position by speed (knots) on course (deg) for dt seconds.
     * 1 knot = 1852 m/h; meters-per-degree approximations in exact ops. */

@@ -424,6 +424,51 @@ object AisOps extends QueryModule {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** F9: geofence classification — point-in-polygon over a concave
+    * "crown" pentagon in integer centi-degrees. Every point of the
+    * synthetic grid is classified per row (hash-exact per-row oracle,
+    * same convention as f2/f5), and the plan is map-only up to the
+    * output sort: the constant polygon unrolls into one codegen'd
+    * integer expression, so no exchange exists before `orderBy`.
+    * The crown is concave (notch between the two peaks), so the ray
+    * cast exercises crossing counts of 0, 1 AND 2 — a convex fixture
+    * would never produce parity via an even crossing count. */
+  private[graft] val CrownPoly =
+    Seq((200, 150), (950, 2600), (1500, 1400), (2050, 2600), (2800, 150))
+
+  private def pointInPoly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val px = (($"user_id" % 30) * 100 + ($"event_id" % 100)).cast("long")
+    val py = (($"event_id" % 30) * 100 + ($"user_id" % 100)).cast("long")
+    Tbl.events(s, d)
+      .select($"event_id",
+              px.as("px_cdeg"), py.as("py_cdeg"),
+              pointInPolygon(px, py, CrownPoly).as("inside"))
+      .orderBy($"event_id")
+  }
+
+  /** SQL twin of `GeoFunctions.pointInPolygon` — generated from the SAME
+    * vertex sequence, so the per-edge arithmetic is literal-for-literal
+    * identical; all ops are int64 (no float in the hash). */
+  private val pointInPolySql = {
+    val (px, py) = ("px_cdeg", "py_cdeg")
+    val terms = CrownPoly.indices.flatMap { i =>
+      val (x1, y1) = CrownPoly(i)
+      val (x2, y2) = CrownPoly((i + 1) % CrownPoly.size)
+      // horizontal edges dropped, mirroring pointInPolygon's skip
+      if (y1 == y2) None else Some(
+        s"(CASE WHEN (($y1 > $py) != ($y2 > $py)) AND " +
+          s"(((${x2 - x1} * ($py - $y1) - ($px - $x1) * ${y2 - y1}) > 0) = (${y2 - y1} > 0)) " +
+          "THEN 1 ELSE 0 END)")
+    }.mkString("(", " + ", ") % 2")
+    s"""SELECT event_id, $px, $py, CAST($terms AS BIGINT) AS inside
+       |FROM (SELECT event_id,
+       |        (user_id % 30) * 100 + (event_id % 100) AS $px,
+       |        (event_id % 30) * 100 + (user_id % 100) AS $py
+       |      FROM events)
+       |ORDER BY event_id""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_wkt_parse"       -> (wktParse _),
     "f2_ecef"            -> (ecef _),
@@ -431,6 +476,7 @@ object AisOps extends QueryModule {
     "f4_affine_pixel"    -> (affinePixel _),
     "f5_haversine"       -> (haversineQ _),
     "f6_path_angle"      -> (pathAngle _),
+    "f9_point_in_polygon" -> (pointInPoly _),
     "w1_bbox_filter"     -> (bboxFilter _),
     "w5_sog_repair"      -> (sogRepair _),
     "p1_cast_roundtrip"  -> (castRoundtrip _),
@@ -449,6 +495,7 @@ object AisOps extends QueryModule {
     "f4_affine_pixel"    -> affinePixelSql,
     "f5_haversine"       -> haversineSql,
     "f6_path_angle"      -> pathAngleSql,
+    "f9_point_in_polygon" -> pointInPolySql,
     "w1_bbox_filter"     -> bboxFilterSql,
     "w5_sog_repair"      -> sogRepairSql,
     "p1_cast_roundtrip"  -> castRoundtripSql,

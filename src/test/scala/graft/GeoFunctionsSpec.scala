@@ -49,6 +49,19 @@ class GeoFunctionsSpec extends SparkSpec {
     assert(one[Long](pixelRow(lit(29.74), 30.0, 0.25)) == 1L)
   }
 
+  test("F9 point-in-polygon: crown fixture hits 0/1/2/3-crossing parities") {
+    val poly = graft.operators.AisOps.CrownPoly
+    def pip(px: Long, py: Long): Long =
+      one[Long](pointInPolygon(lit(px), lit(py), poly))
+    assert(pip(1500, 500) == 1, "bottom center: 1 crossing, inside")
+    assert(pip(500, 1000) == 1, "left wing interior: 1 crossing")
+    assert(pip(950, 2400) == 1, "left peak interior: 3 crossings, still odd")
+    assert(pip(1500, 2000) == 0, "notch: 2 crossings — concavity exercised")
+    assert(pip(100, 1000) == 0, "left of the polygon: 2 crossings, outside")
+    assert(pip(1500, 2700) == 0, "above both peaks: 0 crossings")
+    assert(pip(2900, 150) == 0, "outside, level with the horizontal base edge")
+  }
+
   test("T7 dead reckoning: northbound leg adds only latitude") {
     val lat = one[Double](deadReckonLat(lit(10.0), lit(10.0), lit(0.0), lit(3600.0)))
     // 10 kn for 1 h = 18,520 m; / 111,320 m/deg ~ 0.16636 deg
