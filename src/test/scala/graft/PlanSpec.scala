@@ -872,6 +872,21 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(smj.isEmpty, s"stats re-attach fell off the broadcast path:\n$p")
   }
 
+  test("geofence join: cell-blocked broadcast EQUI-join, no nested loop") {
+    // fences are data, so the naive plan is a bbox theta-join (NL);
+    // the cell blocking must turn it into a hash equi-join on (jx, jy)
+    // with the fence-cell side broadcast — the point side never
+    // shuffles before the 16-row agg
+    val p = executed(SparkEntry.queries("j10_geofence_join")(spark, d))
+    val bhj = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected BroadcastHashJoin on cells:\n$p")
+    val nl = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(nl.isEmpty, s"geofence join fell off the equi-join path:\n$p")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -60,4 +60,37 @@ class SpatialJoinSpec extends SparkSpec {
     assert(brute.length === brute.toSet.size) // sanity: brute is unique
     assert(blocked === brute.toSet)
   }
+
+  test("geofence join: planted points, incl. a hit across the cell border") {
+    // fence 0: diamond center (400,400) r=150, bbox [250,550]² — it
+    // straddles the 512 cell border, so (520,400) (L1 dist 120, inside)
+    // lands in cell 1 while the fence center sits in cell 0
+    val planted = Seq(
+      (1L, 400L, 400L),  // fence 0 center
+      (2L, 520L, 400L),  // fence 0, point's cell != center's cell
+      (3L, 400L, 551L),  // 1 past fence 0's bbox — out
+      (4L, 400L, 549L),  // inside bbox, outside diamond (L1 149? no: 149<150 — in)
+      (5L, 751L, 400L),  // between fences 0 and 1 — out
+      (6L, 1100L, 500L), // fence 1 (r=175): L1 dist 100 — in
+      (7L, 2999L, 2999L) // outside every bbox
+    ).toDF("event_id", "px", "py")
+    val hits = SpatialJoinOps.fenceHits(planted)
+      .select($"event_id", $"fence_id").as[(Long, Long)].collect().toSet
+    assert(hits === Set((1L, 0L), (2L, 0L), (4L, 0L), (6L, 1L)))
+  }
+
+  test("geofence parity: data-driven fold agrees with the constant unroll") {
+    // the HOF fold (vertices as data) and GeoFunctions.pointInPolygon
+    // (vertices unrolled at plan time) implement the same crossing
+    // test — differential-check them over a dense grid on the crown
+    val poly = graft.operators.AisOps.CrownPoly
+    val verts = array(poly.map { case (x, y) =>
+      struct(lit(x.toLong).as("x"), lit(y.toLong).as("y")) }: _*)
+    val grid = (for (px <- 0L to 3000L by 77L; py <- 0L to 3000L by 77L)
+      yield (px, py)).toDF("px", "py")
+    val both = grid.select(
+      SpatialJoinOps.hofParity($"px", $"py", verts, poly.size).as("hof"),
+      graft.functions.GeoFunctions.pointInPolygon($"px", $"py", poly).as("unrolled"))
+    assert(both.where($"hof" =!= $"unrolled").count() === 0L)
+  }
 }
