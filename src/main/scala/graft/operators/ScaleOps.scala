@@ -581,7 +581,54 @@ object ScaleOps extends QueryModule {
       |GROUP BY c.c_custkey, c.c_name
       |ORDER BY c.c_custkey""".stripMargin
 
+  /** Dynamic partition pruning — the join-driven twin of
+    * [[partitionPruning]]'s static literal prune. The fact table is
+    * laid out partitioned on `day`; the query joins it to a FILTERED
+    * dim whose surviving days are only known at runtime (the filter is
+    * on a different column than the join key, so no static rewrite can
+    * see them). Spark's `PartitionPruning` rule plants a
+    * `DynamicPruningExpression` on the fact scan that reuses the dim's
+    * broadcast as the partition filter — at 100 TB the fact side reads
+    * 5/50 of its partitions instead of all of them, the difference
+    * between a 2 TB scan and a 20 TB scan, with ZERO extra exchanges
+    * (the broadcast was already being built for the join).
+    * Plan-spec-pinned: the fact `FileSourceScanExec` must carry a
+    * dynamic-pruning partition filter, else the spec fails. */
+  private def dynamicPruning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = Tbl.scratchDir("events_dpp")
+    Tbl.events(s, d)
+      .select($"event_id", $"user_id", Tbl.cents($"value").as("v_c"),
+              ($"event_id" % 50).as("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    // read back: `day` is a partition column (inferred int) — the dim
+    // side casts to int so the fact join key stays a BARE partition
+    // attribute, the shape the pruning rule rewrites
+    val fact = s.read.parquet(dir)
+    // 7 is invertible mod 50, so the 5 region-2 nations map to 5
+    // distinct days — no dedup tier needed on either engine
+    val dim = Tbl.nation(s, d).where($"n_regionkey" === 2)
+      .select((($"n_nationkey" * 7) % 50).cast("int").as("day"))
+    fact.join(dim, "day")
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n"),
+           countDistinct($"user_id").as("n_users"),
+           round(sum($"v_c") / 100.0, 2).as("sum_value"))
+      .select($"day".cast("long").as("day"), $"n", $"n_users", $"sum_value")
+      .orderBy($"day")
+  }
+
+  private val dynamicPruningSql =
+    """SELECT (e.event_id % 50) AS day, count(*) AS n,
+      |  count(DISTINCT e.user_id) AS n_users,
+      |  round(sum(CAST(round(e.value*100) AS BIGINT))/100.0, 2) AS sum_value
+      |FROM events e
+      |JOIN (SELECT (n_nationkey * 7) % 50 AS day FROM nation
+      |      WHERE n_regionkey = 2) d ON (e.event_id % 50) = d.day
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dynamic_pruning"   -> (dynamicPruning _),
     "x_kmv_distinct"      -> (kmvDistinct _),
     "x_kmv_setops"        -> (kmvSetops _),
     "x_bloom_join"        -> (bloomJoin _),
@@ -596,6 +643,7 @@ object ScaleOps extends QueryModule {
     "x_partition_pruning" -> (partitionPruning _))
 
   override val oracles: Map[String, String] = Map(
+    "x_dynamic_pruning"   -> dynamicPruningSql,
     "x_kmv_distinct"      -> kmvDistinctSql,
     "x_kmv_setops"        -> kmvSetopsSql,
     "x_bloom_join"        -> bloomJoinSql,

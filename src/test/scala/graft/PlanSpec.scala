@@ -887,6 +887,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nl.isEmpty, s"geofence join fell off the equi-join path:\n$p")
   }
 
+  test("dynamic partition pruning: fact scan carries a runtime DPP filter") {
+    // the dim filter (n_regionkey = 2) is on a NON-join column, so only
+    // a runtime subquery can know which fact partitions survive — the
+    // PartitionPruning rule must plant a DynamicPruningExpression on
+    // the fact scan's partition filters (reusing the join's broadcast),
+    // and the scan must actually read 5/50 partitions
+    val p = executed(SparkEntry.queries("x_dynamic_pruning")(spark, d))
+    val dppScans = scans(p).filter(_.partitionFilters.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression => true
+      case _ => false
+    }))
+    assert(dppScans.nonEmpty, s"no DynamicPruningExpression on any scan:\n$p")
+    // post-execution the scan's selected partitions are materialized —
+    // 5 surviving days out of 50 written
+    val selected = dppScans.head.metrics.get("numPartitions").map(_.value)
+    assert(selected.exists(n => n > 0 && n <= 5),
+           s"DPP did not prune at read time: selected=$selected\n$p")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
