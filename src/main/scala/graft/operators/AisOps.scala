@@ -296,6 +296,52 @@ object AisOps extends QueryModule {
       |  CAST(0 AS BIGINT) AS n_miss
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** P13 (the XML sibling of P2/P12): schema-on-read XML ingestion —
+    * Spark 4's built-in `to_xml`/`from_xml` pair, the envelope shape of
+    * B2B/AIS feeds that arrive as XML rather than JSON. The round trip
+    * exercises the XML-only surfaces JSON cannot: an ATTRIBUTE
+    * (`_src`, written with the default `_` attribute prefix), a nested
+    * ELEMENT struct (`u/v_c`), entity escaping (the `props` JSON
+    * document rides as element text, so its quotes/braces round-trip
+    * through XML escaping before being re-parsed as JSON and drilled
+    * to `$.k`), and a missing element pinned to NULL (`n_miss` counts
+    * it — any non-null shifts the hash). The oracle never builds XML:
+    * it aggregates the SOURCE columns, so the hash match proves the
+    * whole build→parse→extract chain lossless, escaping included.
+    * Scale: one scan, per-row expression work, |types|-row exchange. */
+  private def xmlExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val xsd = org.apache.spark.sql.types.StructType.fromDDL(
+      "_src STRING, event_type STRING, " +
+      "u STRUCT<user_id: BIGINT, v_c: BIGINT>, " +
+      "props STRING, not_there BIGINT")
+    Tbl.events(s, d)
+      .withColumn("env", to_xml(struct(
+        lit("ais").as("_src"),
+        $"event_type",
+        struct($"user_id", Tbl.cents($"value").as("v_c")).as("u"),
+        $"props")))
+      .select(from_xml($"env", xsd).as("x"))
+      .select($"x.event_type".as("event_type"), $"x.u.v_c".as("v_c"),
+              get_json_object($"x.props", "$.k").cast("int").as("k"),
+              $"x._src".as("src"), $"x.not_there".as("miss"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_v_c"),
+           sum($"k").as("sum_k"),
+           count(when($"src" === "ais", 1)).as("n_src"),
+           count($"miss").as("n_miss"))
+      .orderBy($"event_type")
+  }
+
+  private val xmlExtractSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+      |    AS sum_k,
+      |  CAST(count(*) AS BIGINT) AS n_src,
+      |  CAST(0 AS BIGINT) AS n_miss
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** P8: timestamp format + parse round trip with the reference's
     * quoted-Z pattern (`preprocess.py:64-65`). */
   private def timestampParse(s: SparkSession, d: String): DataFrame = {
@@ -486,6 +532,7 @@ object AisOps extends QueryModule {
     "p10_avro_envelope"  -> (avroEnvelopeRt _),
     "p11_proto_envelope" -> (protoEnvelopeRt _),
     "p12_variant_extract" -> (variantExtract _),
+    "p13_xml_extract" -> (xmlExtract _),
     "t7_dead_reckoning"  -> (deadReckon _))
 
   override val oracles: Map[String, String] = Map(
@@ -505,5 +552,6 @@ object AisOps extends QueryModule {
     "p10_avro_envelope"  -> avroEnvelopeSql,
     "p11_proto_envelope" -> protoEnvelopeSql,
     "p12_variant_extract" -> variantExtractSql,
+    "p13_xml_extract" -> xmlExtractSql,
     "t7_dead_reckoning"  -> deadReckonSql)
 }

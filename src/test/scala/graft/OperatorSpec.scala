@@ -262,6 +262,24 @@ class OperatorSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("p13 xml envelope: attribute, entity escaping, missing element") {
+    import org.apache.spark.sql.functions.{to_xml, from_xml, struct, lit, col}
+    // hostile element text: every character XML must escape, plus a
+    // JSON document — if the writer or parser mishandles one entity,
+    // the round trip is not identity and this fails before the oracle
+    val hostile = """{"k": 7, "s": "<tag> & \"quoted\" 'apos' </tag>"}"""
+    val xsd = org.apache.spark.sql.types.StructType.fromDDL(
+      "_src STRING, txt STRING, not_there BIGINT")
+    val out = Seq(hostile).toDF("txt")
+      .withColumn("env", to_xml(struct(lit("ais").as("_src"), $"txt")))
+      .select(from_xml(col("env"), xsd).as("x"))
+      .select($"x._src", $"x.txt", $"x.not_there")
+      .head()
+    assert(out.getString(0) === "ais")     // attribute (not element) path
+    assert(out.getString(1) === hostile)   // escaping is lossless
+    assert(out.isNullAt(2))                // absent element reads as NULL
+  }
+
   test("mm_decode_features: ImageIO decode roundtrip is pixel-exact") {
     import graft.operators.MultimodalOps.MediaCodec
     // the query's digest comes from ImageIO.read over real PNG bytes;
