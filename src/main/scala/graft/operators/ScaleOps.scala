@@ -627,7 +627,42 @@ object ScaleOps extends QueryModule {
       |      WHERE n_regionkey = 2) d ON (e.event_id % 50) = d.day
       |GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** Exact distinct count via BITMAP aggregation — the
+    * Druid/ClickHouse `groupBitmap` technique re-expressed in pure
+    * codegen'd built-ins. A plain `count(DISTINCT uid)` must get every
+    * distinct (group, uid) pair to a reducer: the shuffle scales with
+    * the DATA's distinct count. The bitmap form groups by
+    * (group, uid div 64) and `bit_or`s single-bit words, so map-side
+    * partial aggregation compresses each partition's contribution to
+    * at most |domain|/64 words per group BEFORE the exchange — the
+    * shuffle scales with the DOMAIN, not the data, and the merge is a
+    * bitwise OR instead of a hash-set union. Second agg sums
+    * `bit_count`. Exact for any non-negative int64 id, no sketch
+    * error; both aggregates stay in whole-stage codegen (pinned — a
+    * distinct-rewrite would plan expand/4-phase shapes instead). At
+    * 100 TB with 10¹² rows over a 10⁹-user domain this is the
+    * difference between shuffling ~10¹² pairs and ~1.6·10⁷ words per
+    * group. */
+  private def bitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .groupBy($"event_type", expr("user_id div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+                "CAST(user_id % 64 AS INT)))").as("bits"),
+           count(lit(1)).as("nw"))
+      .groupBy($"event_type")
+      .agg(sum(expr("bit_count(bits)")).as("n_users"), sum($"nw").as("n"))
+      .select($"event_type", $"n", $"n_users")
+      .orderBy($"event_type")
+  }
+
+  private val bitmapDistinctSql =
+    """SELECT event_type, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_bitmap_distinct"   -> (bitmapDistinct _),
     "x_dynamic_pruning"   -> (dynamicPruning _),
     "x_kmv_distinct"      -> (kmvDistinct _),
     "x_kmv_setops"        -> (kmvSetops _),
@@ -643,6 +678,7 @@ object ScaleOps extends QueryModule {
     "x_partition_pruning" -> (partitionPruning _))
 
   override val oracles: Map[String, String] = Map(
+    "x_bitmap_distinct"   -> bitmapDistinctSql,
     "x_dynamic_pruning"   -> dynamicPruningSql,
     "x_kmv_distinct"      -> kmvDistinctSql,
     "x_kmv_setops"        -> kmvSetopsSql,

@@ -906,6 +906,29 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
            s"DPP did not prune at read time: selected=$selected\n$p")
   }
 
+  test("bitmap distinct: two codegen'd hash aggs, no distinct expansion") {
+    val df = SparkEntry.queries("x_bitmap_distinct")(spark, d)
+    val p = executed(df)
+    // a count(DISTINCT) rewrite would surface as Expand or a 4-phase
+    // agg keyed on the raw uid; the bitmap form must stay two plain
+    // HashAggregates inside whole-stage codegen
+    assert(!p.toString.toLowerCase.contains("expand"),
+           s"bitmap distinct planned a distinct expansion:\n$p")
+    val aggs = collectWithSubqueries(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.nonEmpty && aggs.forall(_.supportCodegen),
+           s"bitmap aggs fell out of codegen:\n$p")
+    // differential: bitmap count == Spark's own exact countDistinct
+    import spark.implicits._
+    val got = df.select($"event_type", $"n_users").as[(String, Long)]
+      .collect().toMap
+    val want = Tbl.events(spark, d).groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("nd"))
+      .as[(String, Long)].collect().toMap
+    assert(got === want)
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
