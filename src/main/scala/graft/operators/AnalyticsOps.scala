@@ -512,8 +512,40 @@ object AnalyticsOps extends QueryModule {
   private def recursiveHierarchySql =
     recursiveHierarchyQuery("part", "lineitem")
 
+  /** LATERAL correlated subquery through the SQL front door — the
+    * standard-SQL spelling of "top-k per row" (a correlated subquery
+    * that returns MULTIPLE rows and columns per outer row, which a
+    * scalar subquery cannot). Spark's `DecorrelateInnerQuery` rewrites
+    * the per-row LIMIT into a set-based plan: one row_number window
+    * over the inner side + an equi-join back to the outer — no
+    * nested-loop, no per-row re-execution (pinned in PlanSpec). DuckDB
+    * executes the IDENTICAL query text, so the oracle also certifies
+    * Spark's decorrelation semantics (ties broken by the unique
+    * orderkey make the top-2 deterministic on both engines). Scale
+    * note: the decorrelated window shuffles the inner side once by
+    * join key; the hand-optimized twin of this shape is
+    * x_native_topk's rank-limit→TopKPerKeyExec rewrite — this entry
+    * certifies the FRONT DOOR, that one the bounded-buffer fast
+    * path. */
+  private def lateralTopk(s: SparkSession, d: String): DataFrame = {
+    Tbl.customer(s, d).createOrReplaceTempView("cust_lt")
+    Tbl.orders(s, d).createOrReplaceTempView("ord_lt")
+    s.sql(lateralTopkQuery("cust_lt", "ord_lt"))
+  }
+  private def lateralTopkQuery(cust: String, ord: String) =
+    s"""SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+       |FROM $cust c,
+       |LATERAL (SELECT o_orderkey, o_totalprice FROM $ord o
+       |         WHERE o.o_custkey = c.c_custkey
+       |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+       |WHERE c.c_mktsegment = 'BUILDING'
+       |ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  private def lateralTopkSql = lateralTopkQuery("customer", "orders")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_recursive_hierarchy" -> (recursiveHierarchy _),
+    "x_lateral_topk"     -> (lateralTopk _),
     "x_correlated_subquery" -> (correlatedSubquery _),
     "x_skyline"          -> (skyline _),
     "x_cohort_retention" -> (cohortRetention _),
@@ -530,6 +562,7 @@ object AnalyticsOps extends QueryModule {
 
   override val oracles: Map[String, String] = Map(
     "x_recursive_hierarchy" -> recursiveHierarchySql,
+    "x_lateral_topk"     -> lateralTopkSql,
     "x_correlated_subquery" -> correlatedSubquerySql,
     "x_skyline"          -> skylineSql,
     "x_cohort_retention" -> cohortRetentionSql,

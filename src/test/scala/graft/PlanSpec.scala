@@ -929,6 +929,23 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got === want)
   }
 
+  test("lateral top-k: decorrelated to window + equi-join, no nested loop") {
+    // the naive execution of a LATERAL LIMIT subquery is one inner
+    // query per outer row; DecorrelateInnerQuery must plan a single
+    // row_number window + hash equi-join instead
+    val p = executed(SparkEntry.queries("x_lateral_topk")(spark, d))
+    val nl = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(nl.isEmpty, s"lateral subquery fell off the equi-join path:\n$p")
+    val win = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(win.nonEmpty, s"expected a decorrelated window:\n$p")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
