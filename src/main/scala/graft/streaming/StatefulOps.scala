@@ -294,4 +294,40 @@ object StatefulOps {
       Iterator.single(KmvRow(key, merged.length.toLong, merged.last))
     }
   }
+
+  /** Typed row for [[StreamingBitmapWord]]: pre-split id coordinates. */
+  final case class TypeWordBit(event_type: String, w: Long, bit: Int)
+
+  /** Per-batch word emission: the 64-id bitset this key currently
+    * holds; downstream bit_or/bit_count folds words to exact counts. */
+  final case class WordRow(event_type: String, w: Long, bits: Long)
+
+  /** STREAMING EXACT distinct — `x_bitmap_distinct`'s keyed-state twin
+    * and [[StreamingKmv]]'s exact complement. State is ONE long per
+    * (event_type, uid div 64): each batch ORs arriving single-bit
+    * masks into it. Exactness without unbounded state: where s4's
+    * dropDuplicates keeps one state row per DISTINCT ID (grows with
+    * the data), this keeps |domain|/64 words per key — bounded by the
+    * ID DOMAIN, constant in stream length, and the merge is a bitwise
+    * OR (associative + idempotent, so replays/retries can't
+    * double-count). The same property makes the Update-mode emission
+    * stream monotone: a later word is always a superset, so the final
+    * value per key is recoverable downstream with bit_or even under
+    * multi-batch replay. */
+  final class StreamingBitmapWord
+      extends StatefulProcessor[(String, Long), TypeWordBit, WordRow] {
+    @transient private var state: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Long](
+        "bits", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Long), rows: Iterator[TypeWordBit],
+                                 timers: TimerValues): Iterator[WordRow] = {
+      var bits = if (state.exists()) state.get() else 0L
+      rows.foreach { r => bits |= 1L << r.bit }
+      state.update(bits)
+      Iterator.single(WordRow(key._1, key._2, bits))
+    }
+  }
 }

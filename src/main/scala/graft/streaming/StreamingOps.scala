@@ -726,6 +726,40 @@ object StreamingOps extends QueryModule {
        |       END AS BIGINT) AS est_distinct
        |FROM sk ORDER BY event_type""".stripMargin
 
+  /** s28: STREAMING EXACT distinct per event_type — the bitset-state
+    * twin of batch `x_bitmap_distinct` and the exact complement of
+    * s25's KMV sketch (see [[StatefulOps.StreamingBitmapWord]]). Keyed
+    * state is one long per (type, uid div 64): domain-bounded, constant
+    * in stream length, OR-merged (idempotent, so retries can't
+    * double-count). The final fold (bit_or per word, then
+    * sum(bit_count)) runs batch-side on the emission table and is
+    * correct under ANY batching because word emissions are monotone
+    * supersets. */
+  private def streamBitmapDistinct(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) { streamBitmapDistinctInner(s, d) }
+
+  private def streamBitmapDistinctInner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import StatefulOps._
+    val typed = eventStream(s, d)
+      .select($"event_type", expr("user_id div 64").as("w"),
+              expr("CAST(user_id % 64 AS INT)").as("bit"))
+      .as[TypeWordBit]
+      .groupByKey(x => (x.event_type, x.w))
+      .transformWithState(new StreamingBitmapWord,
+        TimeMode.None(), OutputMode.Update())
+    runToTable(s, typed.toDF(), "s_bitmap", OutputMode.Update())
+      .groupBy($"event_type", $"w")
+      .agg(expr("bit_or(bits)").as("bits"))
+      .groupBy($"event_type")
+      .agg(sum(expr("bit_count(bits)")).as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  private val streamBitmapDistinctSql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Stream-stream interval join: clicks ⋈ purchases per user where the
     * purchase lands within 10 minutes after the click. Watermarks on
     * BOTH sides bound the join state — at 100 TB/day this is what keeps
@@ -1271,7 +1305,8 @@ object StreamingOps extends QueryModule {
     "s24_stream_ttl_profile" -> (streamTtlProfile _),
     "s25_stream_kmv"        -> (streamKmv _),
     "s26_stream_asof_join"  -> (streamAsofJoin _),
-    "s27_stream_drift"      -> (streamDrift _))
+    "s27_stream_drift"      -> (streamDrift _),
+    "s28_stream_bitmap"     -> (streamBitmapDistinct _))
 
   /** s27: STREAMING drift monitor — the `x_dist_drift` family as a live
     * gate: per-day tumbling windows of the event stream score their
@@ -1422,5 +1457,6 @@ object StreamingOps extends QueryModule {
     "s24_stream_ttl_profile" -> ttlProfileSql,
     "s25_stream_kmv"        -> streamKmvSql,
     "s26_stream_asof_join"  -> streamAsofJoinSql,
-    "s27_stream_drift"      -> streamDriftSql)
+    "s27_stream_drift"      -> streamDriftSql,
+    "s28_stream_bitmap"     -> streamBitmapDistinctSql)
 }

@@ -586,6 +586,61 @@ class StatefulOpsSpec extends SparkSpec {
       s"restarted spatial join must pair B against A's recovered probe state: $fin")
   }
 
+  test("restart recovery: bitmap word state ORs across restart (s28)") {
+    // the s28 claim is idempotent OR-merge: a restart (or a replayed
+    // batch) must never double-count, and a later emission is always a
+    // superset of an earlier one. Run 1 sets bits {1, 63} of word 0 for
+    // one type (bit 63 exercises the sign bit — a max()-based fold
+    // would pick the WRONG emission for it); run 2 re-sends bit 1
+    // (idempotence) plus bit 5 of the same word and a second word.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    import graft.streaming.StatefulOps.{StreamingBitmapWord, TypeWordBit, WordRow}
+    graft.streaming.StreamingOps.configureStreaming(spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("bm_restart_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("bm_restart_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("bm_restart_ck").toString
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("w", LongType),
+      StructField("bit", IntegerType)))
+    def stage(rows: Seq[TypeWordBit]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      val out = spark.readStream.schema(schema).parquet(srcDir)
+        .select(col("event_type"), col("w"), col("bit"))
+        .as[TypeWordBit]
+        .groupByKey(x => (x.event_type, x.w))
+        .transformWithState(new StreamingBitmapWord,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .outputMode("update").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.stop()
+    }
+    stage(Seq(TypeWordBit("click", 0L, 1), TypeWordBit("click", 0L, 63)))
+    run()
+    val after1 = spark.read.parquet(outDir).as[WordRow].collect()
+    assert(after1.map(r => (r.event_type, r.w, r.bits)).toSet ===
+           Set(("click", 0L, (1L << 1) | (1L << 63))))
+    stage(Seq(TypeWordBit("click", 0L, 1),   // replayed bit: no-op
+              TypeWordBit("click", 0L, 5),
+              TypeWordBit("click", 7L, 0)))
+    run()
+    // final per-word value = bit_or over emissions (monotone supersets)
+    val folded = spark.read.parquet(outDir).as[WordRow].collect()
+      .groupBy(r => (r.event_type, r.w))
+      .map { case (k, rs) => k -> rs.map(_.bits).reduce(_ | _) }
+    assert(folded === Map(
+      ("click", 0L) -> ((1L << 1) | (1L << 5) | (1L << 63)),
+      ("click", 7L) -> 1L))
+    // exactness: popcount over words = 4 distinct ids
+    assert(folded.values.map(java.lang.Long.bitCount).sum === 4)
+  }
+
   test("last3PerKey: merge keeps ts-desc order with event_id tiebreak") {
     val st = new FakeState[Top3State]
     val out = last3PerKey(9L,
