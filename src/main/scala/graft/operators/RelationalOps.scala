@@ -291,7 +291,54 @@ object RelationalOps extends QueryModule {
       |FROM ea GROUP BY l_partkey
       |ORDER BY op, l_partkey""".stripMargin
 
+  /** J11 — NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the
+    * join-semantics trap every ETL hits once. Under plain `=`, NULL
+    * keys silently vanish from an inner join (NULL = NULL is NULL, not
+    * TRUE); `<=>` makes NULL a first-class key value that matches
+    * itself. Both sides derive a nullable key (a sentinel id range maps
+    * to NULL), so the NULL bucket really exists and carries rows.
+    * CRITICALLY for scale, Spark plans EqualNullSafe as a HASH join
+    * key, not a post-join filter — the plan spec pins
+    * BroadcastHashJoin with no nested-loop fallback, so the NULL
+    * semantics cost nothing at 100 TB. The output splits the NULL
+    * bucket from the valued buckets (`is_null_bucket`), pinning that
+    * NULL⋈NULL rows actually joined. */
+  private def nullsafeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // fact: events with key = user_id % 40, nulled for the 0 residue
+    val fact = Tbl.events(s, d)
+      .select(when($"user_id" % 40 === 0, lit(null))
+                .otherwise($"user_id" % 40).as("k"),
+              Tbl.cents($"value").as("v_c"))
+    // dim: nation with key = n_nationkey % 40, nulled for nationkey 0
+    val dim = Tbl.nation(s, d)
+      .select(when($"n_nationkey" === 0, lit(null))
+                .otherwise($"n_nationkey" % 40).as("k"),
+              $"n_name")
+    fact.join(broadcast(dim), fact("k") <=> dim("k"))
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n"),
+           max(dim("k").isNull.cast("int")).as("is_null_bucket"),
+           round(sum($"v_c") / 100.0, 2).as("sum_value"))
+      .orderBy($"n_name")
+  }
+
+  private val nullsafeJoinSql =
+    """WITH f AS (SELECT CASE WHEN user_id % 40 = 0 THEN NULL
+      |                  ELSE user_id % 40 END AS k,
+      |                  CAST(round(value*100) AS BIGINT) AS v_c
+      |           FROM events),
+      |d AS (SELECT CASE WHEN n_nationkey = 0 THEN NULL
+      |             ELSE n_nationkey % 40 END AS k, n_name FROM nation)
+      |SELECT n_name, count(*) AS n,
+      |  CAST(max(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END) AS INT)
+      |    AS is_null_bucket,
+      |  round(sum(v_c)/100.0, 2) AS sum_value
+      |FROM f JOIN d ON f.k IS NOT DISTINCT FROM d.k
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j11_nullsafe_join"  -> (nullsafeJoin _),
     "x_setops_cohort"    -> (setopsCohort _),
     "x_setops_all"       -> (setopsAll _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -305,6 +352,7 @@ object RelationalOps extends QueryModule {
     "w2_in_filter"       -> (inFilter _))
 
   override val oracles: Map[String, String] = Map(
+    "j11_nullsafe_join"  -> nullsafeJoinSql,
     "x_setops_cohort"    -> setopsCohortSql,
     "x_setops_all"       -> setopsAllSql,
     "q1_pricing_summary" -> q1Sql,

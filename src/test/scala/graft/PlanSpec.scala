@@ -946,6 +946,20 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(win.nonEmpty, s"expected a decorrelated window:\n$p")
   }
 
+  test("null-safe join: EqualNullSafe plans as a hash join key, not a filter") {
+    val p = executed(SparkEntry.queries("j11_nullsafe_join")(spark, d))
+    val bhj = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected BroadcastHashJoin for <=>:\n$p")
+    // the <=> must be IN the hash keys (coalesced/isnull-keyed), not a
+    // residual condition after a wider join
+    assert(bhj.head.condition.isEmpty,
+           s"null-safe equality degraded to a post-join filter:\n$p")
+    val nl = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nl.isEmpty, s"null-safe join fell off the hash path:\n$p")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
