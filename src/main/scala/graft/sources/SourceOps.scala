@@ -201,7 +201,50 @@ object SourceOps extends QueryModule {
       |FROM events WHERE user_id % 2 = 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Text source + regex log-line parse — the classic "grep a server
+    * log" ingestion that predates structured formats and still fronts
+    * most scraped corpora. Events are formatted as syslog-ish lines
+    * (`LEVEL [type] id=.. uid=.. cents=..`), written through the text
+    * SINK, read back through the text SOURCE as raw `value` lines, and
+    * re-structured with one `regexp_extract_all`-free pass (three
+    * anchored `regexp_extract` calls — codegen'd, one scan). A parse
+    * failure yields NULL/0 which would shift n or the sums, so the
+    * oracle (aggregating the SOURCE columns, never touching text)
+    * proves the format→parse chain lossless for every row. The level
+    * derives from the id so it is recoverable by the oracle; lines are
+    * newline-framed and the fields self-delimit, so the parse is
+    * unambiguous at any scale. */
+  private def textLogparse(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = Tbl.scratchDir("textlog")
+    Tbl.events(s, d)
+      .select(concat(
+        when($"event_id" % 7 === 0, "WARN").otherwise("INFO"),
+        lit(" ["), $"event_type", lit("] id="), $"event_id",
+        lit(" uid="), $"user_id",
+        lit(" cents="), Tbl.cents($"value")).as("value"))
+      .write.mode("overwrite").text(dir)
+    s.read.text(dir)
+      .select(
+        regexp_extract($"value", "^(\\w+) \\[", 1).as("level"),
+        regexp_extract($"value", "\\[([^\\]]+)\\]", 1).as("event_type"),
+        regexp_extract($"value", "id=(-?\\d+)", 1).cast("long").as("event_id"),
+        regexp_extract($"value", "cents=(-?\\d+)", 1).cast("long").as("v_c"))
+      .groupBy($"level", $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_v_c"),
+           min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"level", $"event_type")
+  }
+
+  private val textLogparseSql =
+    """SELECT CASE WHEN event_id % 7 = 0 THEN 'WARN' ELSE 'INFO' END AS level,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events GROUP BY 1, 2 ORDER BY level, event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_text_logparse" -> (textLogparse _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
     "src_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "src_orc_roundtrip" -> (orcRoundtrip _),
@@ -210,6 +253,7 @@ object SourceOps extends QueryModule {
     "src_dsv2_write"    -> (dsv2WriteRoundtrip _))
 
   override val oracles: Map[String, String] = Map(
+    "src_text_logparse" -> textLogparseSql,
     "src_csv_roundtrip" -> csvRoundtripSql,
     "src_jsonl_roundtrip" -> jsonlRoundtripSql,
     "src_orc_roundtrip" -> orcRoundtripSql,
