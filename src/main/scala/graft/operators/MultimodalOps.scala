@@ -106,6 +106,43 @@ object MultimodalOps extends QueryModule {
     def md5Hex(content: Array[Byte]): String =
       MessageDigest.getInstance("MD5").digest(content)
         .map("%02x".format(_)).mkString
+
+    /** Deterministic fixture PCM sample in [-100, 100] — the exact
+      * integer function the DuckDB oracle replays per (id, i). */
+    def pcmSample(id: Long, i: Long): Int =
+      (((id * 31 + i * 17 + (i * i) % 13) % 201) - 100).toInt
+
+    /** Encode the fixture waveform as little-endian int16 PCM bytes —
+      * the audio half of the codec boundary (a real deployment points
+      * this at a WAV/FLAC reader; int16 LE is literally WAV's data
+      * chunk layout). 256 + id%64 samples, so frame math sees a
+      * variable-length tail. */
+    def encodePcm(id: Long): Array[Byte] = {
+      val n = (256 + id % 64).toInt
+      val out = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val x = pcmSample(id, i)
+        out(2 * i) = (x & 0xff).toByte
+        out(2 * i + 1) = ((x >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** REAL int16 LE decode: low byte unsigned, high byte carries the
+      * sign — a byte-order or sign slip here shifts every energy sum
+      * and fails the oracle hash. */
+    def decodePcm(b: Array[Byte]): Array[Int] = {
+      val n = b.length / 2
+      val xs = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        xs(i) = (b(2 * i) & 0xff) | (b(2 * i + 1).toInt << 8)
+        i += 1
+      }
+      xs
+    }
   }
 
   /** Media table synthesized deterministically from `documents`: content
@@ -242,6 +279,66 @@ object MultimodalOps extends QueryModule {
     * the fixture's pixel arithmetic — any byte the codec roundtrip
     * loses or shifts breaks the hash. Content bytes never shuffle:
     * encode→decode sit in one scan-stage map chain. */
+  /** Per-media framed energy features. */
+  final case class AudioEnergy(media_id: Long, n_samples: Long,
+                               n_frames: Long, total_energy: Long,
+                               max_frame_energy: Long)
+
+  /** Audio decode + framed feature-extract — the AUDIO twin of
+    * [[mmDecodeFeatures]] (which covers images via ImageIO): the
+    * fixture waveform is encoded to REAL int16 little-endian PCM bytes
+    * (WAV's data-chunk layout), shipped as an opaque binary column, and
+    * decoded back per partition batch; features are per-64-sample-frame
+    * energies (Σx², exact int64) with a variable-length tail frame. The
+    * oracle replays the sample arithmetic from the id and never touches
+    * bytes — a byte-order, sign, or framing slip on the Spark side
+    * shifts an energy sum and fails the hash. Content bytes never
+    * shuffle: encode→decode→reduce sit in one scan-stage map chain and
+    * only 5 small columns leave it. */
+  private def mmAudioEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.documents(s, d).where($"doc_id" % 3 === 1)
+      .select($"doc_id").as[Long]
+      .mapPartitions(ids => ids.map(id => (id, MediaCodec.encodePcm(id))))
+      .mapPartitions { rows =>
+        rows.map { case (id, pcm) =>
+          val xs = MediaCodec.decodePcm(pcm)
+          var total = 0L; var maxE = 0L; var f = 0
+          while (f * 64 < xs.length) {
+            var e = 0L
+            var i = f * 64
+            val end = math.min(i + 64, xs.length)
+            while (i < end) { e += xs(i).toLong * xs(i); i += 1 }
+            total += e
+            if (e > maxE) maxE = e
+            f += 1
+          }
+          AudioEnergy(id, xs.length.toLong, f.toLong, total, maxE)
+        }
+      }
+      .toDF()
+      .orderBy($"media_id")
+  }
+
+  private val mmAudioEnergySql =
+    """WITH ids AS (SELECT doc_id AS media_id FROM documents
+      |             WHERE doc_id % 3 = 1),
+      |s0 AS (SELECT media_id,
+      |         unnest(generate_series(0,
+      |           CAST(255 + media_id % 64 AS BIGINT))) AS i
+      |       FROM ids),
+      |s AS (SELECT media_id, i,
+      |        ((media_id*31 + i*17 + (i*i) % 13) % 201) - 100 AS x,
+      |        i // 64 AS frame
+      |      FROM s0),
+      |fe AS (SELECT media_id, frame, sum(x*x) AS e FROM s GROUP BY 1, 2)
+      |SELECT media_id,
+      |  CAST(256 + media_id % 64 AS BIGINT) AS n_samples,
+      |  CAST((256 + media_id % 64 + 63) // 64 AS BIGINT) AS n_frames,
+      |  CAST(sum(e) AS BIGINT) AS total_energy,
+      |  CAST(max(e) AS BIGINT) AS max_frame_energy
+      |FROM fe GROUP BY 1 ORDER BY media_id""".stripMargin
+
   private def mmDecodeFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     pngMedia(s, d).as[(Long, Array[Byte])]
@@ -418,6 +515,7 @@ object MultimodalOps extends QueryModule {
     "mm_ingest"          -> (mmIngest _),
     "mm_phash_neardup"   -> (mmPhashNearDup _),
     "mm_dedup"           -> (mmDedup _),
+    "mm_audio_energy"    -> (mmAudioEnergy _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_resize"          -> (mmResize _),
     "mm_frame_sample"    -> (mmFrameSample _))
@@ -427,6 +525,7 @@ object MultimodalOps extends QueryModule {
     "mm_ingest"          -> mmIngestSql,
     "mm_phash_neardup"   -> mmPhashNearDupSql,
     "mm_dedup"           -> mmDedupSql,
+    "mm_audio_energy"    -> mmAudioEnergySql,
     "mm_decode_features" -> mmDecodeFeaturesSql,
     "mm_resize"          -> mmResizeSql,
     "mm_frame_sample"    -> mmFrameSampleSql)

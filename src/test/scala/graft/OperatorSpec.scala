@@ -280,6 +280,21 @@ class OperatorSpec extends SparkSpec {
     assert(out.isNullAt(2))                // absent element reads as NULL
   }
 
+  test("mm_audio_energy: int16 LE codec roundtrip incl. sign and tail frame") {
+    import graft.operators.MultimodalOps.MediaCodec
+    // sign + byte order: -100 = 0xFF9C LE = [0x9C, 0xFF]
+    assert(MediaCodec.decodePcm(Array(0x9c.toByte, 0xff.toByte)).toSeq === Seq(-100))
+    assert(MediaCodec.decodePcm(Array(0x64.toByte, 0x00.toByte)).toSeq === Seq(100))
+    // roundtrip = identity over ids with both residue classes of length
+    for (id <- Seq(1L, 13L, 63L, 127L)) {
+      val xs = MediaCodec.decodePcm(MediaCodec.encodePcm(id))
+      assert(xs.length === (256 + id % 64).toInt)
+      assert(xs.zipWithIndex.forall { case (x, i) =>
+        x === MediaCodec.pcmSample(id, i.toLong) })
+      assert(xs.exists(_ < 0), s"fixture $id produced no negative sample")
+    }
+  }
+
   test("mm_decode_features: ImageIO decode roundtrip is pixel-exact") {
     import graft.operators.MultimodalOps.MediaCodec
     // the query's digest comes from ImageIO.read over real PNG bytes;
