@@ -661,7 +661,48 @@ object ScaleOps extends QueryModule {
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** REBALANCE write — the writer-side answer to the two failure modes
+    * a 100 TB partitioned write has: a skewed key melts one task (one
+    * 2 TB file, straggler wall) and a fine key sprays small files (the
+    * classic small-files problem that poisons every later scan). The
+    * REBALANCE hint plans a RebalancePartitions exchange AQE is allowed
+    * to re-shape in BOTH directions at runtime — split oversized
+    * partitions (`OptimizeSkewInRebalancePartitions`) and coalesce
+    * undersized ones — so output files land near the advisory size
+    * regardless of key skew. Unlike `repartition(key)` the row→file
+    * mapping is no longer a pure hash of the key, which is exactly the
+    * point: the hint declares "balance matters, placement doesn't".
+    * The oracle checksums the data through the write+read round trip
+    * (rebalancing must not lose/duplicate a row); the BALANCE property
+    * itself is pinned in PlanSpec against a deliberately skewed input.
+    * Here the hint goes through the SQL comment form, REBALANCE(col) —
+    * the spelling a migrating SQL user writes. */
+  private def rebalanceWrite(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = Tbl.scratchDir("rebalance_out")
+    Tbl.events(s, d)
+      .select($"event_id", $"event_type", $"user_id",
+              Tbl.cents($"value").as("v_c"))
+      .createOrReplaceTempView("ev_rb")
+    s.sql("SELECT /*+ REBALANCE(event_type) */ * FROM ev_rb")
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_v_c"),
+           sum($"event_id" % 97).as("ck"),
+           min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+
+  private val rebalanceWriteSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v_c,
+      |  CAST(sum(event_id % 97) AS BIGINT) AS ck,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_rebalance_write"   -> (rebalanceWrite _),
     "x_bitmap_distinct"   -> (bitmapDistinct _),
     "x_dynamic_pruning"   -> (dynamicPruning _),
     "x_kmv_distinct"      -> (kmvDistinct _),
@@ -678,6 +719,7 @@ object ScaleOps extends QueryModule {
     "x_partition_pruning" -> (partitionPruning _))
 
   override val oracles: Map[String, String] = Map(
+    "x_rebalance_write"   -> rebalanceWriteSql,
     "x_bitmap_distinct"   -> bitmapDistinctSql,
     "x_dynamic_pruning"   -> dynamicPruningSql,
     "x_kmv_distinct"      -> kmvDistinctSql,

@@ -487,6 +487,55 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("REBALANCE splits a skewed writer partition that repartition(key) cannot") {
+    // x_rebalance_write's claim: under key skew, repartition(key) pins
+    // the hot key to ONE writer task while REBALANCE lets AQE split it
+    // (OptimizeSkewInRebalancePartitions) — pinned here on a 95%-hot
+    // fixture with thresholds scaled to test volume
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit, spark_partition_id, when}
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.rebalancePartitionsSmallPartitionFactor" -> "0.2") {
+      // payload is an incompressible 32-char digest so the shuffled
+      // bytes actually exceed the advisory size (a 3-char key alone
+      // compresses under it and AQE would rightly coalesce to one)
+      spark.range(200000L)
+        .select(when($"id" % 20 =!= 0, lit("hot"))
+                  .otherwise(concat(lit("t"), ($"id" % 10).cast("string"))).as("k"),
+                org.apache.spark.sql.functions.md5($"id".cast("string")).as("payload"))
+        .createOrReplaceTempView("rb_skew")
+      val df = spark.sql("SELECT /*+ REBALANCE(k) */ * FROM rb_skew")
+      df.collect() // materialize THIS plan so AQE finalizes it
+      val p = df.queryExecution.executedPlan
+      // second run of the same rebalance, tagged with the partition id
+      // each row landed in (same conf → same AQE shaping)
+      // max(payload) keeps the fat column live through the exchange
+      // (count(payload) would optimize to count(1) and prune it, the
+      // shuffle would shrink under the advisory size, and AQE would
+      // rightly coalesce everything to one partition)
+      val counts = spark.sql("SELECT /*+ REBALANCE(k) */ * FROM rb_skew")
+        .select(spark_partition_id().as("p"), $"payload")
+        .groupBy($"p")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+             org.apache.spark.sql.functions.max($"payload").as("mx"))
+        .collect().map(_.getLong(1))
+      val reads = collectWithSubqueries(p) {
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+      }
+      assert(reads.nonEmpty, s"REBALANCE produced no adaptive read:\n$p")
+      assert(reads.exists(_.partitionSpecs.exists {
+        case _: org.apache.spark.sql.execution.PartialReducerPartitionSpec => true
+        case _ => false
+      }), s"hot writer partition was not skew-split:\n$p")
+      // 190k rows sit on the hot key; a hash-by-key layout gives one
+      // ~190k partition — the rebalanced layout must break it up
+      assert(counts.max < 95000,
+             s"hot partition not split: sizes=${counts.sorted.reverse.take(5).mkString(",")}")
+    }
+  }
+
   test("auto-salt decision follows the measured skew profile") {
     import graft.operators.ScaleOps
     import spark.implicits._
