@@ -543,9 +543,49 @@ object AnalyticsOps extends QueryModule {
 
   private def lateralTopkSql = lateralTopkQuery("customer", "orders")
 
+  /** Ordered-set aggregation — LISTAGG WITHIN GROUP, the SQL:2016
+    * ordered string concatenation every warehouse migration trips over
+    * (it is only deterministic WITH the WITHIN GROUP order). Two
+    * spellings, both certified: the front-door `listagg(...) WITHIN
+    * GROUP (ORDER BY ...)` over a small dimension rollup, and the
+    * scale-safe composition `array_join(sort_array(collect_set(...)))`
+    * for a DISTINCT ordered concat over a big fact table — bounded
+    * output because the SET is bounded (|types| per cohort), which is
+    * the only shape ordered concat is legitimate at 100 TB anyway
+    * (LISTAGG over raw 10¹²-row groups is an anti-pattern regardless
+    * of engine). DuckDB oracles both via string_agg(... ORDER BY). */
+  private def listaggRollup(s: SparkSession, d: String): DataFrame = {
+    Tbl.nation(s, d).createOrReplaceTempView("nation_la")
+    Tbl.region(s, d).createOrReplaceTempView("region_la")
+    Tbl.events(s, d).createOrReplaceTempView("events_la")
+    s.sql("""
+      |SELECT 'region:' || r_name AS grp,
+      |       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS members
+      |FROM nation_la JOIN region_la ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |UNION ALL
+      |SELECT 'cohort:' || CAST(user_id % 20 AS STRING) AS grp,
+      |       array_join(sort_array(collect_set(event_type)), ',') AS members
+      |FROM events_la GROUP BY user_id % 20
+      |ORDER BY grp""".stripMargin)
+  }
+
+  private val listaggRollupSql =
+    """SELECT 'region:' || r_name AS grp,
+      |       string_agg(n_name, ',' ORDER BY n_name) AS members
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |UNION ALL
+      |SELECT 'cohort:' || CAST(user_id % 20 AS VARCHAR) AS grp,
+      |       string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+      |         AS members
+      |FROM events GROUP BY user_id % 20
+      |ORDER BY grp""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_recursive_hierarchy" -> (recursiveHierarchy _),
     "x_lateral_topk"     -> (lateralTopk _),
+    "x_listagg"          -> (listaggRollup _),
     "x_correlated_subquery" -> (correlatedSubquery _),
     "x_skyline"          -> (skyline _),
     "x_cohort_retention" -> (cohortRetention _),
@@ -563,6 +603,7 @@ object AnalyticsOps extends QueryModule {
   override val oracles: Map[String, String] = Map(
     "x_recursive_hierarchy" -> recursiveHierarchySql,
     "x_lateral_topk"     -> lateralTopkSql,
+    "x_listagg"          -> listaggRollupSql,
     "x_correlated_subquery" -> correlatedSubquerySql,
     "x_skyline"          -> skylineSql,
     "x_cohort_retention" -> cohortRetentionSql,

@@ -947,6 +947,47 @@ object StreamingOps extends QueryModule {
       |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v_c
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** s29: STREAMING text-log ingestion — the `readStream.text` twin of
+    * batch `src_text_logparse`, the tail-a-log-directory deployment
+    * (each new log file is one micro-batch input). Lines are staged by
+    * the same formatter as the batch query, streamed back as raw
+    * `value` rows, re-structured with the same three anchored
+    * regexp_extracts, and aggregated in complete mode. maxFilesPerTrigger
+    * keeps the replay multi-batch so the agg state genuinely merges
+    * across triggers; the final emission equals the batch aggregation
+    * (the oracle), so a parse slip in ANY batch shifts the hash. */
+  private def streamTextLog(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s, keyDomain = 10) {
+      import s.implicits._
+      val dir = Tbl.scratchDir("textlog_stream")
+      Tbl.events(s, d)
+        .select(concat(
+          when($"event_id" % 7 === 0, "WARN").otherwise("INFO"),
+          lit(" ["), $"event_type", lit("] id="), $"event_id",
+          lit(" uid="), $"user_id",
+          lit(" cents="), Tbl.cents($"value")).as("value"))
+        .repartition(4) // 4 staged files → 4 micro-batches below
+        .write.mode("overwrite").text(dir)
+      val lines = s.readStream
+        .option("maxFilesPerTrigger", "1")
+        .text(dir)
+      val agg = lines
+        .select(
+          regexp_extract($"value", "^(\\w+) \\[", 1).as("level"),
+          regexp_extract($"value", "\\[([^\\]]+)\\]", 1).as("event_type"),
+          regexp_extract($"value", "cents=(-?\\d+)", 1).cast("long").as("v_c"))
+        .groupBy($"level", $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_v_c"))
+      runToTable(s, agg, "s_textlog", OutputMode.Complete())
+        .orderBy($"level", $"event_type")
+    }
+
+  private val streamTextLogSql =
+    """SELECT CASE WHEN event_id % 7 = 0 THEN 'WARN' ELSE 'INFO' END AS level,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v_c
+      |FROM events GROUP BY 1, 2 ORDER BY level, event_type""".stripMargin
+
   /** s14: LEFT OUTER stream-stream join — every click, matched to its
     * conversion or emitted with nulls. Outer rows are watermark-gated
     * (Spark can only declare "no match will ever come" once the
@@ -1306,7 +1347,8 @@ object StreamingOps extends QueryModule {
     "s25_stream_kmv"        -> (streamKmv _),
     "s26_stream_asof_join"  -> (streamAsofJoin _),
     "s27_stream_drift"      -> (streamDrift _),
-    "s28_stream_bitmap"     -> (streamBitmapDistinct _))
+    "s28_stream_bitmap"     -> (streamBitmapDistinct _),
+    "s29_stream_textlog"    -> (streamTextLog _))
 
   /** s27: STREAMING drift monitor — the `x_dist_drift` family as a live
     * gate: per-day tumbling windows of the event stream score their
@@ -1458,5 +1500,6 @@ object StreamingOps extends QueryModule {
     "s25_stream_kmv"        -> streamKmvSql,
     "s26_stream_asof_join"  -> streamAsofJoinSql,
     "s27_stream_drift"      -> streamDriftSql,
-    "s28_stream_bitmap"     -> streamBitmapDistinctSql)
+    "s28_stream_bitmap"     -> streamBitmapDistinctSql,
+    "s29_stream_textlog"    -> streamTextLogSql)
 }
