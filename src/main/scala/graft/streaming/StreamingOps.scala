@@ -988,6 +988,38 @@ object StreamingOps extends QueryModule {
       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v_c
       |FROM events GROUP BY 1, 2 ORDER BY level, event_type""".stripMargin
 
+  /** s30: STATE STORE READER — Spark 4's checkpoint-introspection
+    * source (`spark.read.format("statestore")`): the operational tool
+    * for a 100 TB streaming deployment, where "what is actually IN the
+    * state store" is otherwise a black box (debugging skewed state,
+    * auditing retention, sizing a migration). The query runs a
+    * complete-mode aggregation to a checkpoint, then reads the SAME
+    * checkpoint back as a batch DataFrame — key struct, aggregation
+    * buffer struct, partition_id — straight from the RocksDB files.
+    * The oracle is the batch aggregation: a hash match proves the
+    * reader decodes the buffer layout (UnsafeRow count/sum fields)
+    * byte-exactly, certifying state-format round-trip, not just query
+    * output. Reading state is a parallel scan of the store's
+    * partitions — no replay of the stream. */
+  private def stateReader(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s, keyDomain = 5) {
+      import s.implicits._
+      val agg = eventStream(s, d)
+        .select($"event_type", Tbl.cents($"value").as("v_c"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_v_c"))
+      runToTable(s, agg, "s_state_src", OutputMode.Complete())
+      s.read.format("statestore").option("path", lastCheckpointDir).load()
+        .select($"key.event_type".as("event_type"),
+                $"value.count".as("n"), $"value.sum".as("sum_v_c"))
+        .orderBy($"event_type")
+    }
+
+  private val stateReaderSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v_c
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** s14: LEFT OUTER stream-stream join — every click, matched to its
     * conversion or emitted with nulls. Outer rows are watermark-gated
     * (Spark can only declare "no match will ever come" once the
@@ -1348,7 +1380,8 @@ object StreamingOps extends QueryModule {
     "s26_stream_asof_join"  -> (streamAsofJoin _),
     "s27_stream_drift"      -> (streamDrift _),
     "s28_stream_bitmap"     -> (streamBitmapDistinct _),
-    "s29_stream_textlog"    -> (streamTextLog _))
+    "s29_stream_textlog"    -> (streamTextLog _),
+    "s30_state_reader"      -> (stateReader _))
 
   /** s27: STREAMING drift monitor — the `x_dist_drift` family as a live
     * gate: per-day tumbling windows of the event stream score their
@@ -1501,5 +1534,6 @@ object StreamingOps extends QueryModule {
     "s26_stream_asof_join"  -> streamAsofJoinSql,
     "s27_stream_drift"      -> streamDriftSql,
     "s28_stream_bitmap"     -> streamBitmapDistinctSql,
-    "s29_stream_textlog"    -> streamTextLogSql)
+    "s29_stream_textlog"    -> streamTextLogSql,
+    "s30_state_reader"      -> stateReaderSql)
 }
