@@ -701,7 +701,75 @@ object ScaleOps extends QueryModule {
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** RUNTIME bloom-filter injection (`InjectRuntimeFilter`) — the
+    * engine-automatic twin of [[bloomJoin]]'s hand-built probe. When a
+    * shuffle join has a selective dim side, Spark plants a
+    * BloomFilterAggregate subquery on the dim and a `might_contain`
+    * predicate on the FACT SCAN, so fact rows that cannot match die
+    * BEFORE the shuffle — at 100 TB this is the difference between
+    * shuffling the full fact table and shuffling the ~1/25 that
+    * survives, with zero query rewrite. The conf flips are scoped
+    * try/finally (restored even on failure) and the join is executed
+    * INSIDE that scope, so no other registry query ever runs under
+    * them; the tiny aggregate result is re-wrapped as a local relation.
+    * PlanSpec pins the injected `might_contain` on the fact side and
+    * the bloom's build subquery. */
+  private def runtimeFilter(s: SparkSession, d: String): DataFrame =
+    withRuntimeFilterConf(s) {
+      runtimeFilterJoin(s, d)
+    } { joined =>
+      val rows = joined.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
+        .coalesce(1)
+    }
+
+  /** The join under test, exposed for the plan spec. Must run under
+    * [[withRuntimeFilterConf]] for the bloom to be injected. */
+  private[graft] def runtimeFilterJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Tbl.customer(s, d)
+      .where($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey", $"c_nationkey")
+    Tbl.orders(s, d)
+      .select($"o_custkey", Tbl.cents($"o_totalprice").as("p_c"))
+      .join(dim, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum($"p_c") / 100.0, 2).as("sum_price"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** Scoped conf for runtime-filter queries: bloom injection on, fact
+    * side always eligible, broadcast off (the injection targets
+    * shuffle joins — a broadcast join already prunes at the probe).
+    * `build` constructs the plan and `use` must EXECUTE it before this
+    * returns; confs are restored in finally. */
+  private[graft] def withRuntimeFilterConf[T](s: SparkSession)
+      (build: => DataFrame)(use: DataFrame => T): T = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val old = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set(keys(0), "true")
+      s.conf.set(keys(1), "0")
+      s.conf.set(keys(2), "-1")
+      use(build)
+    } finally old.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  private val runtimeFilterSql =
+    """SELECT c.c_nationkey, count(*) AS n_orders,
+      |  round(sum(CAST(round(o.o_totalprice*100) AS BIGINT))/100.0, 2)
+      |    AS sum_price
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_runtime_filter"    -> (runtimeFilter _),
     "x_rebalance_write"   -> (rebalanceWrite _),
     "x_bitmap_distinct"   -> (bitmapDistinct _),
     "x_dynamic_pruning"   -> (dynamicPruning _),
@@ -719,6 +787,7 @@ object ScaleOps extends QueryModule {
     "x_partition_pruning" -> (partitionPruning _))
 
   override val oracles: Map[String, String] = Map(
+    "x_runtime_filter"    -> runtimeFilterSql,
     "x_rebalance_write"   -> rebalanceWriteSql,
     "x_bitmap_distinct"   -> bitmapDistinctSql,
     "x_dynamic_pruning"   -> dynamicPruningSql,

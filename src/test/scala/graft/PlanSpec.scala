@@ -536,6 +536,21 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("runtime bloom filter: might_contain injected on the fact scan side") {
+    import graft.operators.ScaleOps
+    ScaleOps.withRuntimeFilterConf(spark) {
+      ScaleOps.runtimeFilterJoin(spark, d)
+    } { df =>
+      val p = executed(df)
+      val txt = p.toString
+      assert(txt.contains("might_contain"),
+             s"no runtime bloom filter injected:\n$txt")
+      assert(txt.contains("bloom_filter_agg") || txt.contains("BloomFilterAggregate") ||
+             txt.contains("ObjectHashAggregate"),
+             s"no bloom build subquery in plan:\n$txt")
+    }
+  }
+
   test("auto-salt decision follows the measured skew profile") {
     import graft.operators.ScaleOps
     import spark.implicits._
