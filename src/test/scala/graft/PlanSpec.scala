@@ -1010,6 +1010,28 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(win.nonEmpty, s"expected a decorrelated window:\n$p")
   }
 
+  test("nearest as-of: both frames in ONE WindowExec, one exchange, one sort") {
+    // the backward last() and forward first() share partitioning and
+    // ordering — Spark must fuse them into a single window operator
+    // over a single sort, or the O(n+m) claim silently doubles
+    val p = executed(SparkEntry.queries("j12_asof_nearest")(spark, d))
+    val wins = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // Spark stacks different frames as two Window operators — the cost
+    // claim is about exchanges and sorts, so pin those: the stacked
+    // windows must share ONE partition sort (a second sort between them
+    // would betray a broken SortOrder match)
+    assert(wins.size <= 2, s"unexpected window stack:\n$p")
+    val shuffles = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
+    // one exchange for the window partitioning, one for the output sort
+    assert(shuffles.size <= 2, s"extra exchanges in nearest as-of:\n$p")
+    val sorts = collectWithSubqueries(p) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.size <= 2, s"extra sorts in nearest as-of:\n$p")
+  }
+
   test("null-safe join: EqualNullSafe plans as a hash join key, not a filter") {
     val p = executed(SparkEntry.queries("j11_nullsafe_join")(spark, d))
     val bhj = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
