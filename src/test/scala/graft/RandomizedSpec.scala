@@ -447,6 +447,81 @@ class RandomizedSpec extends SparkSpec {
     spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
   }
 
+  test("nearest as-of on random data ≡ brute-force argmin over |Δt|") {
+    // random seconds-granularity data makes equal-ts click/purchase
+    // pairs and exact |Δt| ties common — precisely the conventions the
+    // windowed formulation claims (equal-|Δt| → backward, equal-ts
+    // click counts backward at Δ=0); the brute force states them
+    // independently via argmin with an explicit tie-break sort
+    val d = randomEventsDir(101)
+    val got = SparkEntry.queries("j12_asof_nearest")(spark, d)
+    val ev = Tbl.events(spark, d)
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_type", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = ev.filter(_._3 == "click").groupBy(_._1)
+    val brute = ev.filter(_._3 == "purchase").map { case (u, t, _, id) =>
+      val cs = clicks.getOrElse(u, Array.empty[(Long, Long, String, Long)])
+      if (cs.isEmpty) (u, id, t, None: Option[Long], None: Option[Long])
+      else {
+        // backward wins ties on |Δt|; among equal candidates the window
+        // carries the LATEST backward click (max t, then max id) and
+        // the EARLIEST forward click (min t, then min id)
+        val back = cs.filter(_._2 <= t)
+          .sortBy(c => (-c._2, -c._4)).headOption
+        val fwd = cs.filter(_._2 > t)
+          .sortBy(c => (c._2, c._4)).headOption
+        val pick = (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (t - b._2 <= f._2 - t) Left(b) else Right(f)
+          case (Some(b), None) => Left(b)
+          case (None, Some(f)) => Right(f)
+          case _ => throw new IllegalStateException
+        }
+        pick match {
+          case Left(b)  => (u, id, t, Some(b._4), Some(-(t - b._2)))
+          case Right(f) => (u, id, t, Some(f._4), Some(f._2 - t))
+        }
+      }
+    }.toSeq
+      .toDF("user_id", "event_id", "t_us", "near_event_id", "near_delta_us")
+      .orderBy($"user_id", $"event_id")
+    assertSameRows(got, brute.select(got.columns.map(col): _*),
+                   "windowed nearest as-of diverges from brute force")
+  }
+
+  test("geofence join on random points ≡ brute-force bbox+parity scan") {
+    // random points stress cell-border geometry the planted spec can't
+    // enumerate; brute force recomputes bbox + ray-cast parity per
+    // (point, fence) pair with independent scalar code
+    import graft.operators.SpatialJoinOps
+    val rnd = new scala.util.Random(55)
+    val pts = (0 until 400).map { i =>
+      (i.toLong, rnd.nextInt(3200).toLong, rnd.nextInt(3200).toLong)
+    }
+    val got = SpatialJoinOps.fenceHits(pts.toDF("event_id", "px", "py"))
+      .select($"event_id", $"fence_id").as[(Long, Long)].collect().toSet
+    def inside(px: Long, py: Long, f: Int): Boolean = {
+      val cx = (f % 4) * 700 + 400; val cy = (f / 4) * 700 + 400
+      val r = (f % 3) * 25 + 150
+      if (px < cx - r || px > cx + r || py < cy - r || py > cy + r) false
+      else {
+        val vs = Array((cx - r, cy), (cx, cy + r), (cx + r, cy), (cx, cy - r))
+        var cross = 0
+        for (k <- 0 until 4) {
+          val (x1, y1) = vs(k); val (x2, y2) = vs((k + 1) % 4)
+          if ((y1 > py) != (y2 > py)) {
+            val c = (x2 - x1).toLong * (py - y1) - (px - x1).toLong * (y2 - y1)
+            if ((c > 0) == (y2 > y1)) cross += 1
+          }
+        }
+        cross % 2 == 1
+      }
+    }
+    val brute = (for ((id, px, py) <- pts; f <- 0 until 16
+                      if inside(px, py, f)) yield (id, f.toLong)).toSet
+    assert(got === brute, "cell-blocked geofence join diverges from brute force")
+  }
+
   test("dataset split on random docs: partition is total and rerun-stable") {
     val d = randomDocsDir(19)
     val a = SparkEntry.queries("x_dataset_split")(spark, d)
