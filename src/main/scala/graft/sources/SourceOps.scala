@@ -243,7 +243,49 @@ object SourceOps extends QueryModule {
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events GROUP BY 1, 2 ORDER BY level, event_type""".stripMargin
 
+  /** PERMISSIVE malformed-record handling — the ingestion trap every
+    * schema'd CSV feed hits: a fraction of rows carry an unparseable
+    * field, and the contract (Spark's PERMISSIVE mode) is precise —
+    * the malformed FIELD nulls out, the well-formed fields of the same
+    * row survive, and the raw line lands in `_corrupt_record` for
+    * quarantine. One in 13 staged rows carries a poisoned numeric
+    * (`<cents>x`); the query aggregates per type counting quarantined
+    * rows and summing the surviving values. The oracle derives the
+    * same partition arithmetically from the SOURCE rows (id % 13), so
+    * the hash pins all three semantics at once: poisoned rows counted
+    * (not dropped), their v_c excluded from the sum, their event_type
+    * still grouped. A silent DROPMALFORMED-style loss or a
+    * whole-row-null would each shift different columns. */
+  private def csvMalformed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = Tbl.scratchDir("csv_malformed")
+    Tbl.events(s, d)
+      .select(concat(
+        $"event_id", lit(","), $"event_type", lit(","),
+        Tbl.cents($"value"),
+        when($"event_id" % 13 === 0, "x").otherwise("")).as("value"))
+      .write.mode("overwrite").text(dir)
+    s.read
+      .schema("event_id LONG, event_type STRING, v_c LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           count($"_corrupt_record").as("n_bad"),
+           sum($"v_c").as("sum_ok_v_c"))
+      .orderBy($"event_type")
+  }
+
+  private val csvMalformedSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(count(*) FILTER (WHERE event_id % 13 = 0) AS BIGINT) AS n_bad,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT))
+      |       FILTER (WHERE event_id % 13 <> 0) AS BIGINT) AS sum_ok_v_c
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_malformed" -> (csvMalformed _),
     "src_text_logparse" -> (textLogparse _),
     "src_csv_roundtrip" -> (csvRoundtrip _),
     "src_jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -253,6 +295,7 @@ object SourceOps extends QueryModule {
     "src_dsv2_write"    -> (dsv2WriteRoundtrip _))
 
   override val oracles: Map[String, String] = Map(
+    "src_csv_malformed" -> csvMalformedSql,
     "src_text_logparse" -> textLogparseSql,
     "src_csv_roundtrip" -> csvRoundtripSql,
     "src_jsonl_roundtrip" -> jsonlRoundtripSql,
