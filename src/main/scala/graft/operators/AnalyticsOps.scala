@@ -543,6 +543,40 @@ object AnalyticsOps extends QueryModule {
 
   private def lateralTopkSql = lateralTopkQuery("customer", "orders")
 
+  /** Calendar arithmetic parity — the quiet migration killer: every
+    * engine pair disagrees somewhere on month-end clamping, weekday
+    * origin, or quarter boundaries, and the bugs surface as
+    * off-by-a-few aggregates nobody can bisect. This pins the exact
+    * conventions: `add_months` clamps day-of-month overflow (Jan 31 +
+    * 1m = Feb 28/29 — DuckDB's `+ INTERVAL 1 MONTH` clamps the same
+    * way), `last_day` month-ends, `date_trunc('quarter')` boundaries,
+    * and the weekday origin (Spark `weekday`: 0 = Monday ≡ DuckDB
+    * `isodow − 1`). All surfaced as per-quarter SUMS of day deltas, so
+    * one wrong clamp anywhere in 15k dates shifts a sum and fails the
+    * hash. Map-only until the |quarters|-row agg. */
+  private def calendarOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.orders(s, d)
+      .select(to_date($"o_orderdate").as("dt"))
+      .groupBy(to_date(date_trunc("quarter", $"dt")).as("qtr"))
+      .agg(count(lit(1)).as("n"),
+           sum(datediff(add_months($"dt", 1), $"dt")).as("sum_m1_days"),
+           sum(datediff(last_day($"dt"), $"dt")).as("sum_eom_days"),
+           sum(weekday($"dt")).as("sum_wd"))
+      .orderBy($"qtr")
+  }
+
+  private val calendarOpsSql =
+    """SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+      |  count(*) AS n,
+      |  CAST(sum(datediff('day', CAST(o_orderdate AS DATE),
+      |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)))
+      |    AS BIGINT) AS sum_m1_days,
+      |  CAST(sum(datediff('day', CAST(o_orderdate AS DATE),
+      |       last_day(CAST(o_orderdate AS DATE)))) AS BIGINT) AS sum_eom_days,
+      |  CAST(sum(isodow(o_orderdate) - 1) AS BIGINT) AS sum_wd
+      |FROM orders GROUP BY 1 ORDER BY qtr""".stripMargin
+
   /** Ordered-set aggregation — LISTAGG WITHIN GROUP, the SQL:2016
     * ordered string concatenation every warehouse migration trips over
     * (it is only deterministic WITH the WITHIN GROUP order). Two
@@ -586,6 +620,7 @@ object AnalyticsOps extends QueryModule {
     "x_recursive_hierarchy" -> (recursiveHierarchy _),
     "x_lateral_topk"     -> (lateralTopk _),
     "x_listagg"          -> (listaggRollup _),
+    "x_calendar_ops"     -> (calendarOps _),
     "x_correlated_subquery" -> (correlatedSubquery _),
     "x_skyline"          -> (skyline _),
     "x_cohort_retention" -> (cohortRetention _),
@@ -604,6 +639,7 @@ object AnalyticsOps extends QueryModule {
     "x_recursive_hierarchy" -> recursiveHierarchySql,
     "x_lateral_topk"     -> lateralTopkSql,
     "x_listagg"          -> listaggRollupSql,
+    "x_calendar_ops"     -> calendarOpsSql,
     "x_correlated_subquery" -> correlatedSubquerySql,
     "x_skyline"          -> skylineSql,
     "x_cohort_retention" -> cohortRetentionSql,
