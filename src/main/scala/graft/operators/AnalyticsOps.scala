@@ -577,6 +577,122 @@ object AnalyticsOps extends QueryModule {
       |  CAST(sum(isodow(o_orderdate) - 1) AS BIGINT) AS sum_wd
       |FROM orders GROUP BY 1 ORDER BY qtr""".stripMargin
 
+  /** try_* arithmetic — overflow and division-by-zero semantics, the
+    * silent-corruption trap 100 TB aggregations hit: Spark's non-ANSI
+    * `*`/`+` WRAP silently on BIGINT overflow (a hot aggregate goes
+    * negative and nobody notices), while `try_multiply`/`try_add`
+    * return NULL — auditable as a count. This pins the try_* contract
+    * exactly: `try_multiply(v³, 10⁷)` overflows for v_c > ~9733 (NULL,
+    * counted, excluded from the modular sum), `try_add(MAX−25000, v_c)`
+    * overflows for v_c > 25000, `try_divide(10⁶, v_c % 97)` nulls on
+    * the zero-divisor residue class. The oracle derives the same
+    * partition in HUGEINT (DuckDB would ERROR on the overflow — a
+    * third behavior, which is exactly why the boundary must be pinned
+    * by arithmetic, not by letting either engine's default run). The
+    * modular fold (% 1e9+7) keeps the surviving-product sum itself far
+    * from the overflow boundary; floor(q) keeps the quotient sum
+    * integer-exact in doubles (every term integral, total < 2⁵³). */
+  private def tryArith(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Long.MaxValue - 25000L
+    Tbl.events(s, d)
+      .select($"event_type", Tbl.cents($"value").as("v_c"))
+      .select($"event_type", $"v_c",
+              expr("try_multiply(v_c * v_c * v_c, 10000000L)").as("p"),
+              expr("try_divide(1000000L, v_c % 97)").as("q"),
+              expr(s"try_add(${base}L, v_c)").as("a"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           (count(lit(1)) - count($"p")).as("n_mul_over"),
+           sum($"p" % 1000000007L).as("sum_mul_ok"),
+           (count(lit(1)) - count($"q")).as("n_div0"),
+           sum(floor($"q")).cast("long").as("sum_q"),
+           (count(lit(1)) - count($"a")).as("n_add_over"),
+           sum($"a" - base).as("sum_add_ok"))
+      .orderBy($"event_type")
+  }
+
+  private val tryArithSql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v_c
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type, v_c,
+      |         CAST(v_c AS HUGEINT) * v_c * v_c * 10000000 AS hm,
+      |         v_c % 97 AS dv
+      |  FROM e)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(count(*) FILTER (WHERE hm NOT BETWEEN -9223372036854775808
+      |                        AND 9223372036854775807) AS BIGINT)
+      |    AS n_mul_over,
+      |  CAST(sum(hm % 1000000007)
+      |       FILTER (WHERE hm BETWEEN -9223372036854775808
+      |               AND 9223372036854775807) AS BIGINT) AS sum_mul_ok,
+      |  CAST(count(*) FILTER (WHERE dv = 0) AS BIGINT) AS n_div0,
+      |  CAST(sum(floor(1000000 / nullif(dv, 0))) AS BIGINT) AS sum_q,
+      |  CAST(count(*) FILTER (WHERE v_c > 25000) AS BIGINT) AS n_add_over,
+      |  CAST(sum(v_c) FILTER (WHERE v_c <= 25000) AS BIGINT) AS sum_add_ok
+      |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** NULL-ordering parity — the sort-semantics divergence every
+    * cross-engine migration hits: Spark's ASC default is NULLS FIRST,
+    * DuckDB's is NULLS LAST, and an unstated default silently reorders
+    * every ranked result containing NULL keys. The query ranks each
+    * event_type by a genuinely nullable key under all four explicit
+    * orderings (ASC/DESC × NULLS FIRST/LAST) and emits the rank-1
+    * event_id of each — content, not order, so the driver's
+    * row-sorted hash still pins the placement. The ASC-NULLS-FIRST
+    * column is deliberately computed with Spark's bare DEFAULT
+    * (`$"nk".asc`) against the oracle's EXPLICIT `NULLS FIRST`,
+    * pinning the default itself. Four window sorts over one exchange
+    * (same partition key); at 100 TB the per-type sort is the cost,
+    * same shape as x_ntile_bucketing. */
+  private def nullOrdering(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tbl.events(s, d)
+      .select($"event_type", $"event_id",
+              nullif(Tbl.cents($"value") % 5, lit(0L)).as("nk"))
+    def w(o: org.apache.spark.sql.Column*) =
+      Window.partitionBy($"event_type").orderBy(o: _*)
+    ev.select($"event_type", $"event_id", $"nk",
+        row_number().over(w($"nk".asc, $"event_id")).as("r_anf"),
+        row_number().over(w($"nk".asc_nulls_last, $"event_id")).as("r_anl"),
+        row_number().over(w($"nk".desc_nulls_first, $"event_id")).as("r_dnf"),
+        row_number().over(w($"nk".desc, $"event_id")).as("r_dnl"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           (count(lit(1)) - count($"nk")).as("n_null"),
+           max(when($"r_anf" === 1, $"event_id")).as("id_asc_nf"),
+           max(when($"r_anl" === 1, $"event_id")).as("id_asc_nl"),
+           max(when($"r_dnf" === 1, $"event_id")).as("id_desc_nf"),
+           max(when($"r_dnl" === 1, $"event_id")).as("id_desc_nl"))
+      .orderBy($"event_type")
+  }
+
+  private val nullOrderingSql =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |         nullif(CAST(round(value*100) AS BIGINT) % 5, 0) AS nk
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, event_id, nk,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY nk ASC NULLS FIRST, event_id) AS r_anf,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY nk ASC NULLS LAST, event_id) AS r_anl,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY nk DESC NULLS FIRST, event_id) AS r_dnf,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY nk DESC NULLS LAST, event_id) AS r_dnl
+      |  FROM e)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(count(*) FILTER (WHERE nk IS NULL) AS BIGINT) AS n_null,
+      |  max(CASE WHEN r_anf = 1 THEN event_id END) AS id_asc_nf,
+      |  max(CASE WHEN r_anl = 1 THEN event_id END) AS id_asc_nl,
+      |  max(CASE WHEN r_dnf = 1 THEN event_id END) AS id_desc_nf,
+      |  max(CASE WHEN r_dnl = 1 THEN event_id END) AS id_desc_nl
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Ordered-set aggregation — LISTAGG WITHIN GROUP, the SQL:2016
     * ordered string concatenation every warehouse migration trips over
     * (it is only deterministic WITH the WITHIN GROUP order). Two
@@ -621,6 +737,8 @@ object AnalyticsOps extends QueryModule {
     "x_lateral_topk"     -> (lateralTopk _),
     "x_listagg"          -> (listaggRollup _),
     "x_calendar_ops"     -> (calendarOps _),
+    "x_try_arith"        -> (tryArith _),
+    "x_null_ordering"    -> (nullOrdering _),
     "x_correlated_subquery" -> (correlatedSubquery _),
     "x_skyline"          -> (skyline _),
     "x_cohort_retention" -> (cohortRetention _),
@@ -640,6 +758,8 @@ object AnalyticsOps extends QueryModule {
     "x_lateral_topk"     -> lateralTopkSql,
     "x_listagg"          -> listaggRollupSql,
     "x_calendar_ops"     -> calendarOpsSql,
+    "x_try_arith"        -> tryArithSql,
+    "x_null_ordering"    -> nullOrderingSql,
     "x_correlated_subquery" -> correlatedSubquerySql,
     "x_skyline"          -> skylineSql,
     "x_cohort_retention" -> cohortRetentionSql,
