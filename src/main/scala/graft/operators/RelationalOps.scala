@@ -337,6 +337,72 @@ object RelationalOps extends QueryModule {
       |FROM f JOIN d ON f.k IS NOT DISTINCT FROM d.k
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Join-strategy HINTS through the SQL front door — the steering
+    * surface ops teams actually use at 100 TB when the optimizer's
+    * stats-driven choice is wrong (a dim just over the broadcast
+    * threshold, a skewed build side). The SAME dim⋈fact aggregate runs
+    * under `BROADCAST`, `SHUFFLE_MERGE`, and `SHUFFLE_HASH` hints on
+    * the dim side and the union of all three must be value-identical
+    * (strategy changes the PLAN, never the answer — the hash pins it
+    * across all three at once). PlanSpec separately pins that each
+    * hint actually produced its exec (BroadcastHashJoin /
+    * SortMergeJoin / ShuffledHashJoin) — notably SHUFFLE_MERGE must
+    * OVERRIDE the auto-broadcast the 25-row dim would otherwise get. */
+  private def joinHintVariant(s: SparkSession, hint: String,
+                              label: String): DataFrame =
+    s.sql(
+      s"""SELECT /*+ $hint */ '$label' AS strategy, n_name,
+         |  count(*) AS n_cust,
+         |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+         |    AS bal_c
+         |FROM cust_jh c JOIN nat_jh n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY n_name""".stripMargin)
+
+  private def joinHints(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.customer(s, d).createOrReplaceTempView("cust_jh")
+    Tbl.nation(s, d).createOrReplaceTempView("nat_jh")
+    joinHintVariant(s, "BROADCAST(n)", "broadcast")
+      .unionAll(joinHintVariant(s, "SHUFFLE_MERGE(n)", "merge"))
+      .unionAll(joinHintVariant(s, "SHUFFLE_HASH(n)", "shuffle_hash"))
+      .orderBy($"strategy", $"n_name")
+  }
+
+  private val joinHintsSql =
+    """WITH base AS (
+      |  SELECT n_name, count(*) AS n_cust,
+      |         CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+      |           AS bal_c
+      |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY n_name)
+      |SELECT s.strategy, b.n_name, b.n_cust, b.bal_c
+      |FROM base b
+      |CROSS JOIN (VALUES ('broadcast'), ('merge'), ('shuffle_hash'))
+      |  AS s(strategy)
+      |ORDER BY s.strategy, b.n_name""".stripMargin
+
+  /** LIMIT/OFFSET pagination through the SQL front door (OFFSET landed
+    * in Spark 3.4; the classic REST-pagination shape). Deterministic
+    * only over a TOTAL order — the unique-orderkey tiebreak makes page
+    * boundaries engine-stable, which is the actual migration lesson
+    * (an OFFSET over a non-total order returns different pages per
+    * engine/run). Spark plans the pair as a single
+    * TakeOrderedAndProject(limit+offset) — a bounded per-partition
+    * heap of 50 rows then one driver-side merge, never a global sort,
+    * so pagination over 10¹² rows moves K rows per partition, not the
+    * table. DuckDB executes the IDENTICAL query text. */
+  private def offsetLimitQuery(t: String) =
+    s"""SELECT o_orderkey,
+       |  CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+       |FROM $t
+       |ORDER BY price_c DESC, o_orderkey
+       |LIMIT 20 OFFSET 30""".stripMargin
+
+  private def offsetLimit(s: SparkSession, d: String): DataFrame = {
+    Tbl.orders(s, d).createOrReplaceTempView("ord_ol")
+    s.sql(offsetLimitQuery("ord_ol"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j11_nullsafe_join"  -> (nullsafeJoin _),
     "x_setops_cohort"    -> (setopsCohort _),
@@ -349,6 +415,8 @@ object RelationalOps extends QueryModule {
     "x_native_topk"      -> (nativeTopK _),
     "j1_union_merge"     -> (unionMerge _),
     "j3_sort_limit"      -> (sortLimit _),
+    "x_join_hints"       -> (joinHints _),
+    "x_offset_limit"     -> (offsetLimit _),
     "w2_in_filter"       -> (inFilter _))
 
   override val oracles: Map[String, String] = Map(
@@ -363,5 +431,7 @@ object RelationalOps extends QueryModule {
     "x_native_topk"      -> top3PerKeySql,
     "j1_union_merge"     -> unionMergeSql,
     "j3_sort_limit"      -> sortLimitSql,
+    "x_join_hints"       -> joinHintsSql,
+    "x_offset_limit"     -> offsetLimitQuery("orders"),
     "w2_in_filter"       -> inFilterSql)
 }

@@ -1046,6 +1046,31 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nl.isEmpty, s"null-safe join fell off the hash path:\n$p")
   }
 
+  test("join hints steer the strategy: each hint produces its exec") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val p = executed(SparkEntry.queries("x_join_hints")(spark, d))
+    assert(collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+           s"BROADCAST hint did not produce a BroadcastHashJoin:\n$p")
+    // the 25-row dim auto-broadcasts; SHUFFLE_MERGE must OVERRIDE that
+    assert(collectWithSubqueries(p) { case j: SortMergeJoinExec => j }.nonEmpty,
+           s"SHUFFLE_MERGE hint failed to override auto-broadcast:\n$p")
+    assert(collectWithSubqueries(p) { case j: ShuffledHashJoinExec => j }.nonEmpty,
+           s"SHUFFLE_HASH hint did not produce a ShuffledHashJoin:\n$p")
+  }
+
+  test("offset pagination: bounded top-k carries the offset, no global sort") {
+    val p = executed(SparkEntry.queries("x_offset_limit")(spark, d))
+    val topk = collectWithSubqueries(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(topk.nonEmpty, s"expected TakeOrderedAndProject for LIMIT+OFFSET:\n$p")
+    assert(topk.head.offset == 30, s"offset not planned into the operator:\n$p")
+    val globalSorts = collectWithSubqueries(p) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, s"pagination degraded to a global sort:\n$p")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
