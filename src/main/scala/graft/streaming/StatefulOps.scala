@@ -5,7 +5,7 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import java.time.Duration
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Keyed cross-batch state done right (SURVEY.md §7.4.4): the reference
   * keeps "last 3 positions per vessel" in a driver-resident global temp
@@ -328,6 +328,46 @@ object StatefulOps {
       rows.foreach { r => bits |= 1L << r.bit }
       state.update(bits)
       Iterator.single(WordRow(key._1, key._2, bits))
+    }
+  }
+
+  /** Typed event row keyed by type for [[First3PerType]]. */
+  final case class TypeEv(event_type: String, event_id: Long, ts_us: Long,
+                          value: Double)
+
+  /** One of the ≤3 earliest events a key's ListState currently holds. */
+  final case class First3Row(event_type: String, event_id: Long,
+                             ts_us: Long, value: Double)
+
+  /** ListState embodiment — the last state primitive the registry's
+    * transformWithState matrix was missing (ValueState: s11/s25/s28,
+    * MapState+TTL: s24, event-time timers: s23). Per event_type, the
+    * state is the ≤3 EARLIEST events by (ts_us, event_id) — a bounded
+    * min-k whose merge (union → sort → take k) is ASSOCIATIVE and
+    * order-insensitive, so the result is identical under any batching
+    * and any replay split: once a row enters the min-3 it is only ever
+    * displaced by a strictly smaller one, never by arrival order. The
+    * same property makes the Update-mode emission stream safely
+    * re-foldable downstream: the true min-3 rows each appear in the
+    * emission of the batch that admitted them, and no emitted row ever
+    * ranks below a true min-3 row, so a rank-3-of-distinct-emissions
+    * fold recovers the exact answer under multi-batch replay. */
+  final class First3PerType
+      extends StatefulProcessor[String, TypeEv, First3Row] {
+    @transient private var state: ListState[First3Row] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getListState[First3Row](
+        "first3", Encoders.product[First3Row], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TypeEv],
+                                 timers: TimerValues): Iterator[First3Row] = {
+      val merged =
+        (state.get().toList ++
+          rows.map(e => First3Row(key, e.event_id, e.ts_us, e.value)))
+          .sortBy(r => (r.ts_us, r.event_id)).take(3)
+      state.put(merged.toArray)
+      merged.iterator
     }
   }
 }

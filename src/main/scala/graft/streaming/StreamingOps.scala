@@ -760,6 +760,46 @@ object StreamingOps extends QueryModule {
     """SELECT event_type, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** s31: ListState bounded min-k — the last transformWithState state
+    * primitive the matrix was missing (see [[StatefulOps.First3PerType]]
+    * for the associativity argument). Per event_type the state holds
+    * the ≤3 EARLIEST events by (ts_us, event_id); because the min-k
+    * merge is order-insensitive, the batch-side fold (distinct
+    * emissions → rank ≤ 3) recovers the exact batch answer under ANY
+    * replay split — the fold, not single-batch luck, is what the
+    * oracle certifies. State is 3 rows per key at any stream length. */
+  private def streamListState(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) { streamListStateInner(s, d) }
+
+  private def streamListStateInner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import StatefulOps._
+    val typed = eventStream(s, d)
+      .select($"event_type", $"event_id", unix_micros($"ts").as("ts_us"),
+              $"value")
+      .as[TypeEv]
+      .groupByKey(_.event_type)
+      .transformWithState(new First3PerType,
+        TimeMode.None(), OutputMode.Update())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"ts_us", $"event_id")
+    runToTable(s, typed.toDF(), "s_first3", OutputMode.Update())
+      .select($"event_type", $"event_id", $"ts_us", $"value").distinct()
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3)
+      .select($"event_type", $"rn", $"event_id", $"ts_us", $"value")
+      .orderBy($"event_type", $"rn")
+  }
+
+  private val streamListStateSql =
+    """WITH r AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS ts_us, value,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT event_type, rn, event_id, ts_us, value
+      |FROM r WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin
+
   /** Stream-stream interval join: clicks ⋈ purchases per user where the
     * purchase lands within 10 minutes after the click. Watermarks on
     * BOTH sides bound the join state — at 100 TB/day this is what keeps
@@ -1381,7 +1421,8 @@ object StreamingOps extends QueryModule {
     "s27_stream_drift"      -> (streamDrift _),
     "s28_stream_bitmap"     -> (streamBitmapDistinct _),
     "s29_stream_textlog"    -> (streamTextLog _),
-    "s30_state_reader"      -> (stateReader _))
+    "s30_state_reader"      -> (stateReader _),
+    "s31_stream_liststate"  -> (streamListState _))
 
   /** s27: STREAMING drift monitor — the `x_dist_drift` family as a live
     * gate: per-day tumbling windows of the event stream score their
@@ -1535,5 +1576,6 @@ object StreamingOps extends QueryModule {
     "s27_stream_drift"      -> streamDriftSql,
     "s28_stream_bitmap"     -> streamBitmapDistinctSql,
     "s29_stream_textlog"    -> streamTextLogSql,
-    "s30_state_reader"      -> stateReaderSql)
+    "s30_state_reader"      -> stateReaderSql,
+    "s31_stream_liststate"  -> streamListStateSql)
 }

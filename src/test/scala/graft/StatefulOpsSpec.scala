@@ -641,6 +641,63 @@ class StatefulOpsSpec extends SparkSpec {
     assert(folded.values.map(java.lang.Long.bitCount).sum === 4)
   }
 
+  test("restart recovery: ListState min-3 merges across restart (s31)") {
+    // the s31 claim is an order-insensitive bounded min-k: a restart
+    // must continue the same ≤3-row list, a LATER event must never
+    // displace a held row, an EARLIER one must, and the batch-side
+    // fold (distinct emissions → rank ≤ 3) must drop rows that were in
+    // an earlier batch's min-3 but not the final one.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    import graft.streaming.StatefulOps.{First3PerType, First3Row, TypeEv}
+    graft.streaming.StreamingOps.configureStreaming(spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("ls_restart_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ls_restart_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("ls_restart_ck").toString
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("event_id", LongType),
+      StructField("ts_us", LongType), StructField("value", DoubleType)))
+    def stage(rows: Seq[TypeEv]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      val out = spark.readStream.schema(schema).parquet(srcDir)
+        .select(col("event_type"), col("event_id"), col("ts_us"), col("value"))
+        .as[TypeEv]
+        .groupByKey(_.event_type)
+        .transformWithState(new First3PerType,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .outputMode("update").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.stop()
+    }
+    // run 1: arrival order deliberately != event-time order
+    stage(Seq(TypeEv("click", 5L, 500L, 5.0), TypeEv("click", 1L, 100L, 1.0),
+              TypeEv("click", 9L, 900L, 9.0)))
+    run()
+    val a1 = spark.read.parquet(outDir).as[First3Row].collect()
+    assert(a1.map(r => (r.event_id, r.ts_us)).toSet ===
+           Set((1L, 100L), (5L, 500L), (9L, 900L)))
+    // run 2 (fresh query, recovered state): ts=950 must NOT enter the
+    // min-3; ts=50 must, displacing id 9
+    stage(Seq(TypeEv("click", 12L, 950L, 12.0), TypeEv("click", 2L, 50L, 2.0)))
+    run()
+    val all = spark.read.parquet(outDir).as[First3Row].collect()
+    // raw emissions still CONTAIN id 9 (run 1 admitted it) ...
+    assert(all.exists(_.event_id == 9L))
+    // ... and the s31 batch-side fold drops it: distinct → rank ≤ 3
+    val folded = all.map(r => (r.ts_us, r.event_id)).distinct
+      .sorted.take(3).map(_._2).toList
+    assert(folded === List(2L, 1L, 5L),
+           s"min-3 fold wrong after restart: $folded")
+    // id 12 never entered any emission (a later event can't displace)
+    assert(!all.exists(_.event_id == 12L))
+  }
+
   test("last3PerKey: merge keeps ts-desc order with event_id tiebreak") {
     val st = new FakeState[Top3State]
     val out = last3PerKey(9L,
