@@ -768,7 +768,51 @@ object ScaleOps extends QueryModule {
       |WHERE c.c_mktsegment = 'BUILDING'
       |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin
 
+  /** Datasketches HLL with MERGEABILITY pinned — the property that
+    * makes sketches THE 100 TB cardinality tool: per-shard sketches
+    * union losslessly into the whole-corpus answer, so distinct counts
+    * compose across partitions/days/datacenters without ever
+    * re-reading data (`approx_count_distinct`'s HLL++ has no exposed
+    * sketch type, so it cannot demonstrate this). The query builds one
+    * whole-corpus `hll_sketch_agg` per event_type AND a
+    * `hll_union_agg` of per-day sub-sketches, and pins
+    * (a) `merge_exact`: the unioned estimate EQUALS the whole-corpus
+    * estimate bit-for-bit (same lgK, union is lossless), and
+    * (b) `est_ok`: the estimate lands within 5% (abs floor 4) of the
+    * exact count. Estimates are engine-specific, so the oracle states
+    * the exact count and literal TRUEs — the same contract as
+    * x_approx_distinct, plus the merge axis. Map-side partial
+    * aggregation ships lgK-bounded sketch bytes, never ids. */
+  private def hllSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tbl.events(s, d)
+      .select($"event_type", $"user_id", to_date($"ts").as("day"))
+    val whole = ev.groupBy($"event_type")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+           count_distinct($"user_id").as("exact_users"),
+           count(lit(1)).as("n"))
+    val merged = ev.groupBy($"event_type", $"day")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("day_sk"))
+      .groupBy($"event_type")
+      .agg(expr("hll_union_agg(day_sk)").as("mk"))
+    whole.join(merged, "event_type")
+      .select($"event_type", $"exact_users", $"n",
+              (expr("hll_sketch_estimate(sk)") ===
+                 expr("hll_sketch_estimate(mk)")).as("merge_exact"),
+              (abs(expr("hll_sketch_estimate(sk)") - $"exact_users") <=
+                 greatest($"exact_users".cast("double") * 0.05, lit(4.0)))
+                .as("est_ok"))
+      .orderBy($"event_type")
+  }
+
+  private val hllSketchSql =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  TRUE AS merge_exact, TRUE AS est_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_hll_sketch"        -> (hllSketch _),
     "x_runtime_filter"    -> (runtimeFilter _),
     "x_rebalance_write"   -> (rebalanceWrite _),
     "x_bitmap_distinct"   -> (bitmapDistinct _),
@@ -787,6 +831,7 @@ object ScaleOps extends QueryModule {
     "x_partition_pruning" -> (partitionPruning _))
 
   override val oracles: Map[String, String] = Map(
+    "x_hll_sketch"        -> hllSketchSql,
     "x_runtime_filter"    -> runtimeFilterSql,
     "x_rebalance_write"   -> rebalanceWriteSql,
     "x_bitmap_distinct"   -> bitmapDistinctSql,

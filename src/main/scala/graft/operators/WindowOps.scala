@@ -391,7 +391,56 @@ object WindowOps extends QueryModule {
       |  TRUE AS approx_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Time-weighted average — the finance/IoT downsampling standard the
+    * plain AVG silently gets wrong on irregular samples: a value that
+    * HELD for an hour must weigh 3600× one that held a second. Per
+    * event_type the timeline is segmented by lead() over the total
+    * order (ts, event_id); each row's value is weighted by the
+    * integer-millisecond duration to the NEXT row (the last row holds
+    * nothing — standard left-continuous step integral). All sums are
+    * exact BIGINTs (cents × ms; bounded ~1.5e15 at a year's span, far
+    * under 2⁶³); the ratio surfaces as floor((num/den)·10⁶) — IEEE
+    * division and multiply are correctly rounded, so identical integer
+    * inputs give identical bits and floor is exact, no rounding-mode
+    * coupling between engines. One window sort + a |types|-row agg. */
+  private def timeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"t_us", $"event_id")
+    Tbl.events(s, d)
+      .select($"event_type", unix_micros($"ts").as("t_us"), $"event_id",
+              Tbl.cents($"value").as("v_c"))
+      .withColumn("lead_t", lead($"t_us", 1).over(w))
+      .withColumn("dt_ms", expr("(lead_t - t_us) div 1000"))
+      .groupBy($"event_type")
+      .agg(count($"dt_ms").as("n_seg"),
+           sum($"dt_ms").as("den_ms"),
+           sum($"v_c" * $"dt_ms").as("num"),
+           floor((sum($"v_c" * $"dt_ms") / sum($"dt_ms")) * 1000000.0)
+             .cast("long").as("twa_e6"))
+      .orderBy($"event_type")
+  }
+
+  private val timeWeightedAvgSql =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS t_us, event_id,
+      |         CAST(round(value*100) AS BIGINT) AS v_c
+      |  FROM events),
+      |seg AS (
+      |  SELECT event_type, v_c,
+      |         (lead(t_us) OVER (PARTITION BY event_type
+      |                           ORDER BY t_us, event_id) - t_us) // 1000
+      |           AS dt_ms
+      |  FROM e)
+      |SELECT event_type, count(dt_ms) AS n_seg,
+      |  CAST(sum(dt_ms) AS BIGINT) AS den_ms,
+      |  CAST(sum(v_c * dt_ms) AS BIGINT) AS num,
+      |  CAST(floor((CAST(sum(v_c * dt_ms) AS BIGINT)
+      |              / CAST(sum(dt_ms) AS BIGINT)) * 1000000.0) AS BIGINT)
+      |    AS twa_e6
+      |FROM seg GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_time_weighted_avg" -> (timeWeightedAvg _),
     "a1_sliding_window"  -> (slidingWindow _),
     "a7_ewma_decay"      -> (ewmaDecay _),
     "a4_rolling_avg"     -> (rollingAvg _),
@@ -404,6 +453,7 @@ object WindowOps extends QueryModule {
     "x_approx_distinct"  -> (approxDistinct _))
 
   override val oracles: Map[String, String] = Map(
+    "x_time_weighted_avg" -> timeWeightedAvgSql,
     "a1_sliding_window"  -> slidingWindowSql,
     "a7_ewma_decay"      -> ewmaDecaySql,
     "a4_rolling_avg"     -> rollingAvgSql,
