@@ -40,7 +40,7 @@ object TimeOne {
     for (name <- names) {
       (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).count()
+        Bench.materialize(SparkEntry.queries(name)(spark, dir))
         println(s"$name run$i ${(System.nanoTime() - t0) / 1e9}")
         spark.catalog.clearCache()
         spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
