@@ -402,21 +402,66 @@ object WindowOps extends QueryModule {
     * under 2⁶³); the ratio surfaces as floor((num/den)·10⁶) — IEEE
     * division and multiply are correctly rounded, so identical integer
     * inputs give identical bits and floor is exact, no rounding-mode
-    * coupling between engines. One window sort + a |types|-row agg. */
+    * coupling between engines.
+    *
+    * Scale shape — DAY-BLOCKED two-level integration, not one window
+    * over the whole type: a `partitionBy(event_type)` total sort puts
+    * the entire type's timeline in ONE task (measured 227 s at sf100p:
+    * an external-sort spill of 200M rows/task with max parallelism
+    * |types| = 5, leaving 27 of 32 cores idle — and at 1000 executors
+    * STILL 5 tasks, the 100 TB failure mode). The integral decomposes
+    * exactly by day: every consecutive event pair is either WITHIN one
+    * integer-µs day bucket (a (type, day)-partitioned window — bounded
+    * rows/partition at any corpus size, tens-of-thousands-way
+    * parallelism) or spans the boundary between a day and the next
+    * non-empty day (per-day first/last rows — a |days|-sized relation
+    * — stitched by one tiny per-type window). Both the within-day
+    * segment products AND the boundary info fold in the SAME
+    * (type, day) aggregate, so the corpus shuffles exactly once. Each
+    * pair lands in exactly one of the two sums with the same
+    * per-segment `div 1000`, so the result is bit-identical to the
+    * single-window form (the oracle still computes THAT form).
+    * Measured: sf100p 227 s → 108.8 s on local[32] (shuffle-bound —
+    * one 100M-row exchange either way — with the spill gone and
+    * parallelism now corpus-independent); sf10p warm 6.3 → 2.3 s. */
   private def timeWeightedAvg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"event_type").orderBy($"t_us", $"event_id")
-    Tbl.events(s, d)
+    val ev = Tbl.events(s, d)
       .select($"event_type", unix_micros($"ts").as("t_us"), $"event_id",
               Tbl.cents($"value").as("v_c"))
-      .withColumn("lead_t", lead($"t_us", 1).over(w))
+      .withColumn("day", expr("t_us div 86400000000"))
+    // ONE windowed pass over the events: within-day segment products
+    // AND the day's first/last boundary info fold into the same
+    // (type, day) aggregate, so the corpus is shuffled exactly once
+    val wd = Window.partitionBy($"event_type", $"day")
+      .orderBy($"t_us", $"event_id")
+    val perDay = ev
+      .withColumn("lead_t", lead($"t_us", 1).over(wd))
       .withColumn("dt_ms", expr("(lead_t - t_us) div 1000"))
+      .groupBy($"event_type", $"day")
+      .agg(count($"dt_ms").as("n1"),
+           // coalesce: a single-event day has no within-day segments
+           // (sum over empty = NULL would poison the stitched totals)
+           coalesce(sum($"dt_ms"), lit(0L)).as("d1"),
+           coalesce(sum($"v_c" * $"dt_ms"), lit(0L)).as("m1"),
+           min(struct($"t_us", $"event_id")).getField("t_us").as("first_t"),
+           max(struct($"t_us", $"event_id")).getField("t_us").as("last_t"),
+           expr("max_by(v_c, struct(t_us, event_id))").as("last_v"))
+    // boundary segments — last event of a day to the first event of
+    // the NEXT non-empty day — over the |days|-sized relation only
+    val wb = Window.partitionBy($"event_type").orderBy($"day")
+    val stitched = perDay
+      .withColumn("next_first_t", lead($"first_t", 1).over(wb))
+      .withColumn("bd_ms", expr("(next_first_t - last_t) div 1000"))
       .groupBy($"event_type")
-      .agg(count($"dt_ms").as("n_seg"),
-           sum($"dt_ms").as("den_ms"),
-           sum($"v_c" * $"dt_ms").as("num"),
-           floor((sum($"v_c" * $"dt_ms") / sum($"dt_ms")) * 1000000.0)
-             .cast("long").as("twa_e6"))
+      .agg((sum($"n1") + count($"bd_ms")).as("n_seg"),
+           (sum($"d1") + coalesce(sum($"bd_ms"), lit(0L))).as("den_ms"),
+           (sum($"m1") + coalesce(sum($"last_v" * $"bd_ms"), lit(0L)))
+             .as("num"))
+    stitched
+      .select($"event_type", $"n_seg", $"den_ms", $"num",
+              floor(($"num" / $"den_ms") * 1000000.0)
+                .cast("long").as("twa_e6"))
       .orderBy($"event_type")
   }
 
