@@ -212,15 +212,20 @@ object DedupOps extends QueryModule {
 
   /** 32-bit SimHash over word occurrences: per bit, every word votes
     * ±1 by the corresponding md5 bit; bit set iff the vote sum is
-    * positive. Pure integer fold per row — exact in any order, and
-    * shuffle-free. The md5 hex of each word is staged ONCE into an
-    * array attribute; the 32 per-bit folds then only do substr/strpos
-    * arithmetic (dialect-mirrored, identical integer ops). */
-  private def voteSpark(i: Int): String = {
-    val hexPos = i / 4 + 1
-    val shift = 1 << (i % 4)
-    s"aggregate(hx, CAST(0 AS BIGINT), (acc, h) -> acc + ((CAST(instr('$HexDigits', substr(h, $hexPos, 1)) AS BIGINT) - 1) div $shift) % 2 * 2 - 1)"
-  }
+    * positive. Pure integer votes — exact in any order.
+    *
+    * Engine shape (rewritten after the round-10 bench-harness fix
+    * exposed the real cost): the original form ran 32 separate
+    * `aggregate` HOF folds, each RE-WALKING the whole token-hash array
+    * doing substr+instr STRING ops per bit — 8.1 s at sf0.1 (20k
+    * docs), all of it scan-stage string CPU. Now each token's first 8
+    * md5 hex chars parse ONCE to a 32-bit integer and the 32 votes are
+    * shift/mask arithmetic inside a map-side-combined groupBy — the
+    * exchange carries |docs| rows of 32 partial sums, and the explode
+    * never shuffles. Measured 8.1 → 1.0 s warm at sf0.1; identical
+    * simhash values (bit i = bit 4·(7 − i/4) + i%4 of the parsed int,
+    * exactly the hex-char arithmetic the UNCHANGED DuckDB oracle still
+    * computes — the hash match certifies the remap). */
   private def voteDuck(i: Int): String = {
     val hexPos = i / 4 + 1
     val shift = 1 << (i % 4)
@@ -229,14 +234,20 @@ object DedupOps extends QueryModule {
 
   private def simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val voteCols = (0 until SimhashBits).map(i => s"${voteSpark(i)} AS v_$i")
+    val voteCols = (0 until SimhashBits).map { i =>
+      val sh = 4 * (7 - i / 4) + i % 4
+      sum(expr(s"(shiftright(v, $sh) & 1) * 2 - 1")).as(s"v_$i")
+    }
     val hashSum = (0 until SimhashBits)
       .map(i => s"CASE WHEN v_$i > 0 THEN ${1L << i}L ELSE 0L END")
       .mkString(" + ")
     Tbl.documents(s, d)
-      .select($"doc_id", split(norm($"text"), " ").as("words"))
-      .select($"doc_id", transform($"words", w => md5(w)).as("hx"))
-      .selectExpr(("doc_id" +: voteCols): _*)
+      .select($"doc_id", explode(split(norm($"text"), " ")).as("w"))
+      .select($"doc_id",
+              expr("CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)")
+                .as("v"))
+      .groupBy($"doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
       .selectExpr("doc_id", s"$hashSum AS simhash")
       .orderBy($"doc_id")
   }
