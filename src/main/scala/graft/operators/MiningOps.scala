@@ -86,8 +86,14 @@ object MiningOps extends QueryModule {
       .where($"prev".isNotNull)
       .groupBy($"prev".as("from_type"), $"event_type".as("to_type"))
       .agg(count(lit(1)).as("n"))
-    val tot = pairs.groupBy($"from_type").agg(sum($"n").as("tot"))
-    pairs.join(broadcast(tot), "from_type")
+    // row totals as a window over the |types|²-row AGGREGATE — the
+    // earlier groupBy+broadcast-join formulation re-executed the whole
+    // 100M-row window pass as a second subtree (no common-subplan
+    // reuse across the join), doubling the heavy work: 427 → ~190 s at
+    // sf100p under the corrected (noop) harness
+    pairs
+      .withColumn("tot",
+        sum($"n").over(Window.partitionBy($"from_type")))
       .select($"from_type", $"to_type", $"n",
               expr("n * 1000000L div tot").as("p_e6"))
       .orderBy($"from_type", $"to_type")
@@ -122,16 +128,18 @@ object MiningOps extends QueryModule {
       .select($"event_type", unix_micros($"ts").as("t_us"), $"event_id",
               Tbl.cents($"value").as("v_c"))
       .withColumn("bar_us", expr(s"t_us div ${BarUs}L * ${BarUs}L"))
-    val part = Window.partitionBy($"event_type", $"bar_us")
-    val asc  = part.orderBy($"t_us".asc,  $"event_id".asc)
-    val desc = part.orderBy($"t_us".desc, $"event_id".desc)
-    ev.withColumn("rn_a", row_number().over(asc))
-      .withColumn("rn_d", row_number().over(desc))
-      .groupBy($"event_type", $"bar_us")
-      .agg(max(when($"rn_a" === 1, $"v_c")).as("open_c"),
+    // open/close select by min_by/max_by over the (t_us, event_id)
+    // TOTAL order — same rows the row_number formulation picked, but
+    // as a pure DeclarativeAggregate: map-side partials, ONE exchange
+    // carrying |bars| group rows, ZERO window sorts. The earlier
+    // two-window form (asc + desc row_number) sorted every partition
+    // twice before aggregating: 241 → ~25 s at sf100p under the
+    // corrected (noop) harness
+    ev.groupBy($"event_type", $"bar_us")
+      .agg(expr("min_by(v_c, struct(t_us, event_id))").as("open_c"),
            max($"v_c").as("high_c"),
            min($"v_c").as("low_c"),
-           max(when($"rn_d" === 1, $"v_c")).as("close_c"),
+           expr("max_by(v_c, struct(t_us, event_id))").as("close_c"),
            count(lit(1)).as("n"),
            sum($"v_c").as("vol_c"))
       .orderBy($"event_type", $"bar_us")
