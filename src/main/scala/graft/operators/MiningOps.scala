@@ -130,11 +130,12 @@ object MiningOps extends QueryModule {
       .withColumn("bar_us", expr(s"t_us div ${BarUs}L * ${BarUs}L"))
     // open/close select by min_by/max_by over the (t_us, event_id)
     // TOTAL order — same rows the row_number formulation picked, but
-    // as a pure DeclarativeAggregate: map-side partials, ONE exchange
-    // carrying |bars| group rows, ZERO window sorts. The earlier
-    // two-window form (asc + desc row_number) sorted every partition
-    // twice before aggregating: 241 → ~25 s at sf100p under the
-    // corrected (noop) harness
+    // as one aggregate pass: map-side partials, ONE exchange carrying
+    // |bars| group rows. (The struct ordering key makes this a
+    // SortAggregate — struct buffers aren't hash-aggregable — but the
+    // sort is by the short GROUP key once per map task, not two full
+    // 4-key window sorts per partition.) Measured 241 → 21.2 s at
+    // sf100p under the corrected (noop) harness.
     ev.groupBy($"event_type", $"bar_us")
       .agg(expr("min_by(v_c, struct(t_us, event_id))").as("open_c"),
            max($"v_c").as("high_c"),

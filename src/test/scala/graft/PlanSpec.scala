@@ -1071,6 +1071,45 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(globalSorts.isEmpty, s"pagination degraded to a global sort:\n$p")
   }
 
+  test("ohlc bars: one aggregate pass — no window, partials before the exchange") {
+    val p = executed(SparkEntry.queries("x_ohlc_bars")(spark, d))
+    val windows = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+           s"OHLC regressed to a window formulation (sorts every partition twice):\n$p")
+    // min_by/max_by on a struct key plan as SortAggregate (struct
+    // buffers aren't hash-aggregable) — acceptable: the sort is by the
+    // SHORT group key with partial aggregation before the exchange.
+    // What must not regress is partial-ness: the exchange carries
+    // |bars| partial rows, not events.
+    val partials = collectWithSubqueries(p) {
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+        if a.aggregateExpressions.exists(_.mode.toString == "Partial") => a
+    }
+    assert(partials.nonEmpty, s"OHLC lost map-side partial aggregation:\n$p")
+  }
+
+  test("markov transitions: exactly one scan — totals must not re-execute the window pass") {
+    val p = executed(SparkEntry.queries("x_markov_transitions")(spark, d))
+    assert(scans(p).size == 1,
+           s"row totals re-executed the events scan as a second subtree:\n$p")
+  }
+
+  test("simhash: votes aggregate map-side — the exchange carries doc rows, not tokens") {
+    val p = executed(SparkEntry.queries("dd_simhash")(spark, d))
+    val aggs = collectWithSubqueries(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    // partial + final pair around one exchange: the explode is reduced
+    // before it ships
+    assert(aggs.size >= 2, s"simhash lost its partial aggregation:\n$p")
+    val windows = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"unexpected window in simhash:\n$p")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
