@@ -73,6 +73,37 @@ class RandomizedSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, hint)
   }
 
+  test("null-ordering rank-1 ids ≡ the scale-safe min(struct) aggregate twin") {
+    // x_null_ordering's window sorts are the semantics pin; CHECK
+    // documents that the scale-safe 100 TB spelling of
+    // rank-1-per-ordering is an aggregate. This proves the documented
+    // twin on random data rich in NULL keys and ties: each ordering's
+    // rank-1 row is the min over (null-placement flag, ±nk, event_id)
+    // — no sort at all, map-side combinable.
+    val d = randomEventsDir(77)
+    val got = SparkEntry.queries("x_null_ordering")(spark, d)
+      .select($"event_type", $"n_null",
+              $"id_asc_nf", $"id_asc_nl", $"id_desc_nf", $"id_desc_nl")
+    def key(nullFlag: Long, nk: org.apache.spark.sql.Column) =
+      struct(when($"nk".isNull, lit(nullFlag)).otherwise(lit(1L - nullFlag))
+               .as("f"),
+             coalesce(nk, lit(0L)).as("k"), $"event_id".as("event_id"))
+    val twin = Tbl.events(spark, d)
+      .select($"event_type", $"event_id",
+              nullif(Tbl.cents($"value") % 5, lit(0L)).as("nk"))
+      .groupBy($"event_type")
+      .agg((count(lit(1)) - count($"nk")).as("n_null"),
+           min(key(0L, $"nk")).getField("event_id").as("id_asc_nf"),
+           min(key(1L, $"nk")).getField("event_id").as("id_asc_nl"),
+           min(key(0L, -$"nk")).getField("event_id").as("id_desc_nf"),
+           min(key(1L, -$"nk")).getField("event_id").as("id_desc_nl"))
+      .select($"event_type", $"n_null",
+              $"id_asc_nf", $"id_asc_nl", $"id_desc_nf", $"id_desc_nl")
+    assertSameRows(got, twin,
+      "window null-ordering diverges from the aggregate min(struct) twin")
+    spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
+  }
+
   test("dup-cluster propagation converges on a deep planted path graph (diameter 16)") {
     // corpus near-dup components are cliques-ish (diameter 2-3), so the
     // oracle never exercises deep propagation; a 17-node PATH forces ~16
