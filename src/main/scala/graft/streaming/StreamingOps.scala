@@ -839,6 +839,53 @@ object StreamingOps extends QueryModule {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** s32: UNION of two differently-watermarked stream sources feeding
+    * ONE stateful aggregate — the multi-source streaming DAG no other
+    * registry query exercises (s12/s22's two sources meet in a JOIN,
+    * which keeps per-side state; union funnels both into the same
+    * windowed-aggregate state, and the engine must take the GLOBAL
+    * watermark as the MIN across sources so neither side's lag can
+    * evict windows the slower side still feeds). The two sides carry
+    * deliberately different delays (10 min vs 0 s) to force the
+    * min-policy path — which is also why the run is UPDATE mode, not
+    * append: the global watermark trails the slow (10-min-delay)
+    * branch, so the final windows legitimately never pass it and an
+    * append sink would hold them back forever. Update mode emits every
+    * refreshed window; within a window both outputs are MONOTONE
+    * (count grows, and v_c ≥ 1 per event keeps the sum growing), so
+    * the batch-side max-fold recovers the final value per window under
+    * ANY batching — the same idempotent-refold contract as s28's
+    * bit_or. The fold's result must equal the batch hourly aggregate
+    * over the whole table, so a row lost at the source seam or
+    * double-counted by the funnel shifts the hash. */
+  private def streamUnionAgg(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) { streamUnionAggInner(s, d) }
+
+  private def streamUnionAggInner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clicks = eventStream(s, d).where($"event_type" === "click")
+      .select($"ts", $"event_type", $"value")
+      .withWatermark("ts", "10 minutes")
+    val rest = eventStream(s, d).where($"event_type" =!= "click")
+      .select($"ts", $"event_type", $"value")
+      .withWatermark("ts", "0 seconds")
+    val agg = clicks.union(rest)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(Tbl.cents($"value")).as("v_c"))
+    runToTable(s, agg, "s_union_agg", OutputMode.Update())
+      .groupBy(unix_micros($"window.start").as("ws_us"), $"event_type")
+      .agg(max($"n").as("n"),
+           round(max($"v_c") / 100.0, 2).as("sum_value"))
+      .orderBy($"ws_us", $"event_type")
+  }
+
+  private val streamUnionAggSql =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
+      |       event_type, count(*) AS n,
+      |       round(sum(CAST(round(value*100) AS BIGINT)) / 100.0, 2)
+      |         AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin
+
   /** s22: STREAMING spatial neighbor join — `j7_spatial_join`'s grid
     * blocking composed with the symmetric hash join: proximity alerts
     * for co-located error events within ±30 minutes of each other.
@@ -1422,7 +1469,8 @@ object StreamingOps extends QueryModule {
     "s28_stream_bitmap"     -> (streamBitmapDistinct _),
     "s29_stream_textlog"    -> (streamTextLog _),
     "s30_state_reader"      -> (stateReader _),
-    "s31_stream_liststate"  -> (streamListState _))
+    "s31_stream_liststate"  -> (streamListState _),
+    "s32_stream_union"      -> (streamUnionAgg _))
 
   /** s27: STREAMING drift monitor — the `x_dist_drift` family as a live
     * gate: per-day tumbling windows of the event stream score their
@@ -1577,5 +1625,6 @@ object StreamingOps extends QueryModule {
     "s28_stream_bitmap"     -> streamBitmapDistinctSql,
     "s29_stream_textlog"    -> streamTextLogSql,
     "s30_state_reader"      -> stateReaderSql,
-    "s31_stream_liststate"  -> streamListStateSql)
+    "s31_stream_liststate"  -> streamListStateSql,
+    "s32_stream_union"      -> streamUnionAggSql)
 }
