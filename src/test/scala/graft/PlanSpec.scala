@@ -265,6 +265,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffles.size <= 2, s"interval merge shuffles beyond user_id + sort:\n$p")
   }
 
+  test("cut-point bucketing bins map-side: cuts broadcast, corpus probe never sorts") {
+    // the scale-safe twin of x_ntile_bucketing exists precisely to kill
+    // the per-type corpus sort; if the bucket-assignment join stops
+    // broadcasting or a sort sneaks under its probe side, the query has
+    // regressed to the 5-task shape this plan pin exists to prevent
+    val p = executed(SparkEntry.queries("x_cutpoint_bucketing")(spark, d))
+    val bhj = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"bucket assignment is not a broadcast join:\n$p")
+    val probeSorts = bhj.flatMap { j =>
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+        case _ => j.right
+      }
+      streamed.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+    }
+    assert(probeSorts.isEmpty,
+      s"corpus probe side sorts before binning:\n$p")
+  }
+
   test("unpivot lowers to Expand: per-row expansion, no join anywhere") {
     val p = executed(SparkEntry.queries("x_unpivot")(spark, d))
     val expands = collectWithSubqueries(p) {
