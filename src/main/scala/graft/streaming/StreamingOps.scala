@@ -762,14 +762,20 @@ object StreamingOps extends QueryModule {
 
   /** s31: ListState bounded min-k — the last transformWithState state
     * primitive the matrix was missing (see [[StatefulOps.First3PerType]]
-    * for the associativity argument). Per event_type the state holds
-    * the ≤3 EARLIEST events by (ts_us, event_id); because the min-k
-    * merge is order-insensitive, the batch-side fold (distinct
-    * emissions → rank ≤ 3) recovers the exact batch answer under ANY
-    * replay split — the fold, not single-batch luck, is what the
-    * oracle certifies. State is 3 rows per key at any stream length. */
+    * for the associativity argument). Keyed on (event_type,
+    * hash-salt mod 32): per sub-key the state holds the ≤3 EARLIEST
+    * events by (ts_us, event_id); because the min-k merge is
+    * order-insensitive, the batch-side fold (distinct emissions →
+    * rank ≤ 3 per event_type) recovers the exact batch answer under ANY
+    * replay split AND any salt split — the fold, not single-batch luck,
+    * is what the oracle certifies. The salt spreads state across
+    * |types|·32 = 160 RocksDB keys instead of 5, so partition
+    * parallelism survives a 100M-row replay (round-10 verdict weak #2);
+    * state stays ≤ 3 rows per sub-key at any stream length. */
   private def streamListState(s: SparkSession, d: String): DataFrame =
     withStatePartitions(s) { streamListStateInner(s, d) }
+
+  private[graft] val ListStateSalts = 32
 
   private def streamListStateInner(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -778,7 +784,8 @@ object StreamingOps extends QueryModule {
       .select($"event_type", $"event_id", unix_micros($"ts").as("ts_us"),
               $"value")
       .as[TypeEv]
-      .groupByKey(_.event_type)
+      .groupByKey(e => (e.event_type,
+        java.lang.Math.floorMod(e.event_id, ListStateSalts.toLong).toInt))
       .transformWithState(new First3PerType,
         TimeMode.None(), OutputMode.Update())
     val w = org.apache.spark.sql.expressions.Window

@@ -663,7 +663,10 @@ class StatefulOpsSpec extends SparkSpec {
       val out = spark.readStream.schema(schema).parquet(srcDir)
         .select(col("event_type"), col("event_id"), col("ts_us"), col("value"))
         .as[TypeEv]
-        .groupByKey(_.event_type)
+        // salt pinned to 0: this spec pins SINGLE-list displacement and
+        // restart semantics; the production s31 salts by event_id and
+        // its oracle certifies the cross-salt fold end to end
+        .groupByKey(e => (e.event_type, 0))
         .transformWithState(new First3PerType,
           org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
       val q = out.toDF().writeStream
@@ -696,6 +699,47 @@ class StatefulOpsSpec extends SparkSpec {
            s"min-3 fold wrong after restart: $folded")
     // id 12 never entered any emission (a later event can't displace)
     assert(!all.exists(_.event_id == 12L))
+  }
+
+  test("salted ListState min-3: per-salt emissions are a superset, fold exact (s31)") {
+    // the production s31 keys on (event_type, event_id mod 32); this
+    // pins the salt-proof property the Scaladoc claims: a salt-LOCAL
+    // min that is not a global min-3 row IS emitted (each sub-list
+    // admits its own minima), and the batch-side fold (distinct →
+    // rank ≤ 3 per event_type) drops exactly those rows
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    import graft.streaming.StatefulOps.{First3PerType, First3Row, TypeEv}
+    graft.streaming.StreamingOps.configureStreaming(spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("ls_salt_src").toString
+    val ck = java.nio.file.Files.createTempDirectory("ls_salt_ck").toString
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("event_id", LongType),
+      StructField("ts_us", LongType), StructField("value", DoubleType)))
+    // five rows, five distinct salts (ids 1..5 mod 32 all differ): every
+    // row is its own sub-list's min-1, so all five are emitted
+    (1L to 5L).map(i => TypeEv("click", i, i * 100L, i.toDouble)).toDF()
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val out = spark.readStream.schema(schema).parquet(srcDir)
+      .select(col("event_type"), col("event_id"), col("ts_us"), col("value"))
+      .as[TypeEv]
+      .groupByKey(e => (e.event_type,
+        java.lang.Math.floorMod(e.event_id, 32L).toInt))
+      .transformWithState(new First3PerType,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+    val rows = scala.collection.mutable.ArrayBuffer.empty[First3Row]
+    val q = out.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows ++= batch.as[First3Row].collect(): Unit
+      }
+      .outputMode("update").option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(); q.stop()
+    assert(rows.map(_.event_id).toSet === Set(1L, 2L, 3L, 4L, 5L),
+           "per-salt lists must admit their local minima")
+    val folded = rows.map(r => (r.ts_us, r.event_id)).distinct
+      .sorted.take(3).map(_._2).toList
+    assert(folded === List(1L, 2L, 3L), s"salted fold wrong: $folded")
   }
 
   test("last3PerKey: merge keeps ts-desc order with event_id tiebreak") {
