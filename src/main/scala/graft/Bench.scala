@@ -37,6 +37,16 @@ object Bench {
       spark.catalog.clearCache()
       spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
     } catch { case _: Throwable => }
+    // host-contention self-adjudication (round-10 verdict item #3):
+    // every round since r2 some entries inflate 2-30x under external
+    // load and settling "regression or noise?" has needed a judge
+    // re-run. Record the OS 1-min load average alongside every timing
+    // so an inflated line carries its own explanation: load >> ncpu at
+    // sample time = contention, not a plan change.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg: Double = osBean.getSystemLoadAverage // -1.0 if unsupported
+    val ncpu = Runtime.getRuntime.availableProcessors
+    val loadStart = loadAvg
     // min of 2 timed runs per query: the host occasionally steals
     // 10-20s from exactly one query per pass (confirmed NOT JVM — zero
     // Full GCs, max safepoint 73ms while a query lost 15s), so a
@@ -44,7 +54,8 @@ object Bench {
     // and sink tables are cleared between runs, so run 2 re-executes
     // the full plan — only JIT/page-cache warmth carries over.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val dt = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
+        val l0 = loadAvg
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
         val t = (System.nanoTime() - t0) / 1e9
@@ -52,13 +63,20 @@ object Bench {
         // so driver heap doesn't degrade later queries
         spark.catalog.clearCache()
         spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
-        t
-      }.min
-      name -> dt
+        (t, l0)
+      }
+      // keep the load sampled at the START of the run that won the min:
+      // that is the run the reported number came from
+      name -> runs.minBy(_._1)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // sibling map, same keys as "queries": 1-min loadavg when the
+    // reported run started (existing consumers of "queries" unaffected)
+    val loads = results.map { case (k, (_, l)) =>
+      s"\"" + k + "\":" + f"$l%.2f" }.mkString("{", ",", "}")
+    val loadEnd = loadAvg
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // provenance on every JSONL line (round-5 VERDICT item #8): the
     // driver's stdout harvester truncates, so cross-round per-query
     // diffs read this file — each line must say WHICH round/commit it
@@ -74,7 +92,7 @@ object Bench {
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
       if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"stat":"min","round":$round,"sha":"$sha"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load":$loads,"load_start":${f"$loadStart%.2f"},"load_end":${f"$loadEnd%.2f"},"ncpu":$ncpu,"sf":"$sfDir","runs_per_query":2,"stat":"min","round":$round,"sha":"$sha"}"""
     // stdout carries a COMPACT line only (total + the 12 slowest
     // queries): the driver's stdout harvester keeps a bounded tail of
     // the sbt output, and the full 154-query line (~7 KB) has started
@@ -87,9 +105,9 @@ object Bench {
     // "top_queries", NOT "queries": the subset must not wear the full
     // map's key — an unaware cross-round consumer would silently narrow
     // from 154 to 12 entries instead of failing loudly (round-8 ADVICE)
-    val topQs = results.toSeq.sortBy(-_._2).take(12)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","top_queries":$topQs,"n_queries":${results.size},"sf":"$sfDir","runs_per_query":2,"stat":"min","round":$round,"sha":"$sha","full":"$fullName"}""")
+    val topQs = results.toSeq.sortBy(-_._2._1).take(12)
+      .map { case (k, (v, _)) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","top_queries":$topQs,"n_queries":${results.size},"load_start":${f"$loadStart%.2f"},"load_end":${f"$loadEnd%.2f"},"ncpu":$ncpu,"sf":"$sfDir","runs_per_query":2,"stat":"min","round":$round,"sha":"$sha","full":"$fullName"}""")
     // ALSO land the line in a file: the driver's stdout harvester has
     // truncated the sbt tail before (BENCH_r04 kept 63/135 timings), and
     // per-query history is the regression signal — it must survive
