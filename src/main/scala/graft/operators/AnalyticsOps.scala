@@ -598,7 +598,12 @@ object AnalyticsOps extends QueryModule {
     Tbl.events(s, d)
       .select($"event_type", Tbl.cents($"value").as("v_c"))
       .select($"event_type", $"v_c",
-              expr("try_multiply(v_c * v_c * v_c, 10000000L)").as("p"),
+              // every multiply chained through try_multiply: a plain `*`
+              // anywhere in the product would WRAP before try_* sees it
+              // (v_c > 2^21 would yield a non-NULL wrapped cube), which is
+              // the exact silent corruption this query exists to pin
+              expr("try_multiply(try_multiply(try_multiply(v_c, v_c), v_c)," +
+                   " 10000000L)").as("p"),
               expr("try_divide(1000000L, v_c % 97)").as("q"),
               expr(s"try_add(${base}L, v_c)").as("a"))
       .groupBy($"event_type")

@@ -776,8 +776,14 @@ object ScaleOps extends QueryModule {
     * sketch type, so it cannot demonstrate this). The query builds one
     * whole-corpus `hll_sketch_agg` per event_type AND a
     * `hll_union_agg` of per-day sub-sketches, and pins
-    * (a) `merge_exact`: the unioned estimate EQUALS the whole-corpus
-    * estimate bit-for-bit (same lgK, union is lossless), and
+    * (a) `merge_exact`: both sketches are passed through the SAME
+    * estimator path — `hll_union(x, x)` (a lossless self-union that
+    * forces the composite estimator on both sides; a never-merged
+    * sketch would otherwise answer with the HIP estimator, whose
+    * value legitimately differs from the post-union composite, making
+    * raw-estimate bit-equality partitioning-sensitive) — and the two
+    * composite estimates over identical register sets must be
+    * bit-equal, and
     * (b) `est_ok`: the estimate lands within 5% (abs floor 4) of the
     * exact count. Estimates are engine-specific, so the oracle states
     * the exact count and literal TRUEs — the same contract as
@@ -797,8 +803,9 @@ object ScaleOps extends QueryModule {
       .agg(expr("hll_union_agg(day_sk)").as("mk"))
     whole.join(merged, "event_type")
       .select($"event_type", $"exact_users", $"n",
-              (expr("hll_sketch_estimate(sk)") ===
-                 expr("hll_sketch_estimate(mk)")).as("merge_exact"),
+              (expr("hll_sketch_estimate(hll_union(sk, sk))") ===
+                 expr("hll_sketch_estimate(hll_union(mk, mk))"))
+                .as("merge_exact"),
               (abs(expr("hll_sketch_estimate(sk)") - $"exact_users") <=
                  greatest($"exact_users".cast("double") * 0.05, lit(4.0)))
                 .as("est_ok"))

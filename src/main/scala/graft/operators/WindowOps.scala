@@ -459,6 +459,13 @@ object WindowOps extends QueryModule {
            (sum($"m1") + coalesce(sum($"last_v" * $"bd_ms"), lit(0L)))
              .as("num"))
     stitched
+      // a type with ZERO segments (exactly one event) must surface as
+      // NULL den/num, matching the oracle's empty-sum semantics — the
+      // per-day coalesces above exist only so single-event DAYS don't
+      // poison a multi-day type's totals, not to invent a 0 total
+      .select($"event_type", $"n_seg",
+              when($"n_seg" > 0, $"den_ms").as("den_ms"),
+              when($"n_seg" > 0, $"num").as("num"))
       .select($"event_type", $"n_seg", $"den_ms", $"num",
               floor(($"num" / $"den_ms") * 1000000.0)
                 .cast("long").as("twa_e6"))
