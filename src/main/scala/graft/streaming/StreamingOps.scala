@@ -201,7 +201,36 @@ object StreamingOps extends QueryModule {
       s.conf.getOption("spark.graft.rocksdbTrackRows").getOrElse("false"))
     val ckpt = Tbl.scratchDir(s"ckpt_$name")
     lastCheckpointDir = ckpt
-    val q = df.writeStream.format("memory").queryName(name)
+    // Sink selection. "memory" (default): assertable in-JVM table, zero
+    // I/O — right for specs and small-SF gates. "files": each micro-batch
+    // spills to a scratch parquet dir via foreachBatch and the result is
+    // read back — this bounds driver RSS for sf10-class gate runs, where
+    // the memory sink's collected rows (every batch's emissions, held on
+    // heap for the JVM's whole lifetime across a 211-query Verify) were
+    // the ceiling that forced round 9's two-tranche workaround. The
+    // foreachBatch writes mirror the memory sink's mode contract exactly:
+    // Append/Update APPEND each batch's emitted rows; Complete REPLACES
+    // the table with the batch. Downstream batch folds see an identical
+    // DataFrame either way (the s* refold contracts never depend on
+    // in-batch row order).
+    val spill = s.conf.getOption("spark.graft.streamSink")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_SINK"))
+      .contains("files")
+    val sinkDir = if (spill) Tbl.scratchDir(s"msink_$name") else ""
+    val writer =
+      if (spill) {
+        // seed a schema-only file so a stream with zero emitted batches
+        // still reads back as an empty-but-typed relation
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            df.schema)
+          .write.mode("overwrite").parquet(sinkDir)
+        val save =
+          if (mode == OutputMode.Complete()) "overwrite" else "append"
+        val perBatch: (DataFrame, Long) => Unit =
+          (b, _) => b.write.mode(save).parquet(sinkDir)
+        df.writeStream.foreachBatch(perBatch)
+      } else df.writeStream.format("memory").queryName(name)
+    val q = writer
       .outputMode(mode)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
@@ -232,7 +261,7 @@ object StreamingOps extends QueryModule {
     // release this run's provider instances (maps/RocksDB handles) now
     // instead of leaving them for the maintenance pass to walk
     org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
-    s.table(name)
+    if (spill) s.read.parquet(sinkDir) else s.table(name)
   }
 
   /** Stateful streams pay a per-(partition × store instance × batch)
