@@ -737,7 +737,67 @@ object AnalyticsOps extends QueryModule {
       |FROM events GROUP BY user_id % 20
       |ORDER BY grp""".stripMargin
 
+  /** Map-typed columns end to end — the one Spark SQL type family with
+    * no registry entry until now (the reference never touches maps
+    * either, SURVEY §1.2): build a per-type hour→count histogram as a
+    * real `MapType` column (`map_from_entries` over collected struct
+    * entries), then reduce it through the map-native surface — `size`,
+    * `element_at` (missing key → NULL, pinned via coalesce-to-0),
+    * `map_filter` + `aggregate` lambda fold over `map_values`, and a
+    * `map_entries` argmax. The map stays GROUP-SIZED (≤24 entries per
+    * type), which is the only shape a map column is legitimate at
+    * 100 TB: maps are row-local documents, not join surfaces — the
+    * corpus is reduced by a plain map-side-combinable shuffle BEFORE
+    * anything becomes a map, and every output is an ORDER-FREE
+    * reduction of the map (map iteration order is undefined in both
+    * engines, so the map value itself is never emitted). */
+  private def mapOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tbl.events(s, d)
+      .groupBy($"event_type", hour($"ts").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"event_type")
+      .agg(map_from_entries(collect_list(struct($"h", $"n"))).as("m"))
+    hist
+      .select($"event_type", $"m",
+        // argmax over the entry array: highest count, tie → earliest
+        // hour (negated key makes lexicographic struct max do both)
+        expr("array_max(transform(map_entries(m)," +
+             " e -> struct(e.value AS n, -e.key AS negh)))").as("pk"))
+      .select($"event_type",
+        size($"m").as("n_hours"),
+        $"pk.n".as("peak_n"),
+        (-$"pk.negh").as("peak_hour"),
+        expr("aggregate(map_values(map_filter(m, (k, v) -> k < 6))," +
+             " 0L, (a, x) -> a + x)").as("night_n"),
+        coalesce(element_at($"m", lit(12)), lit(0L)).as("noon_n"))
+      .orderBy($"event_type")
+  }
+
+  private val mapOpsSql =
+    """WITH h AS (
+      |  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS INTEGER) AS n_hours,
+      |    CAST(coalesce(sum(n) FILTER (WHERE h < 6), 0) AS BIGINT)
+      |      AS night_n,
+      |    CAST(coalesce(sum(n) FILTER (WHERE h = 12), 0) AS BIGINT)
+      |      AS noon_n,
+      |    max(n) AS peak_n
+      |  FROM h GROUP BY event_type),
+      |pk AS (
+      |  SELECT h.event_type, min(h.h) AS peak_hour
+      |  FROM h JOIN agg a ON a.event_type = h.event_type AND h.n = a.peak_n
+      |  GROUP BY h.event_type)
+      |SELECT a.event_type, a.n_hours, CAST(a.peak_n AS BIGINT) AS peak_n,
+      |  pk.peak_hour, a.night_n, a.noon_n
+      |FROM agg a JOIN pk USING (event_type) ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_map_ops"          -> (mapOps _),
     "x_recursive_hierarchy" -> (recursiveHierarchy _),
     "x_lateral_topk"     -> (lateralTopk _),
     "x_listagg"          -> (listaggRollup _),
@@ -759,6 +819,7 @@ object AnalyticsOps extends QueryModule {
     "x_merge_intervals" -> (mergeIntervals _))
 
   override val oracles: Map[String, String] = Map(
+    "x_map_ops"          -> mapOpsSql,
     "x_recursive_hierarchy" -> recursiveHierarchySql,
     "x_lateral_topk"     -> lateralTopkSql,
     "x_listagg"          -> listaggRollupSql,

@@ -1087,13 +1087,28 @@ object SimilarityOps extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** Oracle-side argmax packing: DuckDB 1.0's `arg_min` takes only a
+    * SCALAR key, so the kernel's (cos6 DESC, id ASC) rank collapses to
+    * one BIGINT: (2e6 − icos)·2³³ + id, with icos = floor(dot·10⁶) the
+    * integer cosine (division by 10⁶ is monotone-injective on that
+    * integer range, so ordering by icos IS ordering by cos6). id < 2³³
+    * holds for every vec_id/cell/rank the corpora produce (replicated-SF
+    * offsets stay far below 10⁹); |key| < 3e6·2³³ ≈ 2.6e16 ≪ 2⁶³. This
+    * exists because the row_number-window formulation sorted n·g rows
+    * CARRYING 64-float list payloads — >95 GB of DuckDB spill at 200k
+    * vectors (the round-9/10 resource-waived gate cell); the arg_min
+    * form is a hash aggregate over scalar keys, with embeddings
+    * re-joined by id only where a dot product actually needs them. */
+  private def argMinKey(dot: String, tie: String): String =
+    s"(2000000 - CAST(floor(($dot) * 1000000.0) AS BIGINT)) * 8589934592 + $tie"
+
   private val semanticDedupSql =
     s"""WITH nc AS (
        |  SELECT coalesce(min(CAST(16 AS BIGINT) << s), CAST(16 AS BIGINT) << 20) AS k
        |  FROM generate_series(0, 20) t(s)
        |  WHERE (CAST(16 AS BIGINT) << s) * $SemTargetCell >=
        |        (SELECT count(*) FROM embeddings)),
-       |seeds AS (
+       |seeds AS MATERIALIZED (
        |  -- the k SMALLEST vec_ids (rank-based, not vec_id < k: the ids
        |  -- are sparse at replicated SFs — mirrors Scala seedRel);
        |  -- rn kept: it orders pilots and anchors the grouping CASE
@@ -1107,82 +1122,77 @@ object SimilarityOps extends QueryModule {
        |        (SELECT count(*) FROM seeds)),
        |p0 AS (SELECT s.* FROM seeds s, g0 WHERE s.rn <= g0.g),
        |sn0 AS (
-       |  -- nearest pilot per seed (kernel order: cos6 desc, pilot asc)
-       |  SELECT vec_id, grp FROM (
-       |    SELECT s.vec_id, p.rn AS grp,
-       |      row_number() OVER (PARTITION BY s.vec_id
-       |        ORDER BY ${cos6Sql(dotSql("s.embedding", "p.embedding"))} DESC,
-       |                 p.rn) AS rk
-       |    FROM seeds s, p0 p) WHERE rk = 1),
-       |sg0 AS (
+       |  -- nearest pilot per seed (kernel order: cos6 desc, pilot asc;
+       |  -- the packed arg_min key — see argMinKey scaladoc — replaces a
+       |  -- row_number sort that spilled list payloads at sf10)
+       |  SELECT s.vec_id,
+       |    arg_min(p.rn, ${argMinKey(dotSql("s.embedding", "p.embedding"), "p.rn")})
+       |      AS grp
+       |  FROM seeds s, p0 p GROUP BY s.vec_id),
+       |sg0 AS MATERIALIZED (
        |  -- pilots anchor their own group; others join the nearest pilot
        |  SELECT s.vec_id, s.embedding,
        |    CASE WHEN s.rn <= g.g THEN s.rn ELSE n.grp END AS grp
        |  FROM seeds s JOIN sn0 n USING (vec_id) CROSS JOIN g0 g),
        |v0 AS (
        |  -- pass 1: route every vector to its nearest seed pilot
-       |  SELECT vec_id, embedding, grp FROM (
-       |    SELECT e.vec_id, e.embedding, p.rn AS grp,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cos6Sql(dotSql("e.embedding", "p.embedding"))} DESC,
-       |                 p.rn) AS rk
-       |    FROM embeddings e, p0 p) WHERE rk = 1),
-       |assigned0 AS (
-       |  -- pass 2: refine within the winning pilot's member group
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT v.vec_id, v.embedding, m.vec_id AS cell,
-       |      row_number() OVER (PARTITION BY v.vec_id
-       |        ORDER BY ${cos6Sql(dotSql("v.embedding", "m.embedding"))} DESC,
-       |                 m.vec_id) AS rka
-       |    FROM v0 v JOIN sg0 m ON m.grp = v.grp)
-       |  WHERE rka = 1),
-       |refined AS (
+       |  SELECT e.vec_id,
+       |    arg_min(p.rn, ${argMinKey(dotSql("e.embedding", "p.embedding"), "p.rn")})
+       |      AS grp
+       |  FROM embeddings e, p0 p GROUP BY e.vec_id),
+       |assigned0 AS MATERIALIZED (
+       |  -- pass 2: refine within the winning pilot's member group; the
+       |  -- vector's embedding is re-joined by id, never carried through
+       |  SELECT v.vec_id,
+       |    arg_min(m.vec_id, ${argMinKey(dotSql("e.embedding", "m.embedding"), "m.vec_id")})
+       |      AS cell
+       |  FROM v0 v JOIN embeddings e ON e.vec_id = v.vec_id
+       |            JOIN sg0 m ON m.grp = v.grp
+       |  GROUP BY v.vec_id),
+       |refined AS MATERIALIZED (
        |  SELECT cell, list(m ORDER BY dim) AS emb FROM (
-       |    SELECT cell, d.dim AS dim,
-       |      CAST(CAST(sum(CAST(floor(CAST(embedding[d.dim] AS DOUBLE)
+       |    SELECT a.cell, d.dim AS dim,
+       |      CAST(CAST(sum(CAST(floor(CAST(e.embedding[d.dim] AS DOUBLE)
        |                               * 1000000.0) AS BIGINT))
        |                // count(*) AS BIGINT) / 1000000.0 AS FLOAT) AS m
-       |    FROM assigned0, (SELECT unnest(generate_series(1, 64)) AS dim) d
-       |    GROUP BY cell, d.dim)
+       |    FROM assigned0 a JOIN embeddings e ON e.vec_id = a.vec_id,
+       |         (SELECT unnest(generate_series(1, 64)) AS dim) d
+       |    GROUP BY a.cell, d.dim)
        |  GROUP BY cell),
-       |rr AS (SELECT cell, emb,
-       |         row_number() OVER (ORDER BY cell) AS rn FROM refined),
+       |rr AS MATERIALIZED (
+       |  SELECT cell, emb,
+       |    row_number() OVER (ORDER BY cell) AS rn FROM refined),
        |g1 AS (
        |  SELECT min(1 << s) AS g FROM generate_series(0, 15) t(s)
        |  WHERE CAST(1 << s AS BIGINT) * (1 << s) >=
        |        (SELECT count(*) FROM refined)),
        |p1 AS (SELECT r.* FROM rr r, g1 WHERE r.rn <= g1.g),
        |rn1 AS (
-       |  SELECT cell, grp FROM (
-       |    SELECT r.cell, p.rn AS grp,
-       |      row_number() OVER (PARTITION BY r.cell
-       |        ORDER BY ${cos6Sql(dotSql("r.emb", "p.emb"))} DESC,
-       |                 p.rn) AS rk
-       |    FROM rr r, p1 p) WHERE rk = 1),
-       |rg1 AS (
+       |  SELECT r.cell,
+       |    arg_min(p.rn, ${argMinKey(dotSql("r.emb", "p.emb"), "p.rn")}) AS grp
+       |  FROM rr r, p1 p GROUP BY r.cell),
+       |rg1 AS MATERIALIZED (
        |  SELECT r.cell, r.emb,
        |    CASE WHEN r.rn <= g.g THEN r.rn ELSE n.grp END AS grp
        |  FROM rr r JOIN rn1 n USING (cell) CROSS JOIN g1 g),
        |v1 AS (
-       |  SELECT vec_id, embedding, grp FROM (
-       |    SELECT e.vec_id, e.embedding, p.rn AS grp,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cos6Sql(dotSql("e.embedding", "p.emb"))} DESC,
-       |                 p.rn) AS rk
-       |    FROM embeddings e, p1 p) WHERE rk = 1),
-       |assigned AS (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT v.vec_id, v.embedding, m.cell,
-       |      row_number() OVER (PARTITION BY v.vec_id
-       |        ORDER BY ${cos6Sql(dotSql("v.embedding", "m.emb"))} DESC,
-       |                 m.cell) AS rka
-       |    FROM v1 v JOIN rg1 m ON m.grp = v.grp)
-       |  WHERE rka = 1),
+       |  SELECT e.vec_id,
+       |    arg_min(p.rn, ${argMinKey(dotSql("e.embedding", "p.emb"), "p.rn")}) AS grp
+       |  FROM embeddings e, p1 p GROUP BY e.vec_id),
+       |assigned AS MATERIALIZED (
+       |  SELECT v.vec_id,
+       |    arg_min(m.cell, ${argMinKey(dotSql("e.embedding", "m.emb"), "m.cell")})
+       |      AS cell
+       |  FROM v1 v JOIN embeddings e ON e.vec_id = v.vec_id
+       |            JOIN rg1 m ON m.grp = v.grp
+       |  GROUP BY v.vec_id),
        |dups AS (
        |  SELECT r.vec_id AS vec_id, min(l.vec_id) AS dup_of
        |  FROM assigned l JOIN assigned r
        |    ON l.cell = r.cell AND l.vec_id < r.vec_id
-       |  WHERE ${cos6Sql(dotSql("l.embedding", "r.embedding"))} >= $SemDedupCosine
+       |  JOIN embeddings le ON le.vec_id = l.vec_id
+       |  JOIN embeddings re ON re.vec_id = r.vec_id
+       |  WHERE ${cos6Sql(dotSql("le.embedding", "re.embedding"))} >= $SemDedupCosine
        |  GROUP BY r.vec_id)
        |SELECT a.vec_id, a.cell, d.dup_of IS NOT NULL AS is_dup, d.dup_of
        |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id

@@ -462,6 +462,80 @@ object StreamingOps extends QueryModule {
     s.read.parquet(outDir).orderBy($"event_type")
   }
 
+  /** s33: foreachBatch MERGE/upsert — the Delta-style keyed-table
+    * maintenance idiom the reference gestures at (`predict_path.py:55-71`
+    * appends per-batch files; a real deployment upserts a keyed table).
+    * Target: a VERSIONED parquet table keyed by user_id holding (latest
+    * event struct, n_seen). Each micro-batch pre-aggregates its per-key
+    * partial (max struct + count — map-side combinable, so the shuffle
+    * carries |keys| rows, not the batch), MERGEs it into the current
+    * target version (matched → fold, not matched → insert: one
+    * unionByName + re-fold, the associative form of WHEN MATCHED UPDATE
+    * / WHEN NOT MATCHED INSERT), and commits a NEW version dir,
+    * pointer-swapped only after the write lands — the write-new-files,
+    * swap-pointer protocol a lakehouse MERGE encodes via its
+    * transaction log. The input is staged as 4 files consumed with
+    * maxFilesPerTrigger=1, so the upsert provably composes across ≥4
+    * micro-batches (a single batch would pass vacuously);
+    * associativity of (max, +) makes the final table batching-invariant
+    * — the same refold contract s28/s31/s32 pin. Scale: per-batch
+    * shuffle bounded by the key domain; the copy-on-write target
+    * rewrite is the standard MERGE cost (|keys| rows); nothing
+    * collects. */
+  private def foreachMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    configureStreaming(s)
+    val ev = Tbl.events(s, d)
+    val stage = Tbl.scratchDir("merge_stage")
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
+    val root = Tbl.scratchDir("merge_target")
+    @volatile var cur: String = null
+    val upsert: (DataFrame, Long) => Unit = (batch, id) => {
+      val prev = cur
+      val part = batch
+        .select(col("user_id"),
+                struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+                       Tbl.cents(col("value")).as("v_c")).as("w"))
+        .groupBy(col("user_id"))
+        .agg(max(col("w")).as("w"), count(lit(1)).as("n_seen"))
+      val merged =
+        if (prev == null) part
+        else batch.sparkSession.read.parquet(prev).unionByName(part)
+          .groupBy(col("user_id"))
+          .agg(max(col("w")).as("w"), sum(col("n_seen")).as("n_seen"))
+      val v = s"$root/v$id"
+      merged.write.mode("overwrite").parquet(v)
+      cur = v
+    }
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Tbl.scratchDir("ckpt_merge"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(upsert)
+      .start()
+    q.awaitTermination(); q.stop()
+    s.read.parquet(cur)
+      .select($"user_id", $"w.ts_us".as("last_ts_us"),
+              $"w.event_id".as("last_event_id"), $"w.v_c".as("last_v_c"),
+              $"n_seen")
+      .orderBy($"user_id")
+  }
+
+  private val foreachMergeSql =
+    """WITH r AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |         CAST(round(value*100) AS BIGINT) AS v_c,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rk,
+      |         count(*) OVER (PARTITION BY user_id) AS n_seen
+      |  FROM events)
+      |SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+      |       v_c AS last_v_c, CAST(n_seen AS BIGINT) AS n_seen
+      |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin
+
   /** Flagship §3.1 end to end, streaming: events → synthetic AIS JSON
     * envelope (the Kafka wire shape) → the full preprocess pipeline
     * (P1,P2,P3,W4,F1,P5,W1,F2,F3,P6,P8) → rounded features. */
@@ -1516,7 +1590,8 @@ object StreamingOps extends QueryModule {
     "s29_stream_textlog"    -> (streamTextLog _),
     "s30_state_reader"      -> (stateReader _),
     "s31_stream_liststate"  -> (streamListState _),
-    "s32_stream_union"      -> (streamUnionAgg _))
+    "s32_stream_union"      -> (streamUnionAgg _),
+    "s33_foreach_merge"     -> (foreachMerge _))
 
   /** s27: STREAMING drift monitor — the `x_dist_drift` family as a live
     * gate: per-day tumbling windows of the event stream score their
@@ -1672,5 +1747,6 @@ object StreamingOps extends QueryModule {
     "s29_stream_textlog"    -> streamTextLogSql,
     "s30_state_reader"      -> stateReaderSql,
     "s31_stream_liststate"  -> streamListStateSql,
-    "s32_stream_union"      -> streamUnionAggSql)
+    "s32_stream_union"      -> streamUnionAggSql,
+    "s33_foreach_merge"     -> foreachMergeSql)
 }

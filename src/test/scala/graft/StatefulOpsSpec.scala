@@ -908,6 +908,31 @@ class StatefulOpsSpec extends SparkSpec {
     assert(gapFill(1L, Iterator(ev(2, 60, 1, 2.0)), st).isEmpty)
   }
 
+  test("s33 foreachBatch MERGE: 4-micro-batch upsert equals the batch fold") {
+    // the staged input is 4 files read with maxFilesPerTrigger=1, so
+    // this exercises the versioned copy-on-write merge across ≥4 real
+    // micro-batches; (max, +) associativity must make the final table
+    // identical to the single-pass batch computation
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val merged = SparkEntry.queries("s33_foreach_merge")(spark, d)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us".desc, $"event_id".desc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+    val batch = Tbl.events(spark, d)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+              Tbl.cents($"value").as("v_c"))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n_seen", count(lit(1)).over(wAll))
+      .where($"rk" === 1)
+      .select($"user_id", $"ts_us".as("last_ts_us"),
+              $"event_id".as("last_event_id"), $"v_c".as("last_v_c"),
+              $"n_seen")
+      .orderBy($"user_id")
+    assert(merged.collect().toSeq == batch.collect().toSeq,
+           "MERGE'd target diverges from the batch last-event fold")
+  }
+
   /** Minimal GroupState stub for pure-function tests. */
   private class FakeState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
     var updated: Option[S] = None
