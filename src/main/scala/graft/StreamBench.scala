@@ -130,6 +130,24 @@ object StreamBench {
             org.apache.spark.sql.streaming.TimeMode.EventTime(),
             OutputMode.Append())
           .toDF()),
+      // s31-class: transformWithState ListState bounded min-3 over
+      // salted sub-keys ((event_type, event_id mod 32) — 160 RocksDB
+      // keys) — state is ≤3 rows per sub-key at ANY replay length, and
+      // the round-11 fold's per-row cost is one (ts,id) compare (the
+      // pre-fix handleInputRows sorted each key's whole micro-batch:
+      // 2,410 s of update CPU at 100M rows)
+      ("liststate_min3", OutputMode.Update(), () =>
+        src().select($"event_type", $"event_id",
+                     unix_micros($"ts").as("ts_us"), $"value")
+          .as[graft.streaming.StatefulOps.TypeEv]
+          .groupByKey(e => (e.event_type,
+            java.lang.Math.floorMod(e.event_id,
+              graft.streaming.StreamingOps.ListStateSalts.toLong).toInt))
+          .transformWithState(
+            new graft.streaming.StatefulOps.First3PerType,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Update())
+          .toDF()),
       ("ss_interval_join", OutputMode.Append(), () => {
         val l = src().where($"event_type" === "view")
           .select($"user_id".as("l_user"), $"ts".as("l_ts"))
