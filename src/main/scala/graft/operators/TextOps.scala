@@ -24,6 +24,27 @@ object TextOps extends QueryModule {
   private val stop = Seq("the", "a", "of", "and", "in", "to", "is")
   private val stopSqlList = stop.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** Space-doubled padded form of normalized text: every token is
+    * flanked by its OWN pair of spaces, so counting whole-token
+    * occurrences by non-overlapping literal replace is exact even for
+    * adjacent repeats ("the the" → "␣␣the␣␣the␣␣": both "␣the␣"
+    * matches get their own separators, where single spacing makes
+    * neighbors share one and undercounts). Stage it once per row
+    * (multi-referenced alias) and count against it per word. */
+  private def spacedTokens(ntext: Column): Column =
+    replace(concat(lit(" "), ntext, lit(" ")), lit(" "), lit("  "))
+
+  /** Exact whole-token occurrence count of `w`, pure codegen'd string
+    * ops (length delta of a literal replace ÷ match width) — the
+    * scale-path replacement for `size(filter(words, In))`: HOFs are
+    * CodegenFallback, and the per-token interpreted lambda eval was
+    * measured as ~85% of tx_quality_score's wall at 5M docs (602 of
+    * 928 s after staging; 46 s with this form). Division is exact:
+    * the delta is a multiple of the match width by construction. */
+  private def tokenCountSpaced(spaced: Column, w: String): Column =
+    ((length(spaced) - length(replace(spaced, lit(s" $w ")))) /
+      lit(w.length + 2)).cast("long")
+
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letters / digits / single punctuation marks), plus char length. */
   private def tokenStats(s: SparkSession, d: String): DataFrame = {
@@ -53,29 +74,48 @@ object TextOps extends QueryModule {
     * resolved differently by Spark (BigDecimal HALF_UP) and DuckDB. */
   private def qualityScore(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val words = split(norm($"text"), " ")
-    val nW = size(words).cast("long") // split('') = [''] so always >= 1
-    val nStop = size(filter(words, w => w.isInCollection(stop))).cast("long")
-    // len floored at 1: an empty document must score 0, not throw —
-    // Column `/` is double division, and ANSI casts Infinity/NaN to
-    // long as an error (numerators are 0 when len is 0, so 0/1 = 0)
-    val len = greatest(length($"text").cast("long"), lit(1L))
-    val nPunct = (length($"text") - length(regexp_replace($"text", "[^A-Za-z0-9 ]", ""))).cast("long")
-    val nDigit = (length($"text") - length(regexp_replace($"text", "[0-9]", ""))).cast("long")
-    val nLetters = length(regexp_replace(norm($"text"), " ", "")).cast("long")
     // every division floored PER TERM before the composite sum — the
     // oracle's `//` floors each term, and a single truncation of the
     // double sum is off by one whenever the terms' fractional parts
-    // don't cancel (all terms non-negative, so trunc ≡ floor)
+    // don't cancel (all terms non-negative, so trunc ≡ floor).
+    //
+    // Two measured fixes at sf100p (5M docs), applied in sequence:
+    // (1) every expensive subexpression staged as a multi-referenced,
+    // NON-CHEAP alias — CollapseProject keeps such aliases in their own
+    // projection, so norm/split run ONCE per row where the old
+    // inline-tree form duplicated the whole normalize+split tree per
+    // REFERENCE (HOFs are CodegenFallback, so codegen subexpression
+    // elimination never sees them): 928 → 602 s. (2) the remaining
+    // wall was the stop-count lambda itself (interpreted per-token
+    // eval); replaced by [[tokenCountSpaced]]'s codegen'd literal
+    // replace-and-measure: 602 → 46 s. Same counts bit-for-bit; the
+    // DuckDB oracle keeps its list_filter form as the semantic mirror.
     Tbl.documents(s, d)
-      .select($"doc_id", nW.as("n_words"),
-              ((nStop * 1000000L) / nW).cast("long").as("stopword_ppm"),
-              ((nPunct * 1000000L) / len).cast("long").as("punct_ppm"),
-              ((nDigit * 1000000L) / len).cast("long").as("digit_ppm"),
-              ((nLetters * 1000000L) / nW).cast("long").as("avg_wlen_um"),
-              (((nStop * 300000L) / nW).cast("long") + lit(300000L) -
-               ((nPunct * 300000L) / len).cast("long") +
-               least(((nW * 400000L) / 100L).cast("long"), lit(400000L))).as("quality_ppm"))
+      .withColumn("ntext", norm($"text"))
+      .withColumn("words", split($"ntext", " "))
+      .withColumn("n_w", size($"words").cast("long")) // split('')=[''] so >= 1
+      .withColumn("spaced", spacedTokens($"ntext"))
+      .withColumn("n_stop",
+        stop.map(w => tokenCountSpaced($"spaced", w)).reduce(_ + _))
+      // len floored at 1: an empty document must score 0, not throw —
+      // Column `/` is double division, and ANSI casts Infinity/NaN to
+      // long as an error (numerators are 0 when len is 0, so 0/1 = 0)
+      .withColumn("len", greatest(length($"text").cast("long"), lit(1L)))
+      .withColumn("n_punct", (length($"text") -
+        length(regexp_replace($"text", "[^A-Za-z0-9 ]", ""))).cast("long"))
+      .withColumn("n_digit", (length($"text") -
+        length(regexp_replace($"text", "[0-9]", ""))).cast("long"))
+      .withColumn("n_letters",
+        length(regexp_replace($"ntext", " ", "")).cast("long"))
+      .select($"doc_id", $"n_w".as("n_words"),
+              (($"n_stop" * 1000000L) / $"n_w").cast("long").as("stopword_ppm"),
+              (($"n_punct" * 1000000L) / $"len").cast("long").as("punct_ppm"),
+              (($"n_digit" * 1000000L) / $"len").cast("long").as("digit_ppm"),
+              (($"n_letters" * 1000000L) / $"n_w").cast("long").as("avg_wlen_um"),
+              ((($"n_stop" * 300000L) / $"n_w").cast("long") + lit(300000L) -
+               (($"n_punct" * 300000L) / $"len").cast("long") +
+               least((($"n_w" * 400000L) / 100L).cast("long"), lit(400000L)))
+                .as("quality_ppm"))
       .orderBy($"doc_id")
   }
 
@@ -110,12 +150,20 @@ object TextOps extends QueryModule {
 
   private def langId(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val words = split(norm($"text"), " ")
-    val scores = markers.map { case (l, ms) =>
-      l -> size(filter(words, w => w.isInCollection(ms)))
-    }
+    // one staged space-doubled text, 15 codegen'd whole-token counts —
+    // the five inline filter(words, In) lambdas re-ran the regex
+    // normalization per score AND paid interpreted per-token eval
+    // (CodegenFallback, no subexpression elimination); measured
+    // 309 → 30 s at sf100p. Marker scores are sums of per-word exact
+    // token counts (marker vocabularies are disjoint within a
+    // language), counted via [[tokenCountSpaced]]. Output stays INT
+    // to match the original filter-size formulation's type.
     val scored = Tbl.documents(s, d)
-      .select(($"doc_id" +: $"lang" +: scores.map { case (l, c) => c.as(s"s_$l") }): _*)
+      .withColumn("spaced", spacedTokens(norm($"text")))
+      .select(($"doc_id" +: $"lang" +: markers.map { case (l, ms) =>
+        ms.map(w => tokenCountSpaced($"spaced", w)).reduce(_ + _)
+          .cast("int").as(s"s_$l")
+      }): _*)
     // argmax with declaration-order priority: the first language whose
     // score equals the row max wins (deterministic tiebreak).
     val maxS = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
@@ -1021,7 +1069,63 @@ object TextOps extends QueryModule {
        |  FROM agg)
        |WHERE rk <= $Bm25TopK ORDER BY qid, rk""".stripMargin
 
+  /** Array higher-order-function surface end to end — the lambda
+    * twin of `x_map_ops`: per-document token arrays reduced through
+    * `aggregate` (fold), `filter`+`size`, `exists`, `forall`, and a
+    * `zip_with` over two aligned `slice`s (adjacent-pair bigrams —
+    * slicing BOTH sides to n−1 avoids zip_with's null padding, which
+    * would turn the last pair into a bogus unigram under concat_ws's
+    * null-skipping). Everything is ROW-LOCAL: one projection, no
+    * shuffle, no join — the shape that stays embarrassingly parallel
+    * at any corpus size, and the posture HOFs are legitimate in at
+    * 100 TB (arrays as row documents, like x_map_ops' maps). The
+    * split is staged through a materialized column before any lambda
+    * touches it (TextNorm's 8×-measured HOF re-evaluation lesson).
+    * DuckDB mirrors each lambda with list_transform/list_filter/
+    * list_distinct and builds the bigrams with the comprehension
+    * idiom the dot-product oracles already use. */
+  private def arrayOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.documents(s, d)
+      .withColumn("words", split(norm($"text"), " "))
+      .withColumn("bigrams",
+        zip_with(slice($"words", lit(1), size($"words") - 1),
+                 slice($"words", lit(2), size($"words") - 1),
+                 (a, b) => concat_ws("_", a, b)))
+      .select($"doc_id",
+        size($"words").as("n_tokens"),
+        aggregate($"words", lit(0L), (acc, w) => acc + length(w))
+          .as("sum_len"),
+        size(filter($"words", w => length(w) > 7)).as("n_long"),
+        exists($"words", w => w.rlike("^[0-9]+$")).as("has_num"),
+        forall($"words", w => length(w) < 30).as("all_short"),
+        size(array_distinct($"bigrams")).as("n_bigrams"))
+      .orderBy($"doc_id")
+  }
+
+  private val arrayOpsSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS words
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, words,
+       |    [words[i] || '_' || words[i + 1]
+       |     for i in generate_series(1, len(words) - 1)] AS bigrams
+       |  FROM w)
+       |SELECT doc_id,
+       |  CAST(len(words) AS INTEGER) AS n_tokens,
+       |  CAST(list_sum(list_transform(words, x -> length(x)))
+       |       AS BIGINT) AS sum_len,
+       |  CAST(len(list_filter(words, x -> length(x) > 7)) AS INTEGER)
+       |    AS n_long,
+       |  len(list_filter(words, x -> regexp_matches(x, '^[0-9]+$$'))) > 0
+       |    AS has_num,
+       |  len(list_filter(words, x -> length(x) >= 30)) = 0 AS all_short,
+       |  CAST(len(list_distinct(bigrams)) AS INTEGER) AS n_bigrams
+       |FROM b ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_array_ops"      -> (arrayOps _),
     "tx_tfidf"         -> (tfidf _),
     "tx_token_stats"   -> (tokenStats _),
     "tx_quality_score" -> (qualityScore _),
@@ -1042,6 +1146,7 @@ object TextOps extends QueryModule {
     "tx_bm25"          -> (bm25 _))
 
   override val oracles: Map[String, String] = Map(
+    "x_array_ops"      -> arrayOpsSql,
     "tx_tfidf"         -> tfidfSql,
     "tx_token_stats"   -> tokenStatsSql,
     "tx_quality_score" -> qualityScoreSql,

@@ -284,6 +284,35 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"corpus probe side sorts before binning:\n$p")
   }
 
+  test("map ops: one scan, bounded exchanges, no join — maps never shuffle the corpus") {
+    val p = executed(SparkEntry.queries("x_map_ops")(spark, d))
+    assert(scans(p).size == 1, s"expected one events scan:\n$p")
+    val joins = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"map ops plan contains a join:\n$p")
+    val ex = collectWithSubqueries(p) {
+      case e: ShuffleExchangeLike => e
+    }.filterNot(_.toString.contains("rangepartitioning"))
+    assert(ex.size <= 2,
+      s"expected ≤2 hash exchanges (pre-agg regroup + map build):\n$p")
+  }
+
+  test("array ops: pure projection — no shuffle, no join, one scan") {
+    val p = executed(SparkEntry.queries("x_array_ops")(spark, d))
+    assert(scans(p).size == 1, s"expected one documents scan:\n$p")
+    val joins = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"array ops plan contains a join:\n$p")
+    // the only legal exchange is the final ORDER BY's range partitioning
+    val ex = collectWithSubqueries(p) {
+      case e: ShuffleExchangeLike => e
+    }.filterNot(_.toString.contains("rangepartitioning"))
+    assert(ex.isEmpty,
+      s"array ops shuffles beyond the output sort:\n$p")
+  }
+
   test("unpivot lowers to Expand: per-row expansion, no join anywhere") {
     val p = executed(SparkEntry.queries("x_unpivot")(spark, d))
     val expands = collectWithSubqueries(p) {
