@@ -37,11 +37,22 @@ object TimeOne {
     // SPARK_GRAFT_RUNS: run count per query (default 3) — sf100-class
     // measurements at many minutes per run don't need best-of-3
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // host-load alongside every sample (same rationale as Bench's
+    // per-query fields): this box is time-shared and the co-tenant
+    // load is invisible to `ps` (separate PID namespaces) — a round-11
+    // probe caught it delivering ~1 core of aggregate regex throughput
+    // under loadavg 54 while `ps` showed our 32 threads "on CPU", so a
+    // TimeOne number without its load is unusable as a scale ledger
+    // entry. House rule: record sf100p walls only from samples whose
+    // load column ≈ our own worker count.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     for (name <- names) {
       (1 to runs).foreach { i =>
+        val l0 = osBean.getSystemLoadAverage
         val t0 = System.nanoTime()
         Bench.materialize(SparkEntry.queries(name)(spark, dir))
-        println(s"$name run$i ${(System.nanoTime() - t0) / 1e9}")
+        println(f"$name run$i ${(System.nanoTime() - t0) / 1e9}%.3f" +
+          f" load=$l0%.1f->${osBean.getSystemLoadAverage}%.1f")
         spark.catalog.clearCache()
         spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
       }

@@ -494,11 +494,17 @@ object TextOps extends QueryModule {
     val nW = size($"words").cast("long")
     val len = greatest(length($"text").cast("long"), lit(1L))
     Tbl.documents(s, d)
-      .withColumn("words", split(norm($"text"), " ")) // materialized attr
+      .withColumn("ntext", norm($"text")) // staged: words + spaced share it
+      .withColumn("words", split($"ntext", " ")) // materialized attr
+      // stop count via the codegen'd replace-and-measure form — same
+      // interpreted-lambda (CodegenFallback) hot path the quality-score
+      // rewrite measured and killed; counts are identical because the
+      // stop vocabulary is a set of distinct whole tokens
+      .withColumn("spaced", spacedTokens($"ntext"))
       .select($"doc_id", nW.as("n_words"),
         (size(array_distinct($"words")).cast("long") * 1000000L / nW)
           .cast("long").as("uniq_ppm"),
-        (size(filter($"words", w => w.isInCollection(stop))).cast("long")
+        (stop.map(w => tokenCountSpaced($"spaced", w)).reduce(_ + _)
           * 1000000L / nW).cast("long").as("stop_ppm"),
         ((length($"text") - length(regexp_replace($"text", "[0-9]", ""))).cast("long")
           * 1000000L / len).cast("long").as("digit_ppm"))
@@ -562,12 +568,16 @@ object TextOps extends QueryModule {
     val nW = size($"words").cast("long")
     val len = greatest(length($"text").cast("long"), lit(1L))
     Tbl.documents(s, d)
-      .withColumn("words", split(norm($"text"), " "))
+      .withColumn("ntext", norm($"text"))
+      .withColumn("words", split($"ntext", " "))
+      // codegen'd stop count (see modelFilter): kills the one
+      // interpreted lambda on this scan
+      .withColumn("spaced", spacedTokens($"ntext"))
       .select($"doc_id", $"source",
         nW.as("n_words"),
         (size(array_distinct($"words")).cast("long") * 1000000L / nW)
           .cast("long").as("uniq_ppm"),
-        (size(filter($"words", w => w.isInCollection(stop))).cast("long")
+        (stop.map(w => tokenCountSpaced($"spaced", w)).reduce(_ + _)
           * 1000000L / nW).cast("long").as("stop_ppm"),
         ((length($"text") - length(regexp_replace($"text", "[0-9]", ""))).cast("long")
           * 1000000L / len).cast("long").as("digit_ppm"))
