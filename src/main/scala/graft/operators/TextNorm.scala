@@ -11,9 +11,17 @@ import org.apache.spark.sql.functions._
 object TextNorm {
 
   /** Normalized text: lowercase, punctuation stripped, whitespace
-    * collapsed — the canonical form for fingerprints/shingles. */
-  def norm(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+    * collapsed — the canonical form for fingerprints/shingles. The
+    * kernel form of `trim(regexp_replace(regexp_replace(lower(c),
+    * "[^a-z0-9 ]", ""), " +", " "))` — bit-identical (TextStatsSpec
+    * pins a randomized + whole-corpus differential; `normSql` below
+    * still states the regex arithmetic for every DuckDB oracle). The
+    * regex form is the single hottest expression in the text/dedup
+    * family (one scan per corpus in ~20 queries), and java.util.regex
+    * char-class scans measured 40× slower than a byte loop AND
+    * anti-scaling under concurrency on this host (see TextStats.scala
+    * header; measured sf100p walls in SURVEY §14). */
+  def norm(c: Column): Column = org.apache.spark.sql.graft.NormText.of(c)
   val normSql: String =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 

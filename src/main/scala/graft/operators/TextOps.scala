@@ -24,26 +24,19 @@ object TextOps extends QueryModule {
   private val stop = Seq("the", "a", "of", "and", "in", "to", "is")
   private val stopSqlList = stop.map(w => s"'$w'").mkString("(", ",", ")")
 
-  /** Space-doubled padded form of normalized text: every token is
-    * flanked by its OWN pair of spaces, so counting whole-token
-    * occurrences by non-overlapping literal replace is exact even for
-    * adjacent repeats ("the the" → "␣␣the␣␣the␣␣": both "␣the␣"
-    * matches get their own separators, where single spacing makes
-    * neighbors share one and undercounts). Stage it once per row
-    * (multi-referenced alias) and count against it per word. */
-  private def spacedTokens(ntext: Column): Column =
-    replace(concat(lit(" "), ntext, lit(" ")), lit(" "), lit("  "))
-
-  /** Exact whole-token occurrence count of `w`, pure codegen'd string
-    * ops (length delta of a literal replace ÷ match width) — the
-    * scale-path replacement for `size(filter(words, In))`: HOFs are
-    * CodegenFallback, and the per-token interpreted lambda eval was
-    * measured as ~85% of tx_quality_score's wall at 5M docs (602 of
-    * 928 s after staging; 46 s with this form). Division is exact:
-    * the delta is a multiple of the match width by construction. */
-  private def tokenCountSpaced(spaced: Column, w: String): Column =
-    ((length(spaced) - length(replace(spaced, lit(s" $w ")))) /
-      lit(w.length + 2)).cast("long")
+  // Whole-token counts, token counts, and char-class counts all come
+  // from the TextStats native kernels (TextStats.scala): one byte loop
+  // per row, no regex, no interpreted lambda. Two prior formulations
+  // are recorded in git history — size(filter(words, In)) (HOF,
+  // interpreted per token) and the space-doubled literal
+  // replace-and-measure — both ultimately bottlenecked on
+  // java.util.regex char-class scans in norm() itself, which measure
+  // 40× slower than a byte loop and ANTI-scale under concurrency on
+  // this host (TextStats.scala header; quiet-box sf100p walls were
+  // tx_quality_score 627 s / tx_lang_id 293 s either way). The kernels
+  // are bit-identical (TextStatsSpec), so every DuckDB oracle keeps
+  // the regex/list_filter arithmetic.
+  private def stopVocab: Seq[(String, Int)] = stop.map(_ -> 0)
 
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letters / digits / single punctuation marks), plus char length. */
@@ -79,34 +72,26 @@ object TextOps extends QueryModule {
     // double sum is off by one whenever the terms' fractional parts
     // don't cancel (all terms non-negative, so trunc ≡ floor).
     //
-    // Two measured fixes at sf100p (5M docs), applied in sequence:
-    // (1) every expensive subexpression staged as a multi-referenced,
-    // NON-CHEAP alias — CollapseProject keeps such aliases in their own
-    // projection, so norm/split run ONCE per row where the old
-    // inline-tree form duplicated the whole normalize+split tree per
-    // REFERENCE (HOFs are CodegenFallback, so codegen subexpression
-    // elimination never sees them): 928 → 602 s. (2) the remaining
-    // wall was the stop-count lambda itself (interpreted per-token
-    // eval); replaced by [[tokenCountSpaced]]'s codegen'd literal
-    // replace-and-measure: 602 → 46 s. Same counts bit-for-bit; the
-    // DuckDB oracle keeps its list_filter form as the semantic mirror.
+    // Every count comes from two kernel passes: token stats over the
+    // kernel-normalized text (stop count, token count, non-space
+    // chars) and char-class counts over the raw text (punct, digit).
+    // st layout: [1]=stop count, [2]=nTokens (split('')=[''] so >= 1),
+    // [3]=non-space chars; cc: [1]=non-[A-Za-z0-9 ] codepoints,
+    // [2]=ASCII digits — all exactly the regex length-delta counts
+    // (TextStatsSpec pins each identity).
     Tbl.documents(s, d)
-      .withColumn("ntext", norm($"text"))
-      .withColumn("words", split($"ntext", " "))
-      .withColumn("n_w", size($"words").cast("long")) // split('')=[''] so >= 1
-      .withColumn("spaced", spacedTokens($"ntext"))
-      .withColumn("n_stop",
-        stop.map(w => tokenCountSpaced($"spaced", w)).reduce(_ + _))
+      .withColumn("st", org.apache.spark.sql.graft.TokenGroupCounts.of(
+        norm($"text"), stopVocab, 1))
+      .withColumn("cc", org.apache.spark.sql.graft.CharClassCounts.of($"text"))
+      .withColumn("n_w", element_at($"st", 2))
+      .withColumn("n_stop", element_at($"st", 1))
       // len floored at 1: an empty document must score 0, not throw —
       // Column `/` is double division, and ANSI casts Infinity/NaN to
       // long as an error (numerators are 0 when len is 0, so 0/1 = 0)
       .withColumn("len", greatest(length($"text").cast("long"), lit(1L)))
-      .withColumn("n_punct", (length($"text") -
-        length(regexp_replace($"text", "[^A-Za-z0-9 ]", ""))).cast("long"))
-      .withColumn("n_digit", (length($"text") -
-        length(regexp_replace($"text", "[0-9]", ""))).cast("long"))
-      .withColumn("n_letters",
-        length(regexp_replace($"ntext", " ", "")).cast("long"))
+      .withColumn("n_punct", element_at($"cc", 1))
+      .withColumn("n_digit", element_at($"cc", 2))
+      .withColumn("n_letters", element_at($"st", 3))
       .select($"doc_id", $"n_w".as("n_words"),
               (($"n_stop" * 1000000L) / $"n_w").cast("long").as("stopword_ppm"),
               (($"n_punct" * 1000000L) / $"len").cast("long").as("punct_ppm"),
@@ -150,19 +135,17 @@ object TextOps extends QueryModule {
 
   private def langId(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // one staged space-doubled text, 15 codegen'd whole-token counts —
-    // the five inline filter(words, In) lambdas re-ran the regex
-    // normalization per score AND paid interpreted per-token eval
-    // (CodegenFallback, no subexpression elimination); measured
-    // 309 → 30 s at sf100p. Marker scores are sums of per-word exact
-    // token counts (marker vocabularies are disjoint within a
-    // language), counted via [[tokenCountSpaced]]. Output stays INT
-    // to match the original filter-size formulation's type.
+    // ONE kernel pass computes all 15 whole-token marker counts over
+    // the kernel-normalized text, grouped per language (the 15 marker
+    // words are globally distinct, so group sums equal the original
+    // size(filter(words, In)) per-language counts — TextStatsSpec).
+    // Output stays INT to match the original formulation's type.
+    val vocab = markers.zipWithIndex.flatMap { case ((_, ms), g) => ms.map(_ -> g) }
     val scored = Tbl.documents(s, d)
-      .withColumn("spaced", spacedTokens(norm($"text")))
-      .select(($"doc_id" +: $"lang" +: markers.map { case (l, ms) =>
-        ms.map(w => tokenCountSpaced($"spaced", w)).reduce(_ + _)
-          .cast("int").as(s"s_$l")
+      .withColumn("st", org.apache.spark.sql.graft.TokenGroupCounts.of(
+        norm($"text"), vocab, markers.size))
+      .select(($"doc_id" +: $"lang" +: markers.zipWithIndex.map { case ((l, _), g) =>
+        element_at($"st", g + 1).cast("int").as(s"s_$l")
       }): _*)
     // argmax with declaration-order priority: the first language whose
     // score equals the row max wins (deterministic tiebreak).
@@ -494,19 +477,19 @@ object TextOps extends QueryModule {
     val nW = size($"words").cast("long")
     val len = greatest(length($"text").cast("long"), lit(1L))
     Tbl.documents(s, d)
-      .withColumn("ntext", norm($"text")) // staged: words + spaced share it
+      .withColumn("ntext", norm($"text")) // staged: words + kernel share it
       .withColumn("words", split($"ntext", " ")) // materialized attr
-      // stop count via the codegen'd replace-and-measure form — same
-      // interpreted-lambda (CodegenFallback) hot path the quality-score
-      // rewrite measured and killed; counts are identical because the
-      // stop vocabulary is a set of distinct whole tokens
-      .withColumn("spaced", spacedTokens($"ntext"))
+      // stop and digit counts from the TextStats kernels (bit-equal to
+      // the regex/HOF forms, TextStatsSpec); words stays an attribute
+      // for the distinct-token ratio
+      .withColumn("kst", org.apache.spark.sql.graft.TokenGroupCounts.of(
+        $"ntext", stopVocab, 1))
       .select($"doc_id", nW.as("n_words"),
         (size(array_distinct($"words")).cast("long") * 1000000L / nW)
           .cast("long").as("uniq_ppm"),
-        (stop.map(w => tokenCountSpaced($"spaced", w)).reduce(_ + _)
+        (element_at($"kst", 1)
           * 1000000L / nW).cast("long").as("stop_ppm"),
-        ((length($"text") - length(regexp_replace($"text", "[0-9]", ""))).cast("long")
+        (element_at(org.apache.spark.sql.graft.CharClassCounts.of($"text"), 2)
           * 1000000L / len).cast("long").as("digit_ppm"))
       .select($"doc_id", $"n_words", $"uniq_ppm", $"stop_ppm", $"digit_ppm",
         expr("least(n_words, 200) * 800 + uniq_ppm div 2" +
@@ -570,16 +553,16 @@ object TextOps extends QueryModule {
     Tbl.documents(s, d)
       .withColumn("ntext", norm($"text"))
       .withColumn("words", split($"ntext", " "))
-      // codegen'd stop count (see modelFilter): kills the one
-      // interpreted lambda on this scan
-      .withColumn("spaced", spacedTokens($"ntext"))
+      // kernel stop/digit counts (see modelFilter)
+      .withColumn("kst", org.apache.spark.sql.graft.TokenGroupCounts.of(
+        $"ntext", stopVocab, 1))
       .select($"doc_id", $"source",
         nW.as("n_words"),
         (size(array_distinct($"words")).cast("long") * 1000000L / nW)
           .cast("long").as("uniq_ppm"),
-        (stop.map(w => tokenCountSpaced($"spaced", w)).reduce(_ + _)
+        (element_at($"kst", 1)
           * 1000000L / nW).cast("long").as("stop_ppm"),
-        ((length($"text") - length(regexp_replace($"text", "[0-9]", ""))).cast("long")
+        (element_at(org.apache.spark.sql.graft.CharClassCounts.of($"text"), 2)
           * 1000000L / len).cast("long").as("digit_ppm"))
       .select($"doc_id", $"source",
         expr("least(n_words, 200) * 800 + uniq_ppm div 2" +

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{CharClassCounts, NormText, TokenGroupCounts}
+
+/** The native text kernels must be bit-identical to the regex/HOF
+  * formulations they replaced — TextNorm.norm is the canonical
+  * normalization under every dedup/text oracle, so any divergence here
+  * is an oracle break waiting for a corpus that exercises it. The
+  * fixtures deliberately include the Unicode lowercase edge cases the
+  * kernel must inherit from UTF8String.toLowerCase rather than
+  * reimplement: İ (U+0130 → i + combining dot, the dot then stripped),
+  * K (Kelvin → k, KEPT by the class), ß, Σ, supplementary-plane chars,
+  * combining marks, tabs/newlines (stripped, never collapsed to a
+  * space), and space runs at every position. */
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val regexNorm =
+    trim(regexp_replace(regexp_replace(lower($"s"), "[^a-z0-9 ]", ""), " +", " "))
+
+  private val palette: Array[String] = Array(
+    "a", "z", "Q", "M", "0", "9", " ", "  ", "   ", ".", ",", "!", "|",
+    "\t", "\n", "\r", "İ", "K", "ß", "Σ", "é", "漢", "👾", "é",
+    "̇", "the", "THE", "a1b2", "---", " the ", "und", "la")
+
+  private def randomStrings(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val k = rnd.nextInt(12)
+      (i.toLong, (0 until k).map(_ => palette(rnd.nextInt(palette.length))).mkString)
+    }.toDF("id", "s")
+  }
+
+  test("NormText ≡ trim(regexp_replace(regexp_replace(lower(s), '[^a-z0-9 ]', ''), ' +', ' ')) on adversarial strings") {
+    val df = randomStrings(17, 4000)
+      .withColumn("native", NormText.of($"s"))
+      .withColumn("rx", regexNorm)
+    val bad = df.where(not($"native" <=> $"rx"))
+    assert(bad.count() == 0, bad.limit(5).collect().mkString("\n"))
+    // non-degenerate: empties, unicode-bearing, and multi-space inputs all present
+    assert(df.where(length($"s") === 0).count() > 0)
+    assert(df.where($"s".contains("İ") || $"s".contains("K")).count() > 0)
+    assert(df.where($"s".contains("  ")).count() > 0)
+  }
+
+  test("NormText null-propagates like the regex form") {
+    val df = Seq((1L, null: String), (2L, "A b!")).toDF("id", "s")
+      .withColumn("native", NormText.of($"s"))
+      .withColumn("rx", regexNorm)
+    assert(df.where(not($"native" <=> $"rx")).count() == 0)
+    assert(df.where($"id" === 1L && $"native".isNull).count() == 1)
+  }
+
+  test("TokenGroupCounts ≡ size(filter(split(ntext,' '), In)) per group, plus size(split) and non-space length") {
+    val stop = Seq("the", "a", "und", "la")
+    val groups = Seq("the" -> 0, "a" -> 0, "und" -> 1, "la" -> 1)
+    val df = randomStrings(23, 4000)
+      .withColumn("nt", NormText.of($"s"))
+      .withColumn("st", TokenGroupCounts.of($"nt", groups, 2))
+      .withColumn("words", split($"nt", " "))
+    def hofCount(ws: Seq[String]) =
+      size(filter($"words", w => w.isInCollection(ws))).cast("long")
+    val bad = df.where(
+      not(element_at($"st", 1) <=> hofCount(Seq("the", "a"))) ||
+      not(element_at($"st", 2) <=> hofCount(Seq("und", "la"))) ||
+      not(element_at($"st", 3) <=> size($"words").cast("long")) ||
+      not(element_at($"st", 4) <=>
+        length(regexp_replace($"nt", " ", "")).cast("long")))
+    assert(bad.count() == 0, bad.limit(5).collect().mkString("\n"))
+    // adjacent repeats ("the the the") must each count
+    val rep = Seq((1L, "the the the a a")).toDF("id", "s")
+      .select(TokenGroupCounts.of(NormText.of($"s"), groups, 2).as("st"))
+      .select(element_at($"st", 1)).as[Long].head()
+    assert(rep == 5L)
+    assert(stop.forall(w => groups.map(_._1).contains(w)))
+  }
+
+  test("CharClassCounts ≡ the regex length-delta counts on raw text") {
+    val df = randomStrings(31, 4000)
+      .withColumn("cc", CharClassCounts.of($"s"))
+    val punct = (length($"s") -
+      length(regexp_replace($"s", "[^A-Za-z0-9 ]", ""))).cast("long")
+    val digit = (length($"s") -
+      length(regexp_replace($"s", "[0-9]", ""))).cast("long")
+    val bad = df.where(
+      not(element_at($"cc", 1) <=> punct) || not(element_at($"cc", 2) <=> digit))
+    assert(bad.count() == 0, bad.limit(5).collect().mkString("\n"))
+  }
+
+  test("whole-corpus differential: kernel norm ≡ regex norm on every sf0.01 document") {
+    val docs = Tbl.documents(spark, "/root/testdata/sf0.01")
+      .withColumn("s", $"text")
+    val bad = docs
+      .withColumn("native", NormText.of($"s"))
+      .withColumn("rx", regexNorm)
+      .where(not($"native" <=> $"rx"))
+    assert(bad.count() == 0, bad.select("doc_id").limit(5).collect().mkString(","))
+  }
+}
