@@ -42,11 +42,17 @@ object TextOps extends QueryModule {
     * (letters / digits / single punctuation marks), plus char length. */
   private def tokenStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    // the regex-tokenizer count comes from the RegexishTokenCount
+    // kernel — bit-equal to size(regexp_extract_all(text,
+    // "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")) (TextStatsSpec), which the
+    // DuckDB oracle still states; the negated char class in the
+    // alternation is exactly the java.util.regex shape that
+    // anti-scales on this host (TextStats.scala header)
     Tbl.documents(s, d)
       .select($"doc_id",
               size(split($"text", " ")).as("n_ws_tokens"),
-              size(regexp_extract_all($"text", lit(pat), lit(0))).as("n_re_tokens"),
+              org.apache.spark.sql.graft.RegexishTokenCount.of($"text")
+                .cast("int").as("n_re_tokens"),
               length($"text").as("len_chars"),
               $"n_chars")
       .orderBy($"doc_id")

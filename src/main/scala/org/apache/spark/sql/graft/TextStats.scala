@@ -126,6 +126,41 @@ private[graft] object TextStatsKernel {
     new GenericArrayData(res)
   }
 
+  /** One pass over RAW text: the match count of
+    * `regexp_extract_all(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")` —
+    * the BPE-ish tokenizer's token count — without the regex engine.
+    * The alternation admits no backtracking subtleties: at a letter
+    * the first branch matches the maximal letter run (greedy, never
+    * retried), at a digit the second matches the maximal digit run,
+    * at any other non-space CODEPOINT the third matches exactly one
+    * char, and spaces match nothing. So: count letter runs + digit
+    * runs + other non-space codepoints (leading bytes only — every
+    * non-ASCII codepoint is "other"), skip spaces and continuation
+    * bytes. */
+  def regexishTokenCount(text: UTF8String): Long = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val n = text.numBytes()
+    var count = 0L
+    var i = 0
+    var run = 0 // 0 = none, 1 = letters, 2 = digits
+    while (i < n) {
+      val b = Platform.getByte(base, off + i)
+      val cls =
+        if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) 1
+        else if (b >= '0' && b <= '9') 2
+        else 0
+      if (cls != 0) {
+        if (run != cls) { count += 1L; run = cls } // run start
+      } else {
+        run = 0
+        if (b != ' ' && (b >= 0 || (b & 0xC0) != 0x80)) count += 1L
+      }
+      i += 1
+    }
+    count
+  }
+
   /** One pass over RAW text: [0] = codepoints outside [A-Za-z0-9 ]
     * (the quality family's "punct" count — exactly `length(text) -
     * length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))`, which counts
@@ -219,6 +254,31 @@ object TokenGroupCounts {
   def of(c: Column, vocab: Seq[(String, Int)], nGroups: Int): Column =
     ExpressionUtils.column(
       TokenGroupCounts(ExpressionUtils.expression(c), vocab, nGroups))
+}
+
+/** `regexish_token_count(text)`: the match count of the BPE-ish
+  * tokenizer `[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]` as one byte loop. See
+  * [[TextStatsKernel.regexishTokenCount]]. */
+case class RegexishTokenCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "regexish_token_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsKernel.regexishTokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"org.apache.spark.sql.graft.TextStatsKernel.regexishTokenCount($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): RegexishTokenCount =
+    copy(child = newChild)
+}
+
+object RegexishTokenCount {
+  def of(c: Column): Column =
+    ExpressionUtils.column(RegexishTokenCount(ExpressionUtils.expression(c)))
 }
 
 /** `char_class_counts(text)`: array<long> [non-[A-Za-z0-9 ] codepoints,

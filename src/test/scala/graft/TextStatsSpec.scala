@@ -76,6 +76,22 @@ class TextStatsSpec extends SparkSpec {
     assert(stop.forall(w => groups.map(_._1).contains(w)))
   }
 
+  test("RegexishTokenCount ≡ size(regexp_extract_all(s, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) on adversarial strings") {
+    val df = randomStrings(41, 4000)
+      .withColumn("native", org.apache.spark.sql.graft.RegexishTokenCount.of($"s"))
+      .withColumn("rx", size(regexp_extract_all($"s",
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long"))
+    val bad = df.where(not($"native" <=> $"rx"))
+    assert(bad.count() == 0, bad.limit(5).collect().mkString("\n"))
+    // mixed-run fixtures: letter/digit boundaries and unicode singles
+    val edge = Seq((1L, "ab12cd 34!!x漢字9"), (2L, ""), (3L, "   "), (4L, "a1a1a1"))
+      .toDF("id", "s")
+      .withColumn("native", org.apache.spark.sql.graft.RegexishTokenCount.of($"s"))
+      .withColumn("rx", size(regexp_extract_all($"s",
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long"))
+    assert(edge.where(not($"native" <=> $"rx")).count() == 0)
+  }
+
   test("CharClassCounts ≡ the regex length-delta counts on raw text") {
     val df = randomStrings(31, 4000)
       .withColumn("cc", CharClassCounts.of($"s"))
