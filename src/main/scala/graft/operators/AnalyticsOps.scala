@@ -796,7 +796,155 @@ object AnalyticsOps extends QueryModule {
       |  pk.peak_hour, a.night_n, a.noon_n
       |FROM agg a JOIN pk USING (event_type) ORDER BY event_type""".stripMargin
 
+  /** ANSI interval types end to end — the last Spark SQL type family
+    * with no registry entry: timestamp subtraction producing a
+    * `DayTimeIntervalType`, interval scaling (× and ÷ by a numeric),
+    * field extraction, `make_dt_interval` / `make_ym_interval`
+    * construction, the year-month END-OF-MONTH CLAMP (Jan 30 + 1 month
+    * must land on Feb 29, both engines clamp), and interval
+    * comparison. Every output is a scalar (epoch-µs / BIGINT /
+    * BOOLEAN): an interval's string rendering differs between engines,
+    * so the VALUES are pinned, never the formatting. Scale shape: one
+    * map-side-combinable min/max/count per type; all interval
+    * arithmetic runs on the |types|-row result. */
+  private def intervalOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .groupBy($"event_type")
+      .agg(min($"ts").as("t0"), max($"ts").as("t1"), count(lit(1)).as("n"))
+      .select($"event_type", $"n", expr("t1 - t0").as("span"), $"t0", $"t1")
+      .select($"event_type", $"n",
+        expr("extract(DAY FROM span)").cast("long").as("span_d"),
+        expr("extract(HOUR FROM span)").cast("long").as("span_h"),
+        expr("extract(MINUTE FROM span)").cast("long").as("span_m"),
+        unix_micros(expr("t0 + span / 7")).as("div7_us"),
+        unix_micros(expr("t0 + span * 2")).as("mul2_us"),
+        unix_micros(expr("t0 + make_dt_interval(3, 4, 5, 6.5)")).as("dt_add_us"),
+        unix_micros(expr("t0 + make_ym_interval(1, 2)")).as("ym_add_us"),
+        unix_micros(expr("t1 + make_ym_interval(0, 1)")).as("ym_clamp_us"),
+        expr("span > make_dt_interval(29, 23, 20, 0)").as("gt_thresh"))
+      .orderBy($"event_type")
+  }
+
+  private val intervalOpsSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(datepart('day', max(ts) - min(ts)) AS BIGINT) AS span_d,
+      |  CAST(datepart('hour', max(ts) - min(ts)) AS BIGINT) AS span_h,
+      |  CAST(datepart('minute', max(ts) - min(ts)) AS BIGINT) AS span_m,
+      |  -- NOT interval/7: DuckDB divides the (days, micros) components
+      |  -- separately and DROPS the remainder day (64d/7 → 9d + µs/7),
+      |  -- where Spark's DayTimeInterval ÷ divides TOTAL micros HALF_UP.
+      |  -- Spark's semantics stated as exact integer arithmetic instead;
+      |  -- floor((2x+7)/14) = nearest(x/7), ties impossible (7 is odd).
+      |  CAST(epoch_us(min(ts)) +
+      |    ((epoch_us(max(ts)) - epoch_us(min(ts))) * 2 + 7) // 14
+      |    AS BIGINT) AS div7_us,
+      |  epoch_us(min(ts) + (max(ts) - min(ts)) * 2) AS mul2_us,
+      |  epoch_us(min(ts) + INTERVAL '3 days 4 hours 5 minutes 6.5 seconds')
+      |    AS dt_add_us,
+      |  epoch_us(min(ts) + INTERVAL '1 year 2 months') AS ym_add_us,
+      |  epoch_us(max(ts) + INTERVAL '1 month') AS ym_clamp_us,
+      |  (max(ts) - min(ts)) >
+      |    INTERVAL '29 days 23 hours 20 minutes' AS gt_thresh
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Generator (UDTF-path) surface — `stack`, `inline`, and
+    * `posexplode_outer`, the three Generate-node shapes the registry
+    * lacked (x_unpivot covers the Expand path; these are the LATERAL
+    * VIEW family): wide→long stack over a grouped rollup, inline over
+    * a constructed array-of-structs, and an OUTER positional explode
+    * whose empty-array documents must each survive as one NULL row
+    * (the outer pin: 106 of 500 sf0.01 docs have no >6-char token).
+    * Harmonized to (grp, tag, v) rows. Scale shape: stack/inline run
+    * on model-sized rollups; the corpus-sized generator is row-local
+    * — generate then re-aggregate, so only map-side partials shuffle,
+    * never exploded rows. */
+  private def generatorOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stacked = Tbl.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(sum(Tbl.cents($"l_quantity")).as("qty_c"),
+           sum(Tbl.cents($"l_extendedprice")).as("price_c"),
+           count(lit(1)).as("n"))
+      .selectExpr("concat('rf:', l_returnflag) AS grp",
+        "stack(3, 'qty_c', qty_c, 'price_c', price_c, 'rows', n) AS (tag, v)")
+
+    val inlined = Tbl.lineitem(s, d)
+      .groupBy($"l_linestatus")
+      .agg(min(datediff(to_date($"l_shipdate"), lit("1970-01-01")))
+             .cast("long").as("d_min"),
+           max(datediff(to_date($"l_shipdate"), lit("1970-01-01")))
+             .cast("long").as("d_max"))
+      .selectExpr("concat('ls:', l_linestatus) AS grp",
+        "inline(array(struct('min_ship_day' AS tag, d_min AS v)," +
+        " struct('max_ship_day' AS tag, d_max AS v)))")
+
+    val docStats = Tbl.documents(s, d)
+      .select($"source",
+        posexplode_outer(filter(split($"text", " "), t => length(t) > 6))
+          .as(Seq("pos", "tok")))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("gen_rows"),
+           sum(when($"pos".isNull, 1L).otherwise(0L)).as("outer_nulls"),
+           max($"pos").cast("long").as("mp"))
+      .selectExpr("concat('src:', source) AS grp",
+        "stack(3, 'gen_rows', gen_rows, 'outer_nulls', outer_nulls," +
+        " 'max_pos', mp) AS (tag, v)")
+
+    stacked.unionAll(inlined).unionAll(docStats).orderBy($"grp", $"tag")
+  }
+
+  // The oracle states the generators' net effect in plain aggregates:
+  // posexplode_outer emits max(k,1) rows per doc (k = filtered-token
+  // count), with k=0 docs contributing one NULL-pos row each.
+  private val generatorOpsSql =
+    """WITH rf AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+      |      AS qty_c,
+      |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |      AS price_c,
+      |    count(*) AS n
+      |  FROM lineitem GROUP BY 1),
+      |ls AS (
+      |  SELECT l_linestatus,
+      |    CAST(min(date_diff('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE))) AS BIGINT) AS d_min,
+      |    CAST(max(date_diff('day', DATE '1970-01-01',
+      |      CAST(l_shipdate AS DATE))) AS BIGINT) AS d_max
+      |  FROM lineitem GROUP BY 1),
+      |dk AS (
+      |  SELECT source,
+      |    coalesce(len(list_filter(string_split(text, ' '),
+      |      t -> length(t) > 6)), 0) AS k
+      |  FROM documents),
+      |ds AS (
+      |  SELECT source,
+      |    CAST(sum(CASE WHEN k = 0 THEN 1 ELSE k END) AS BIGINT)
+      |      AS gen_rows,
+      |    CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS outer_nulls,
+      |    CASE WHEN max(k) = 0 THEN NULL
+      |         ELSE CAST(max(k) - 1 AS BIGINT) END AS max_pos
+      |  FROM dk GROUP BY source)
+      |SELECT grp, tag, v FROM (
+      |  SELECT 'rf:' || l_returnflag AS grp, 'qty_c' AS tag, qty_c AS v
+      |    FROM rf
+      |  UNION ALL SELECT 'rf:' || l_returnflag, 'price_c', price_c FROM rf
+      |  UNION ALL SELECT 'rf:' || l_returnflag, 'rows', n FROM rf
+      |  UNION ALL SELECT 'ls:' || l_linestatus, 'min_ship_day', d_min
+      |    FROM ls
+      |  UNION ALL SELECT 'ls:' || l_linestatus, 'max_ship_day', d_max
+      |    FROM ls
+      |  UNION ALL SELECT 'src:' || source, 'gen_rows', gen_rows FROM ds
+      |  UNION ALL SELECT 'src:' || source, 'outer_nulls', outer_nulls
+      |    FROM ds
+      |  UNION ALL SELECT 'src:' || source, 'max_pos', max_pos FROM ds
+      |) ORDER BY grp, tag""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_interval_ops"     -> (intervalOps _),
+    "x_generator_ops"    -> (generatorOps _),
     "x_map_ops"          -> (mapOps _),
     "x_recursive_hierarchy" -> (recursiveHierarchy _),
     "x_lateral_topk"     -> (lateralTopk _),
@@ -819,6 +967,8 @@ object AnalyticsOps extends QueryModule {
     "x_merge_intervals" -> (mergeIntervals _))
 
   override val oracles: Map[String, String] = Map(
+    "x_interval_ops"     -> intervalOpsSql,
+    "x_generator_ops"    -> generatorOpsSql,
     "x_map_ops"          -> mapOpsSql,
     "x_recursive_hierarchy" -> recursiveHierarchySql,
     "x_lateral_topk"     -> lateralTopkSql,

@@ -511,7 +511,55 @@ object CurationOps extends QueryModule {
        |  count(DISTINCT user_id) < $LDiversityL AS at_risk
        |FROM events GROUP BY 1, 2 ORDER BY event_type, hh""".stripMargin
 
+  /** Deterministic global shuffle + sharding — the write path of every
+    * training epoch at 100 TB: key each document with a salted md5
+    * (reproducible across engines, runs, and cluster sizes — no RNG
+    * state, same lineage as x_stratified_sample), hash the key into a
+    * shard, order each shard internally by the key. That is exactly
+    * one hash shuffle + one within-partition sort — the work a sorted
+    * shuffle write does anyway — so a reshuffled epoch costs nothing
+    * beyond its own write; shard count scales with the corpus (32
+    * here, ~100k at 100 TB), never with the driver, and `row_number`
+    * over (shard ORDER BY key) streams in sorted order without
+    * buffering a partition. The output pins the full PERMUTATION, not
+    * just membership: the position-weighted checksum
+    * Σ pos·(doc_id mod 997) changes if any two documents swap. */
+  private def globalShuffle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Shards = 32L
+    Tbl.documents(s, d)
+      .select($"doc_id",
+        conv(substring(md5(concat(lit("epoch0:"), $"doc_id".cast("string"))),
+          1, 15), 16, 10).cast("long").as("k"))
+      .withColumn("shard", pmod($"k", lit(Shards)).cast("int"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy($"shard").orderBy($"k", $"doc_id"))
+        .cast("long"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"pos" * pmod($"doc_id", lit(997L))).as("order_sig"),
+           min($"k").as("k_min"), max($"k").as("k_max"))
+      .orderBy($"shard")
+  }
+
+  private val globalShuffleSql =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5('epoch0:' || doc_id::VARCHAR), 1, 15))
+      |      AS BIGINT) AS k
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, k, CAST(k % 32 AS INTEGER) AS shard,
+      |    row_number() OVER (PARTITION BY k % 32 ORDER BY k, doc_id)
+      |      AS pos
+      |  FROM k)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(pos * (doc_id % 997)) AS BIGINT) AS order_sig,
+      |  min(k) AS k_min, max(k) AS k_max
+      |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_global_shuffle"    -> (globalShuffle _),
     "x_dataset_split"     -> (datasetSplit _),
     "x_pseudonymize"      -> (pseudonymize _),
     "x_l_diversity"       -> (lDiversity _),
@@ -527,6 +575,7 @@ object CurationOps extends QueryModule {
     "x_stratified_sample" -> (stratifiedSample _))
 
   override val oracles: Map[String, String] = Map(
+    "x_global_shuffle"    -> globalShuffleSql,
     "x_dataset_split"     -> datasetSplitSql,
     "x_pseudonymize"      -> pseudonymizeSql,
     "x_l_diversity"       -> lDiversitySql,

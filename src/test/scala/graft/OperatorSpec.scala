@@ -324,4 +324,40 @@ class OperatorSpec extends SparkSpec {
       assert(r.getString(3) === expectedDigest(id), s"pixels of $id")
     }
   }
+
+  test("x_interval_ops: year-month addition clamps to end-of-month") {
+    // Jan 30 + 1 month must land on Feb 29 (leap 2024), time-of-day kept
+    val r = spark.sql(
+      "SELECT CAST(TIMESTAMP '2024-01-30 12:34:56' + make_ym_interval(0, 1)" +
+      " AS STRING) AS t").head.getString(0)
+    assert(r === "2024-02-29 12:34:56")
+    // and the DT-interval extraction convention: day = TOTAL days
+    val d64 = spark.sql(
+      "SELECT extract(DAY FROM (TIMESTAMP '2024-03-05 10:00:00' -" +
+      " TIMESTAMP '2024-01-01 00:30:00'))").head.get(0).toString.toLong
+    assert(d64 === 64L)
+  }
+
+  test("x_generator_ops: outer explode keeps empty-array docs as one NULL row") {
+    val df = SparkEntry.queries("x_generator_ops")(spark, d).persist()
+    val gen = df.where($"tag" === "gen_rows").agg(sum($"v")).head.getLong(0)
+    val nulls = df.where($"tag" === "outer_nulls").agg(sum($"v")).head.getLong(0)
+    // expectation from non-generator arithmetic: max(k,1) rows per doc
+    val k = Tbl.documents(spark, d)
+      .select(size(filter(split($"text", " "), t => length(t) > 6)).as("k"))
+      .persist()
+    assert(gen === k.agg(sum(greatest($"k".cast("long"), lit(1L)))).head.getLong(0))
+    assert(nulls === k.where($"k" === 0).count())
+    assert(nulls > 0, "fixture must exercise the outer-NULL path")
+    df.unpersist(); k.unpersist(); ()
+  }
+
+  test("x_global_shuffle: epoch permutation is reproducible and complete") {
+    val q = SparkEntry.queries("x_global_shuffle")
+    val a = q(spark, d).collect().toSeq
+    val b = q(spark, d).collect().toSeq
+    assert(a === b, "same epoch key must give the identical permutation")
+    assert(a.map(_.getLong(1)).sum === Tbl.documents(spark, d).count())
+    assert(a.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 32))
+  }
 }

@@ -1158,6 +1158,26 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(windows.isEmpty, s"unexpected window in simhash:\n$p")
   }
 
+  test("global shuffle: ONE corpus exchange; the aggregate reuses the window partitioning") {
+    val p = executed(SparkEntry.queries("x_global_shuffle")(spark, d))
+    val windows = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1, s"expected exactly the row_number window:\n$p")
+    // below the window: exactly the hashpartitioning(shard) exchange —
+    // this is the epoch's single corpus-sized shuffle
+    val under = collect(windows.head) { case e: ShuffleExchangeLike => e }
+    assert(under.size == 1, s"corpus must cross exactly one exchange:\n$p")
+    // the groupBy(shard) must NOT re-shuffle: hashpartitioning(shard)
+    // already satisfies it, so the only exchange above the window is the
+    // |shards|-row final ordering
+    val all = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
+    assert(all.size == 2, s"aggregate re-shuffled the shard partitioning:\n$p")
+    // and the scan is pruned to the key column — content never moves
+    assert(scans(p).forall(_.schema.fieldNames.sameElements(Array("doc_id"))),
+      s"scan reads more than doc_id:\n$p")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
