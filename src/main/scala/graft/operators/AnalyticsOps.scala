@@ -942,7 +942,60 @@ object AnalyticsOps extends QueryModule {
       |  UNION ALL SELECT 'src:' || source, 'max_pos', max_pos FROM ds
       |) ORDER BY grp, tag""".stripMargin
 
+  /** SQL UDFs (SQL:2016 `CREATE FUNCTION`, Spark ≥4.0) — the declarative
+    * extension point the §2.9 surface lacked: a scalar UDF, a NESTED
+    * scalar UDF (UDF calling UDF), and a parameterized TABLE-VALUED
+    * UDF whose body queries a view. The 100 TB story is WHY these beat
+    * `udf()`: a SQL UDF is inlined at analysis time — the plan below
+    * carries the CASE expression itself inside whole-stage codegen, no
+    * ScalaUDF black box, so predicate pushdown / codegen / vectorized
+    * readers all survive (pinned in PlanSpec: zero `ScalaUDF` in the
+    * executed plan). `CREATE OR REPLACE` keeps re-runs in one session
+    * idempotent (bench loops the query). */
+  private def sqlUdf(s: SparkSession, d: String): DataFrame = {
+    Tbl.events(s, d).createOrReplaceTempView("ev_sqludf")
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_vc(v DOUBLE) " +
+      "RETURNS BIGINT RETURN CAST(round(v * 100) AS BIGINT)")
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_tier(v DOUBLE) " +
+      "RETURNS STRING RETURN CASE WHEN v < 10 THEN 'low' " +
+      "WHEN v < 100 THEN 'mid' ELSE 'high' END")
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_label(t STRING, v DOUBLE) " +
+      "RETURNS STRING RETURN concat(t, '/', graft_tier(v))")
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_busy(th DOUBLE) " +
+      "RETURNS TABLE(event_type STRING, n BIGINT, v_c BIGINT) " +
+      "RETURN SELECT event_type, count(*) AS n, sum(graft_vc(value)) AS v_c " +
+      "FROM ev_sqludf WHERE value >= th GROUP BY event_type")
+    s.sql(
+      """SELECT graft_label(event_type, value) AS lbl, count(*) AS n,
+        |       sum(graft_vc(value)) AS v_c
+        |FROM ev_sqludf GROUP BY 1
+        |UNION ALL
+        |SELECT concat('busy100:', event_type), n, v_c
+        |FROM graft_busy(100.0)
+        |ORDER BY lbl""".stripMargin)
+  }
+
+  // Oracle inlines every UDF body — the pinned contract is that the
+  // function indirection changes NOTHING about the values.
+  private val sqlUdfSql =
+    """WITH t AS (
+      |  SELECT event_type, value,
+      |    CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid'
+      |         ELSE 'high' END AS tier,
+      |    CAST(round(value * 100) AS BIGINT) AS vc
+      |  FROM events)
+      |SELECT lbl, n, v_c FROM (
+      |  SELECT event_type || '/' || tier AS lbl, count(*) AS n,
+      |         CAST(sum(vc) AS BIGINT) AS v_c
+      |  FROM t GROUP BY 1
+      |  UNION ALL
+      |  SELECT 'busy100:' || event_type, count(*),
+      |         CAST(sum(vc) AS BIGINT)
+      |  FROM t WHERE value >= 100 GROUP BY event_type
+      |) ORDER BY lbl""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_sql_udf"          -> (sqlUdf _),
     "x_interval_ops"     -> (intervalOps _),
     "x_generator_ops"    -> (generatorOps _),
     "x_map_ops"          -> (mapOps _),
@@ -967,6 +1020,7 @@ object AnalyticsOps extends QueryModule {
     "x_merge_intervals" -> (mergeIntervals _))
 
   override val oracles: Map[String, String] = Map(
+    "x_sql_udf"          -> sqlUdfSql,
     "x_interval_ops"     -> intervalOpsSql,
     "x_generator_ops"    -> generatorOpsSql,
     "x_map_ops"          -> mapOpsSql,

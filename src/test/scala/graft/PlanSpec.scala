@@ -1178,6 +1178,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"scan reads more than doc_id:\n$p")
   }
 
+  test("sql udf: bodies inline into codegen — zero ScalaUDF black boxes in the plan") {
+    val p = executed(SparkEntry.queries("x_sql_udf")(spark, d))
+    val ps = p.toString
+    assert(!ps.contains("ScalaUDF"), s"SQL UDF fell back to a ScalaUDF:\n$p")
+    // the inlined CASE aggregates with a map-side partial like any
+    // native expression would
+    val aggs = collectWithSubqueries(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"sql-udf aggregate lost its partial:\n$p")
+    // scans pruned to the two referenced columns
+    assert(scans(p).forall(_.schema.fieldNames.toSet
+      .subsetOf(Set("event_type", "value", "ts"))),
+      s"scan reads unreferenced columns:\n$p")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
