@@ -994,7 +994,50 @@ object AnalyticsOps extends QueryModule {
       |  FROM t WHERE value >= 100 GROUP BY event_type
       |) ORDER BY lbl""".stripMargin
 
+  /** Collated strings (Spark ≥4.0) — case-insensitivity as a TYPE
+    * property rather than a per-expression `lower()`: grouping and
+    * equality on a `COLLATE UTF8_LCASE` column fold case variants
+    * together while the underlying bytes stay untouched (the
+    * `case_variants` column counts BINARY-distinct spellings inside
+    * each fold, proving the group carried both). Case variation is
+    * injected deterministically (even event_id → upper). Outputs are
+    * re-anchored to plain UTF8_BINARY (`lower(...)` CAST to STRING):
+    * a collated group key's representative is whichever spelling the
+    * engine saw first — never emit it. Scale shape: same single
+    * map-side-combinable aggregate as any groupBy; collation changes
+    * the hash/equality function, not the movement. */
+  private def collationOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.events(s, d)
+      .select($"event_id", $"value",
+        when($"event_id" % 2 === 0, upper($"event_type"))
+          .otherwise($"event_type").as("et_mixed"))
+      .groupBy(expr("collate(et_mixed, 'UTF8_LCASE')").as("etc"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct($"et_mixed").as("case_variants"),
+           sum(when(expr("collate(et_mixed, 'UTF8_LCASE') = 'cLiCk'"), 1L)
+             .otherwise(0L)).as("n_click_ci"),
+           sum(Tbl.cents($"value")).as("v_c"))
+      .select(expr("CAST(lower(etc) AS STRING)").as("event_type"),
+              $"n", $"case_variants", $"n_click_ci", $"v_c")
+      .orderBy($"event_type")
+  }
+
+  private val collationOpsSql =
+    """WITH e AS (
+      |  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+      |              ELSE event_type END AS m,
+      |         value
+      |  FROM events)
+      |SELECT lower(m) AS event_type, count(*) AS n,
+      |  count(DISTINCT m) AS case_variants,
+      |  CAST(sum(CASE WHEN lower(m) = 'click' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_click_ci,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_c
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_collation"        -> (collationOps _),
     "x_sql_udf"          -> (sqlUdf _),
     "x_interval_ops"     -> (intervalOps _),
     "x_generator_ops"    -> (generatorOps _),
@@ -1020,6 +1063,7 @@ object AnalyticsOps extends QueryModule {
     "x_merge_intervals" -> (mergeIntervals _))
 
   override val oracles: Map[String, String] = Map(
+    "x_collation"        -> collationOpsSql,
     "x_sql_udf"          -> sqlUdfSql,
     "x_interval_ops"     -> intervalOpsSql,
     "x_generator_ops"    -> generatorOpsSql,
