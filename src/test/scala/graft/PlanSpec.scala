@@ -1178,6 +1178,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"scan reads more than doc_id:\n$p")
   }
 
+  test("generator ops: the fact table is scanned once, inside the checkpointed grid") {
+    // both lineitem rollups derive from the eagerly-checkpointed
+    // (returnflag × linestatus) grid — the returned plan may scan only
+    // documents; a lineitem FileScan here means the 10.8 GB-at-sf100p
+    // fact table is being re-read per rollup (the flaw this fixed)
+    val p = executed(SparkEntry.queries("x_generator_ops")(spark, d))
+    val files = scans(p).flatMap(_.relation.location.inputFiles)
+    assert(files.nonEmpty && files.forall(_.contains("documents")),
+      s"final plan re-scans the fact table:\n$p")
+  }
+
   test("sql udf: bodies inline into codegen — zero ScalaUDF black boxes in the plan") {
     val p = executed(SparkEntry.queries("x_sql_udf")(spark, d))
     val ps = p.toString
