@@ -961,28 +961,43 @@ object AnalyticsOps extends QueryModule {
     * carries the CASE expression itself inside whole-stage codegen, no
     * ScalaUDF black box, so predicate pushdown / codegen / vectorized
     * readers all survive (pinned in PlanSpec: zero `ScalaUDF` in the
-    * executed plan). `CREATE OR REPLACE` keeps re-runs in one session
-    * idempotent (bench loops the query). */
+    * executed plan). Fact discipline: the scalar UDFs inline into ONE
+    * events scan that builds a checkpointed ≤30-row grid; the main
+    * SELECT and the TVF both re-fold the grid (PlanSpec pins that the
+    * final plan never re-scans events). `CREATE OR REPLACE` keeps
+    * re-runs in one session idempotent (bench loops the query). */
   private def sqlUdf(s: SparkSession, d: String): DataFrame = {
     Tbl.events(s, d).createOrReplaceTempView("ev_sqludf")
     s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_vc(v DOUBLE) " +
       "RETURNS BIGINT RETURN CAST(round(v * 100) AS BIGINT)")
+    // nested: graft_tier's body calls graft_vc
     s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_tier(v DOUBLE) " +
-      "RETURNS STRING RETURN CASE WHEN v < 10 THEN 'low' " +
-      "WHEN v < 100 THEN 'mid' ELSE 'high' END")
-    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_label(t STRING, v DOUBLE) " +
-      "RETURNS STRING RETURN concat(t, '/', graft_tier(v))")
-    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_busy(th DOUBLE) " +
-      "RETURNS TABLE(event_type STRING, n BIGINT, v_c BIGINT) " +
-      "RETURN SELECT event_type, count(*) AS n, sum(graft_vc(value)) AS v_c " +
-      "FROM ev_sqludf WHERE value >= th GROUP BY event_type")
+      "RETURNS STRING RETURN CASE WHEN graft_vc(v) < 1000 THEN 'low' " +
+      "WHEN graft_vc(v) < 10000 THEN 'mid' ELSE 'high' END")
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_label(t STRING, " +
+      "tier STRING) RETURNS STRING RETURN concat(t, '/', tier)")
+    // ONE fact scan: the scalar UDFs inline into a (type, tier,
+    // busy-flag) grid (≤30 rows, counts/sums re-fold associatively);
+    // localCheckpoint cuts lineage so the main SELECT and the TVF body
+    // both read the grid instead of re-scanning events
     s.sql(
-      """SELECT graft_label(event_type, value) AS lbl, count(*) AS n,
-        |       sum(graft_vc(value)) AS v_c
-        |FROM ev_sqludf GROUP BY 1
+      """SELECT event_type, graft_tier(value) AS tier,
+        |       value >= 100.0 AS busy,
+        |       count(*) AS n, sum(graft_vc(value)) AS v_c
+        |FROM ev_sqludf GROUP BY 1, 2, 3""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("ev_sqludf_grid")
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_busy(want BOOLEAN) " +
+      "RETURNS TABLE(event_type STRING, n BIGINT, v_c BIGINT) " +
+      "RETURN SELECT event_type, sum(n) AS n, sum(v_c) AS v_c " +
+      "FROM ev_sqludf_grid WHERE busy = want GROUP BY event_type")
+    s.sql(
+      """SELECT graft_label(event_type, tier) AS lbl, sum(n) AS n,
+        |       sum(v_c) AS v_c
+        |FROM ev_sqludf_grid GROUP BY 1
         |UNION ALL
         |SELECT concat('busy100:', event_type), n, v_c
-        |FROM graft_busy(100.0)
+        |FROM graft_busy(true)
         |ORDER BY lbl""".stripMargin)
   }
 
@@ -991,7 +1006,8 @@ object AnalyticsOps extends QueryModule {
   private val sqlUdfSql =
     """WITH t AS (
       |  SELECT event_type, value,
-      |    CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid'
+      |    CASE WHEN round(value * 100) < 1000 THEN 'low'
+      |         WHEN round(value * 100) < 10000 THEN 'mid'
       |         ELSE 'high' END AS tier,
       |    CAST(round(value * 100) AS BIGINT) AS vc
       |  FROM events)

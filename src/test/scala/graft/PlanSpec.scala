@@ -1199,10 +1199,10 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
     }
     assert(aggs.size >= 2, s"sql-udf aggregate lost its partial:\n$p")
-    // scans pruned to the two referenced columns
-    assert(scans(p).forall(_.schema.fieldNames.toSet
-      .subsetOf(Set("event_type", "value", "ts"))),
-      s"scan reads unreferenced columns:\n$p")
+    // the one events scan lives inside the checkpointed grid: the
+    // returned plan (main SELECT + TVF) must never re-scan the fact
+    assert(scans(p).isEmpty,
+      s"final plan re-scans events instead of re-folding the grid:\n$p")
   }
 
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
