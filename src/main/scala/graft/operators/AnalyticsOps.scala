@@ -1063,7 +1063,36 @@ object AnalyticsOps extends QueryModule {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_c
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SQL pipe syntax (`|>`, Spark ≥4.0) — the composable front-door:
+    * FROM → WHERE → chained EXTENDs (the second references the first's
+    * alias, the lateral-column-alias semantics) → AGGREGATE … GROUP BY
+    * (keys lead the output) → ORDER BY. Same Catalyst plan as the
+    * nested-SELECT spelling — the oracle states it in classic SQL, so
+    * the hash-match proves the syntax is pure sugar. */
+  private def pipeSyntax(s: SparkSession, d: String): DataFrame = {
+    Tbl.events(s, d).createOrReplaceTempView("ev_pipe")
+    s.sql(
+      """FROM ev_pipe
+        ||> WHERE value >= 5
+        ||> EXTEND CAST(round(value * 100) AS BIGINT) AS v_c
+        ||> EXTEND v_c * 2 AS v2_c
+        ||> AGGREGATE count(*) AS n, sum(v_c) AS v_c_sum,
+        |             sum(v2_c) AS v2_sum
+        |   GROUP BY event_type
+        ||> ORDER BY event_type""".stripMargin)
+  }
+
+  private val pipeSyntaxSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS v_c_sum,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT) * 2) AS BIGINT)
+      |    AS v2_sum
+      |FROM events WHERE value >= 5
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pipe_syntax"      -> (pipeSyntax _),
     "x_collation"        -> (collationOps _),
     "x_sql_udf"          -> (sqlUdf _),
     "x_interval_ops"     -> (intervalOps _),
@@ -1090,6 +1119,7 @@ object AnalyticsOps extends QueryModule {
     "x_merge_intervals" -> (mergeIntervals _))
 
   override val oracles: Map[String, String] = Map(
+    "x_pipe_syntax"      -> pipeSyntaxSql,
     "x_collation"        -> collationOpsSql,
     "x_sql_udf"          -> sqlUdfSql,
     "x_interval_ops"     -> intervalOpsSql,
