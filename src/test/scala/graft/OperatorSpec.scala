@@ -357,7 +357,32 @@ class OperatorSpec extends SparkSpec {
     val a = q(spark, d).collect().toSeq
     val b = q(spark, d).collect().toSeq
     assert(a === b, "same epoch key must give the identical permutation")
-    assert(a.map(_.getLong(1)).sum === Tbl.documents(spark, d).count())
-    assert(a.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 32))
+    val nDocs = Tbl.documents(spark, d).count()
+    assert(a.map(_.getLong(1)).sum === nDocs)
+    // shard count follows the corpus-proportional law (floored at 32)
+    val expectShards = math.max(32L,
+      math.ceil(nDocs.toDouble / operators.CurationOps.DocsPerShard).toLong)
+    assert(a.forall(r => r.getInt(0) >= 0 && r.getInt(0) < expectShards))
+  }
+
+  test("x_global_shuffle: shard count scales with the corpus; permutation law holds at >32 shards") {
+    // synthetic corpus big enough to push the law past its 32 floor:
+    // 150k docs / 4096 docs-per-shard → 37 shards. Only doc_id is read
+    // by the query, so a doc_id-only documents.parquet suffices.
+    val dir = Tbl.scratchDir("gs_law")
+    spark.range(150000).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = SparkEntry.queries("x_global_shuffle")
+    val a = q(spark, dir).collect().toSeq
+    val expectShards = math.ceil(
+      150000.0 / operators.CurationOps.DocsPerShard).toLong // = 37
+    assert(expectShards > 32L)
+    assert(a.map(_.getInt(0)).distinct.size === expectShards.toInt,
+      "every shard in [0, ceil(n/DocsPerShard)) must be populated")
+    assert(a.map(_.getLong(1)).sum === 150000L, "permutation must be complete")
+    // deterministic at this shard count too: re-run → identical
+    // position-weighted checksums per shard
+    assert(q(spark, dir).collect().toSeq === a,
+      "per-shard permutation checksum must be deterministic at any shard count")
   }
 }
