@@ -29,6 +29,7 @@ object SparkEntry {
     GraphOps,
     MiningOps,
     ScaleOps,
+    SurfaceOps,
     SourceOps,
     StreamingOps)
 

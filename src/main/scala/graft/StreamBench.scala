@@ -28,6 +28,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    per user — keyed-state layout, state = distinct users.
   *  - `ss_interval_join` (s12-class): stream-stream inner interval join,
   *    both sides watermarked — symmetric join state under eviction.
+  *  - `ss_leftouter_join` (s14-class): LEFT OUTER stream-stream join —
+  *    outer-join buffers, the heaviest state-per-key layout (both sides
+  *    held until the watermark closes the join window).
   *
   * Sinks are `noop`: the bench prices source + state machinery + commit,
   * not a memory sink's driver-side row buffering (10M update-mode rows
@@ -157,6 +160,27 @@ object StreamBench {
           .withWatermark("r_ts", "5 minutes")
         l.join(r, $"l_user" === $"r_user" &&
           $"r_ts" >= $"l_ts" && $"r_ts" <= $"l_ts" + expr("interval 2 minutes"))
+      }),
+      // s14-class: LEFT OUTER stream-stream join — the heaviest
+      // state-per-key family (round-11 verdict item #3: the outer-join
+      // buffers had no 100M-row replay evidence). BOTH sides buffer
+      // until the watermark passes the join window (the left side must
+      // also outlive it to emit its null-matched row), so state holds
+      // ~15 minutes of clicks+purchases at any replay length — bounded
+      // by time density, not corpus size. Growth ≈ 1 at 100M rows is
+      // the flat-cost proof for outer-join state eviction.
+      ("ss_leftouter_join", OutputMode.Append(), () => {
+        val l = src().where($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+                  $"ts".as("c_ts"))
+          .withWatermark("c_ts", "10 minutes")
+        val r = src().where($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+                  $"ts".as("p_ts"))
+          .withWatermark("p_ts", "10 minutes")
+        l.join(r, $"c_user" === $"p_user" &&
+          $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("interval 10 minutes"),
+          "left_outer")
       }))
 
     val round = Option(new java.io.File(".").listFiles()).toSeq.flatten

@@ -1102,6 +1102,29 @@ object TextOps extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Codegen-kernel twin of [[arrayOps]] (round-11 advisory: the HOF
+    * form is the deliberate interpreted-surface pin — 27.1 s at sf100p
+    * — and "a TextStats-style kernel twin would cut it"). Identical
+    * output columns and oracle: all six statistics come from ONE
+    * zero-allocation byte pass ([[org.apache.spark.sql.graft.TokenArrayStats]])
+    * instead of six materialized-array HOF evaluations, so the whole
+    * projection stays inside whole-stage codegen. Bit-parity with the
+    * HOF form is pinned corpus-wide in TextStatsSpec. */
+  private def arrayOpsKernel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tbl.documents(s, d)
+      .withColumn("st",
+        org.apache.spark.sql.graft.TokenArrayStats.of(norm($"text")))
+      .select($"doc_id",
+        $"st".getItem(0).cast("int").as("n_tokens"),
+        $"st".getItem(1).as("sum_len"),
+        $"st".getItem(2).cast("int").as("n_long"),
+        ($"st".getItem(3) === 1L).as("has_num"),
+        ($"st".getItem(4) === 1L).as("all_short"),
+        $"st".getItem(5).cast("int").as("n_bigrams"))
+      .orderBy($"doc_id")
+  }
+
   private val arrayOpsSql =
     s"""WITH w AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS words
@@ -1125,6 +1148,7 @@ object TextOps extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_array_ops"      -> (arrayOps _),
+    "x_array_ops_kernel" -> (arrayOpsKernel _),
     "tx_tfidf"         -> (tfidf _),
     "tx_token_stats"   -> (tokenStats _),
     "tx_quality_score" -> (qualityScore _),
@@ -1146,6 +1170,7 @@ object TextOps extends QueryModule {
 
   override val oracles: Map[String, String] = Map(
     "x_array_ops"      -> arrayOpsSql,
+    "x_array_ops_kernel" -> arrayOpsSql,
     "tx_tfidf"         -> tfidfSql,
     "tx_token_stats"   -> tokenStatsSql,
     "tx_quality_score" -> qualityScoreSql,

@@ -161,6 +161,108 @@ private[graft] object TextStatsKernel {
     count
   }
 
+  /** One pass over a NORMALIZED text (single-spaced, trimmed, pure
+    * ASCII [a-z0-9 ] — [[norm]]'s output): the six outputs of the
+    * x_array_ops HOF pipeline without materializing any array —
+    * [0] n_tokens   = size(split(ntext, " ")) (empty string → 1),
+    * [1] sum_len    = aggregate(words, 0, (acc,w) -> acc+length(w)),
+    * [2] n_long     = size(filter(words, w -> length(w) > 7)),
+    * [3] has_num    = exists(words, w -> w rlike '^[0-9]+$') (0/1),
+    * [4] all_short  = forall(words, w -> length(w) < 30) (0/1),
+    * [5] n_bigrams  = size(array_distinct(zip_with(slice(words,1,n-1),
+    *                  slice(words,2,n-1), (a,b) -> concat_ws("_",a,b)))).
+    *
+    * The bigram distinct count needs no string materialization either:
+    * adjacent tokens are CONTIGUOUS byte spans separated by one 0x20,
+    * and tokens never contain ' ' or '_', so bigram equality ⟺ span
+    * byte equality — dedup the (start_i, end_{i+1}) spans in a small
+    * open-addressed table (FNV-1a hash, byte-compare on collision;
+    * exact, not probabilistic). */
+  def tokenArrayStats(ntext: UTF8String): ArrayData = {
+    val base = ntext.getBaseObject
+    val off = ntext.getBaseOffset
+    val n = ntext.numBytes()
+    var nTok = 1
+    var i = 0
+    while (i < n) {
+      if (Platform.getByte(base, off + i) == ' ') nTok += 1
+      i += 1
+    }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    var s = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || Platform.getByte(base, off + i) == ' ') {
+        starts(t) = s; ends(t) = i; t += 1; s = i + 1
+      }
+      i += 1
+    }
+    var sumLen = 0L
+    var nLong = 0L
+    var hasNum = false
+    var allShort = true
+    t = 0
+    while (t < nTok) {
+      val len = ends(t) - starts(t)
+      sumLen += len
+      if (len > 7) nLong += 1L
+      if (len >= 30) allShort = false
+      if (!hasNum && len > 0) {
+        var digits = true
+        var j = starts(t)
+        while (digits && j < ends(t)) {
+          val b = Platform.getByte(base, off + j)
+          if (b < '0' || b > '9') digits = false
+          j += 1
+        }
+        if (digits) hasNum = true
+      }
+      t += 1
+    }
+    val nPairs = nTok - 1
+    var nBigrams = 0L
+    if (nPairs > 0) {
+      var cap = 4
+      while (cap < nPairs * 2) cap <<= 1
+      val table = new Array[Int](cap) // 0 = empty, else pair index + 1
+      var p = 0
+      while (p < nPairs) {
+        val ps = starts(p)
+        val pe = ends(p + 1)
+        var h = 0x811c9dc5
+        var j = ps
+        while (j < pe) {
+          h = (h ^ Platform.getByte(base, off + j)) * 0x01000193
+          j += 1
+        }
+        var idx = h & (cap - 1)
+        var done = false
+        while (!done) {
+          val e = table(idx)
+          if (e == 0) { table(idx) = p + 1; nBigrams += 1L; done = true }
+          else {
+            val qs = starts(e - 1)
+            val qe = ends(e)
+            val len = pe - ps
+            var k = 0
+            if (qe - qs == len) {
+              while (k < len &&
+                Platform.getByte(base, off + qs + k) ==
+                  Platform.getByte(base, off + ps + k)) k += 1
+            }
+            if (qe - qs == len && k == len) done = true // duplicate pair
+            else idx = (idx + 1) & (cap - 1)
+          }
+        }
+        p += 1
+      }
+    }
+    new GenericArrayData(Array[Long](nTok.toLong, sumLen, nLong,
+      if (hasNum) 1L else 0L, if (allShort) 1L else 0L, nBigrams))
+  }
+
   /** One pass over RAW text: [0] = codepoints outside [A-Za-z0-9 ]
     * (the quality family's "punct" count — exactly `length(text) -
     * length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))`, which counts
@@ -279,6 +381,32 @@ case class RegexishTokenCount(child: Expression)
 object RegexishTokenCount {
   def of(c: Column): Column =
     ExpressionUtils.column(RegexishTokenCount(ExpressionUtils.expression(c)))
+}
+
+/** `token_array_stats(ntext)`: array<long> [n_tokens, sum_len, n_long,
+  * has_num, all_short, n_distinct_bigrams] over a normalized text —
+  * the zero-array kernel form of the x_array_ops HOF pipeline. See
+  * [[TextStatsKernel.tokenArrayStats]]. */
+case class TokenArrayStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_array_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsKernel.tokenArrayStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"org.apache.spark.sql.graft.TextStatsKernel.tokenArrayStats($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenArrayStats =
+    copy(child = newChild)
+}
+
+object TokenArrayStats {
+  def of(c: Column): Column =
+    ExpressionUtils.column(TokenArrayStats(ExpressionUtils.expression(c)))
 }
 
 /** `char_class_counts(text)`: array<long> [non-[A-Za-z0-9 ] codepoints,

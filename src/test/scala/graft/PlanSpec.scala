@@ -1191,6 +1191,45 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"scan reads more than doc_id:\n$p")
   }
 
+  test("salted agg: phase-1 exchange partitions on (key, salt); phase-2 re-folds the grid") {
+    val p = executed(SparkEntry.queries("x_salted_agg")(spark, d))
+    val exs = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
+    // bottom-up: [final sort] [phase-2 on key] [phase-1 on (key,salt)]
+    val parts = exs.map(_.outputPartitioning.toString)
+    assert(exs.size == 3, s"expected phase-1 + phase-2 + sort exchanges:\n$p")
+    val p1 = parts.find(s => s.contains("event_type") && s.contains("salt"))
+    assert(p1.nonEmpty, s"phase-1 must partition on (event_type, salt): $parts\n$p")
+    // the corpus-sized exchange is phase-1's, and it carries PARTIAL
+    // aggregates (map-side combine) — only (key, salt) grid rows move
+    val aggs = collectWithSubqueries(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size >= 4, s"lost a partial/final aggregate pair:\n$p")
+  }
+
+  test("minmax scale: grid broadcasts back — the corpus never crosses an exchange") {
+    val p = executed(SparkEntry.queries("x_minmax_scale")(spark, d))
+    val bhj = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected the |keys|-row grid to broadcast:\n$p")
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, s"corpus-side sort-merge join:\n$p")
+    // every shuffle exchange sits ABOVE a partial aggregate (grid rows
+    // or histogram partials) — raw event rows never move
+    val exs = collectWithSubqueries(p) { case e: ShuffleExchangeLike => e }
+    assert(exs.forall(e => collect(e.child) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.nonEmpty), s"an exchange moves un-aggregated corpus rows:\n$p")
+  }
+
+  test("array ops kernel: zero lambda HOF evaluators — one codegen'd kernel call") {
+    val p = executed(SparkEntry.queries("x_array_ops_kernel")(spark, d))
+    val ps = p.toString
+    assert(ps.contains("token_array_stats"), s"kernel expression missing:\n$p")
+    assert(!ps.contains("lambdafunction"),
+      s"interpreted higher-order functions leaked into the kernel twin:\n$p")
+  }
+
   test("generator ops: the fact table is scanned once, inside the checkpointed grid") {
     // both lineitem rollups derive from the eagerly-checkpointed
     // (returnflag × linestatus) grid — the returned plan may scan only

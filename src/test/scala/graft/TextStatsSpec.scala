@@ -104,6 +104,52 @@ class TextStatsSpec extends SparkSpec {
     assert(bad.count() == 0, bad.limit(5).collect().mkString("\n"))
   }
 
+  test("TokenArrayStats ≡ the x_array_ops HOF pipeline on adversarial strings") {
+    // extra rows force the branches the random palette can't reach:
+    // a ≥30-char token (all_short=false), a long pure-digit token
+    // (has_num), repeated word pairs (bigram dedup), and empty text
+    val extra = Seq(
+      (100001L, "x".repeat(35) + " ok"), (100002L, "123456789012345"),
+      (100003L, "a b a b a b"), (100004L, ""), (100005L, "solo"))
+      .toDF("id", "s")
+    val df = randomStrings(41, 4000).unionAll(extra)
+      .withColumn("nt", NormText.of($"s"))
+      .withColumn("st", org.apache.spark.sql.graft.TokenArrayStats.of($"nt"))
+      .withColumn("words", split($"nt", " "))
+      .withColumn("bigrams",
+        zip_with(slice($"words", lit(1), size($"words") - 1),
+                 slice($"words", lit(2), size($"words") - 1),
+                 (a, b) => concat_ws("_", a, b)))
+    val bad = df.where(
+      not(element_at($"st", 1) <=> size($"words").cast("long")) ||
+      not(element_at($"st", 2) <=>
+        aggregate($"words", lit(0L), (acc, w) => acc + length(w))) ||
+      not(element_at($"st", 3) <=>
+        size(filter($"words", w => length(w) > 7)).cast("long")) ||
+      not((element_at($"st", 4) === 1L) <=>
+        exists($"words", w => w.rlike("^[0-9]+$"))) ||
+      not((element_at($"st", 5) === 1L) <=>
+        forall($"words", w => length(w) < 30)) ||
+      not(element_at($"st", 6) <=>
+        size(array_distinct($"bigrams")).cast("long")))
+    assert(bad.count() == 0, bad.limit(5).collect().mkString("\n"))
+    // the forced branches really fired
+    val st = df.where($"id" >= 100001L).orderBy($"id")
+      .select($"st").collect().map(_.getSeq[Long](0))
+    assert(st(0)(4) == 0L, "35-char token must break all_short")
+    assert(st(1)(3) == 1L, "digit token must set has_num")
+    assert(st(2)(5) == 2L, "repeated pairs must dedup to 2 bigrams")
+    assert(st(3)(0) == 1L && st(3)(5) == 0L, "empty text → 1 empty token, 0 bigrams")
+  }
+
+  test("whole-corpus differential: x_array_ops_kernel ≡ x_array_ops on every sf0.01 document") {
+    val d = "/root/testdata/sf0.01"
+    val hof = SparkEntry.queries("x_array_ops")(spark, d)
+    val ker = SparkEntry.queries("x_array_ops_kernel")(spark, d)
+    assert(hof.schema == ker.schema)
+    assert(hof.exceptAll(ker).isEmpty && ker.exceptAll(hof).isEmpty)
+  }
+
   test("whole-corpus differential: kernel norm ≡ regex norm on every sf0.01 document") {
     val docs = Tbl.documents(spark, "/root/testdata/sf0.01")
       .withColumn("s", $"text")
