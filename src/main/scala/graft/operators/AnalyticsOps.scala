@@ -617,6 +617,44 @@ object AnalyticsOps extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Scale-safe twin of [[tryArith]] (same outputs, same oracle): the
+    * TRY-mode form pays per-row caught-exception machinery wherever an
+    * overflow actually fires (~100 s at sf100p, linear — the in-code
+    * note there says to guard arithmetically at 100 TB; this query IS
+    * that guard, the cutpoint-twin pattern applied to error handling).
+    * Each overflow condition is decided by a PRE-COMPUTED range check —
+    * v³·10⁷ overflows Long iff v > 9734 (the largest v with
+    * v³ ≤ Long.MaxValue/10⁷, computed below, not hard-coded), add
+    * overflows iff v > 25000, ÷0 iff v%97 = 0 — so the hot path is
+    * branch-predictable CASE arithmetic with no exception paths and no
+    * try_* wrappers, and stays inside whole-stage codegen. */
+  private def tryArithGuarded(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Long.MaxValue - 25000L
+    val mulCap = Long.MaxValue / 10000000L // v*v*v must stay ≤ this
+    // largest v with v³ ≤ mulCap (integer cube root; v_c ≤ 49002 so the
+    // search space is tiny and exact)
+    val vMax = Iterator.iterate(1L)(_ + 1)
+      .takeWhile(v => v * v * v <= mulCap).reduceLeft((_, b) => b)
+    Tbl.events(s, d)
+      .select($"event_type", Tbl.cents($"value").as("v_c"))
+      .select($"event_type", $"v_c",
+              when($"v_c" <= vMax,
+                $"v_c" * $"v_c" * $"v_c" * 10000000L).as("p"),
+              when($"v_c" % 97L =!= 0L,
+                lit(1000000L).cast("double") / ($"v_c" % 97L)).as("q"),
+              when($"v_c" <= 25000L, $"v_c" + base).as("a"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           (count(lit(1)) - count($"p")).as("n_mul_over"),
+           sum($"p" % 1000000007L).as("sum_mul_ok"),
+           (count(lit(1)) - count($"q")).as("n_div0"),
+           sum(floor($"q")).cast("long").as("sum_q"),
+           (count(lit(1)) - count($"a")).as("n_add_over"),
+           sum($"a" - base).as("sum_add_ok"))
+      .orderBy($"event_type")
+  }
+
   private val tryArithSql =
     """WITH e AS (
       |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v_c
@@ -1118,6 +1156,7 @@ object AnalyticsOps extends QueryModule {
     "x_listagg"          -> (listaggRollup _),
     "x_calendar_ops"     -> (calendarOps _),
     "x_try_arith"        -> (tryArith _),
+    "x_try_arith_guarded" -> (tryArithGuarded _),
     "x_null_ordering"    -> (nullOrdering _),
     "x_correlated_subquery" -> (correlatedSubquery _),
     "x_skyline"          -> (skyline _),
@@ -1145,6 +1184,7 @@ object AnalyticsOps extends QueryModule {
     "x_listagg"          -> listaggRollupSql,
     "x_calendar_ops"     -> calendarOpsSql,
     "x_try_arith"        -> tryArithSql,
+    "x_try_arith_guarded" -> tryArithSql,
     "x_null_ordering"    -> nullOrderingSql,
     "x_correlated_subquery" -> correlatedSubquerySql,
     "x_skyline"          -> skylineSql,

@@ -352,6 +352,44 @@ class OperatorSpec extends SparkSpec {
     df.unpersist(); k.unpersist(); ()
   }
 
+  test("x_try_arith_guarded ≡ x_try_arith (guards reproduce TRY semantics exactly)") {
+    val a = SparkEntry.queries("x_try_arith")(spark, d)
+    val b = SparkEntry.queries("x_try_arith_guarded")(spark, d)
+    assert(a.schema == b.schema)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // and the guarded plan carries no try_* exception machinery
+    val ps = b.queryExecution.executedPlan.toString
+    assert(!ps.contains("try_"), s"guarded twin still uses try_*:\n$ps")
+  }
+
+  test("x_salted_agg ≡ the naive single-phase aggregation (salt is invisible)") {
+    val salted = SparkEntry.queries("x_salted_agg")(spark, d)
+    val direct = Tbl.events(spark, d)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(Tbl.cents($"value")).as("v_c"),
+           min(unix_micros($"ts")).as("first_us"),
+           max(unix_micros($"ts")).as("last_us"))
+      .orderBy($"event_type")
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
+  test("x_width_bucket: buckets in [0,21], counts complete, ranges nested in bucket bounds") {
+    val df = SparkEntry.queries("x_width_bucket")(spark, d).collect()
+    assert(df.map(_.getLong(1)).sum === Tbl.events(spark, d).count())
+    assert(df.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 21L))
+    // interior buckets: min/max cents within [lo, hi) of a 2500-wide bin
+    df.filter(r => r.getLong(0) >= 1 && r.getLong(0) <= 20).foreach { r =>
+      val lo = (r.getLong(0) - 1) * 2500L
+      assert(r.getLong(2) >= lo && r.getLong(3) < lo + 2500L, r.toString)
+    }
+  }
+
+  test("x_minmax_scale: per-mille stays in [0,1000], per-type counts complete") {
+    val df = SparkEntry.queries("x_minmax_scale")(spark, d).collect()
+    assert(df.forall(r => r.getLong(3) >= 0L && r.getLong(4) <= 1000L))
+    assert(df.map(_.getLong(2)).sum === Tbl.events(spark, d).count())
+  }
+
   test("x_global_shuffle: epoch permutation is reproducible and complete") {
     val q = SparkEntry.queries("x_global_shuffle")
     val a = q(spark, d).collect().toSeq
