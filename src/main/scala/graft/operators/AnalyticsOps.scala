@@ -623,23 +623,29 @@ object AnalyticsOps extends QueryModule {
     * note there says to guard arithmetically at 100 TB; this query IS
     * that guard, the cutpoint-twin pattern applied to error handling).
     * Each overflow condition is decided by a PRE-COMPUTED range check —
-    * v³·10⁷ overflows Long iff v > 9734 (the largest v with
-    * v³ ≤ Long.MaxValue/10⁷, computed below, not hard-coded), add
-    * overflows iff v > 25000, ÷0 iff v%97 = 0 — so the hot path is
+    * v³·10⁷ overflows Long iff |v| > 9734 (the largest magnitude with
+    * |v|³ ≤ Long.MaxValue/10⁷, computed below, not hard-coded — the
+    * guard is on MAGNITUDE, because a large-negative cube wraps just as
+    * silently as a large-positive one; the negative bound
+    * |Long.MinValue|/10⁷ shares the same integer cube root, so abs is
+    * exact, not merely conservative), add overflows iff v > 25000 (base
+    * is Long.MaxValue−25000, so only the positive side can overflow:
+    * base + v ≥ Long.MinValue for every Long v), ÷0 iff v%97 = 0 — so
+    * the hot path is
     * branch-predictable CASE arithmetic with no exception paths and no
     * try_* wrappers, and stays inside whole-stage codegen. */
   private def tryArithGuarded(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Long.MaxValue - 25000L
-    val mulCap = Long.MaxValue / 10000000L // v*v*v must stay ≤ this
-    // largest v with v³ ≤ mulCap (integer cube root; v_c ≤ 49002 so the
-    // search space is tiny and exact)
+    val mulCap = Long.MaxValue / 10000000L // |v|³ must stay ≤ this
+    // largest |v| with |v|³ ≤ mulCap (integer cube root; |v_c| ≤ 49002
+    // so the search space is tiny and exact)
     val vMax = Iterator.iterate(1L)(_ + 1)
       .takeWhile(v => v * v * v <= mulCap).reduceLeft((_, b) => b)
     Tbl.events(s, d)
       .select($"event_type", Tbl.cents($"value").as("v_c"))
       .select($"event_type", $"v_c",
-              when($"v_c" <= vMax,
+              when(abs($"v_c") <= vMax,
                 $"v_c" * $"v_c" * $"v_c" * 10000000L).as("p"),
               when($"v_c" % 97L =!= 0L,
                 lit(1000000L).cast("double") / ($"v_c" % 97L)).as("q"),

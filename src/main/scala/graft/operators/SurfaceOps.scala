@@ -105,7 +105,9 @@ object SurfaceOps extends QueryModule {
     """SELECT regexp_replace(regexp_replace(regexp_replace(c_name,
       |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
       |    AS name_shape,
-      |  regexp_replace(regexp_replace(regexp_replace(c_mktsegment,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    c_mktsegment,
+      |    '[^A-Za-z0-9]', '-', 'g'),
       |    '[A-Z]', '#', 'g'), '[a-z]', '*', 'g'), '[0-9]', '0', 'g')
       |    AS seg_shape,
       |  count(*) AS n
@@ -256,7 +258,11 @@ object SurfaceOps extends QueryModule {
       .groupBy($"seg_t", $"seg_rev", $"ini3")
       .agg(count(lit(1)).as("n"), sum($"idn").as("sum_id"),
            min($"nk_pad").as("nk_min"))
-      .orderBy($"seg_t")
+      // order by ALL THREE group keys: total by construction, not by
+      // the accident of translate() being injective over the current
+      // segment values (a colliding seg_t would otherwise leave row
+      // order engine-arbitrary vs the oracle)
+      .orderBy($"seg_t", $"seg_rev", $"ini3")
   }
 
   private val stringFuncsSql =
@@ -267,7 +273,7 @@ object SurfaceOps extends QueryModule {
       |  CAST(sum(CAST(split_part(c_name, '#', 2) AS BIGINT)) AS BIGINT)
       |    AS sum_id,
       |  min(lpad(CAST(c_nationkey AS VARCHAR), 4, '0')) AS nk_min
-      |FROM customer GROUP BY 1, 2, 3 ORDER BY seg_t""".stripMargin
+      |FROM customer GROUP BY 1, 2, 3 ORDER BY seg_t, seg_rev, ini3""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_json_path"       -> (jsonPath _),

@@ -41,6 +41,71 @@ object StatefulOps {
     }
   }
 
+  /** One kinematic-feature row as predict_path's `from_json` emits it
+    * (`predict_path.py:23-33`): the cross-JOB wire record, vs [[Ev]]
+    * which is the raw events-table shape. `course_over_ground` rides
+    * along — job #1 publishes it (`preprocess.py:45`) even though the
+    * s8 embodiment's OUTPUT projection drops it, and the ranking
+    * tie-break below uses it. */
+  final case class Feat(mmsi: Int, ts_us: Long, speed_over_ground: Double,
+                        course_over_ground: Double, rate_of_turn: Double,
+                        longitude: Double, latitude: Double,
+                        cartesian_x: Double, cartesian_y: Double)
+
+  /** Emitted rank 1..3 of the latest feature rows for one vessel. */
+  final case class RankedFeat(mmsi: Int, rn: Int, ts_us: Long,
+                              speed_over_ground: Double,
+                              course_over_ground: Double,
+                              rate_of_turn: Double,
+                              longitude: Double, latitude: Double,
+                              cartesian_x: Double, cartesian_y: Double)
+
+  /** State: at most 3 latest feature rows for the vessel. */
+  final case class Top3FeatState(rows: List[Feat])
+
+  /** "Latest 3 DESC" over feature rows. The reference ranks by
+    * `timestamp_utc desc` alone (`predict_path.py:62`) — but the AIS
+    * wire timestamp is SECOND-granularity, so ties are real and the
+    * reference's rank among them is engine-arbitrary. Total order here:
+    * ts desc, then (longitude, latitude, sog, cog) desc — which pins
+    * the row identity (they jointly determine the source event modulo
+    * fully-identical rows, which are interchangeable). An explicit
+    * comparator on the RAW values, not `Ordering.by` over negated
+    * fields — negation is the classic rank bug (−Long.MinValue IS
+    * Long.MinValue, and negating a ±0.0 pair flips which sorts first
+    * instead of leaving them an equivalence class). */
+  private[graft] val featDescOrdering: Ordering[Feat] =
+    new Ordering[Feat] {
+      def compare(a: Feat, b: Feat): Int = {
+        var c = java.lang.Long.compare(b.ts_us, a.ts_us)
+        if (c == 0) c = java.lang.Double.compare(b.longitude, a.longitude)
+        if (c == 0) c = java.lang.Double.compare(b.latitude, a.latitude)
+        if (c == 0) c = java.lang.Double.compare(b.speed_over_ground,
+                                                 a.speed_over_ground)
+        if (c == 0) c = java.lang.Double.compare(b.course_over_ground,
+                                                 a.course_over_ground)
+        c
+      }
+    }
+
+  /** Per-batch group handler for the chained flagship (s34): merge the
+    * batch's feature rows into the ≤3-row per-vessel state and emit the
+    * refreshed ranking — `predict_path.py:60-69`'s rank→filter→rewrite
+    * loop as distributed keyed state, fed by job #1's envelope instead
+    * of the raw events table. */
+  def last3FeatPerKey(key: Int, it: Iterator[Feat],
+                      st: GroupState[Top3FeatState]): Iterator[RankedFeat] = {
+    val merged = (st.getOption.map(_.rows).getOrElse(Nil) ++ it)
+      .sorted(featDescOrdering)
+      .take(3)
+    st.update(Top3FeatState(merged))
+    merged.iterator.zipWithIndex.map { case (f, i) =>
+      RankedFeat(key, i + 1, f.ts_us, f.speed_over_ground,
+                 f.course_over_ground, f.rate_of_turn, f.longitude,
+                 f.latitude, f.cartesian_x, f.cartesian_y)
+    }
+  }
+
   /** Synthetic interpolated point (A5 gap-fill, `README.md:46`). */
   final case class Synth(user_id: Long, syn_ts_us: Long, syn_value: Double)
 

@@ -536,12 +536,13 @@ object StreamingOps extends QueryModule {
       |       v_c AS last_v_c, CAST(n_seen AS BIGINT) AS n_seen
       |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin
 
-  /** Flagship §3.1 end to end, streaming: events → synthetic AIS JSON
-    * envelope (the Kafka wire shape) → the full preprocess pipeline
-    * (P1,P2,P3,W4,F1,P5,W1,F2,F3,P6,P8) → rounded features. */
-  private def streamAisPreprocess(s: SparkSession, d: String): DataFrame = {
+  /** The synthetic AIS JSON wire (the Kafka `value` envelope of
+    * `preprocess.py:20`, rebuilt deterministically from the events
+    * table) — job #1's input for both the single-job flagship (s8) and
+    * the chained two-job topology (s34). */
+  private def syntheticAisEnvelope(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val envelope = eventStream(s, d).select(
+    eventStream(s, d).select(
       to_json(struct(
         date_format($"ts", "yyyy-MM-dd HH:mm:ss'Z'").as("timestamp_utc"),
         $"user_id".cast("int").as("mmsi"),
@@ -554,7 +555,14 @@ object StreamingOps extends QueryModule {
         ($"event_id" % 360).cast("double").as("course_over_ground"),
         $"value".as("rate_of_turn"),
         lit(1).as("message_type"))).as("value"))
-    val features = AisPipeline.preprocess(envelope)
+  }
+
+  /** Flagship §3.1 end to end, streaming: events → synthetic AIS JSON
+    * envelope (the Kafka wire shape) → the full preprocess pipeline
+    * (P1,P2,P3,W4,F1,P5,W1,F2,F3,P6,P8) → rounded features. */
+  private def streamAisPreprocess(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val features = AisPipeline.preprocess(syntheticAisEnvelope(s, d))
     runToTable(s, features, "s_ais_preprocess", OutputMode.Append())
       .select($"mmsi", $"timestamp_utc", $"speed_over_ground",
               // floor, not round: pure-arithmetic decode is bit-identical
@@ -566,6 +574,105 @@ object StreamingOps extends QueryModule {
               round($"cartesian_y", 2).as("cartesian_y"))
       .orderBy($"mmsi", $"timestamp_utc", $"longitude", $"latitude",
                $"speed_over_ground")
+  }
+
+  /** s34 — the CHAINED flagship: the reference's full two-JOB topology
+    * in one streaming run. Job #1 (`preprocess.py:41-74`) parses the
+    * AIS wire, derives kinematic features, and re-serializes them as a
+    * JSON envelope onto the `position_history_kinematic_aggs` topic;
+    * job #2 (`predict_path.py:21-45`) `from_json`s that envelope and
+    * keeps the latest 3 positions per vessel across batches
+    * (`predict_path.py:60-69`). Here the envelope out of job 1 IS the
+    * `from_json` input of job 2 — the broker hop collapses to an
+    * in-plan `to_json → from_json` round trip (same wire bytes, no
+    * transport; the Kafka transport itself stays under the §2 S1/K1
+    * waiver) — and job 2's driver-resident temp-view loop is the
+    * distributed keyed state of [[StatefulOps.last3FeatPerKey]]. Job 1
+    * is stateless BY THE REFERENCE'S OWN TOPOLOGY: `preprocess.py:67`
+    * publishes the un-aggregated frame (the A1 window block is the
+    * commented-out ⚠-variant at `preprocess.py:78-88`, embodied
+    * separately as s1), so the chain's one stateful stage is job 2's —
+    * faithful, not a simplification. Scale shape: the JSON round trip
+    * is a stateless codegen map fused into job 1's span; the only
+    * exchange is the groupByKey(mmsi) into the state store, identical
+    * to s2's — at 100 TB the chained form costs exactly one shuffle
+    * more than nothing. */
+  private def streamChainedFlagship(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) { streamChainedFlagshipInner(s, d) }
+
+  private def streamChainedFlagshipInner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import StatefulOps._
+    val features = AisPipeline.preprocess(syntheticAisEnvelope(s, d))
+    // job-1 → job-2 wire: to_json(struct(*)) (`preprocess.py:68`) …
+    val wire = features.select(AisPipeline.toJsonEnvelope(features))
+    // … re-parsed by predict_path's schema — by FIELD NAME, so job 2
+    // neither knows nor cares that job 1's struct also carried
+    // course_over_ground ahead of rate_of_turn (`predict_path.py:34-46`)
+    val feats2 = wire
+      .selectExpr("CAST(value AS STRING) AS value")
+      .select(from_json($"value", AisPipeline.featureSchema).as("message"))
+      .select($"message.mmsi".as("mmsi"),
+              unix_micros($"message.timestamp_utc").as("ts_us"),
+              $"message.speed_over_ground".as("speed_over_ground"),
+              $"message.course_over_ground".as("course_over_ground"),
+              $"message.rate_of_turn".as("rate_of_turn"),
+              $"message.longitude".as("longitude"),
+              $"message.latitude".as("latitude"),
+              $"message.cartesian_x".as("cartesian_x"),
+              $"message.cartesian_y".as("cartesian_y"))
+      .as[Feat]
+    val ranked = feats2
+      .groupByKey(_.mmsi)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        last3FeatPerKey _)
+    runToTable(s, ranked.toDF(), "s_chained_flagship", OutputMode.Update())
+      // output quantization identical to s8's (floor-not-round rationale
+      // there); rn makes the per-vessel ordering explicit
+      .select($"mmsi", $"rn", $"ts_us", $"speed_over_ground",
+              (floor($"rate_of_turn" * 1000000.0) / 1000000.0)
+                .as("rate_of_turn"),
+              $"longitude", $"latitude",
+              round($"cartesian_x", 2).as("cartesian_x"),
+              round($"cartesian_y", 2).as("cartesian_y"))
+      .orderBy($"mmsi", $"rn")
+  }
+
+  /** Oracle for s34: job 1's feature arithmetic (shared with s8's
+    * oracle) wrapped in job 2's latest-3 ranking. The rank's tie-break
+    * beyond ts DESC mirrors [[StatefulOps.featDescOrdering]] — the wire
+    * timestamp is second-granular, so ties are real and must be broken
+    * identically on both engines. */
+  private val chainedFlagshipSql = {
+    val lon = "(100.0 + (user_id % 30) + (event_id % 100) / 100.0)"
+    val lat = "((event_id % 30) + (user_id % 100) / 100.0)"
+    val e2 = "((1.0/298.257223563) * (2.0 - 1.0/298.257223563))"
+    def rad(x: String) = s"($x * pi() / 180.0)"
+    def n(latS: String) =
+      s"(6378137.0 / sqrt(1.0 - $e2 * sin(${rad(latS)}) * sin(${rad(latS)})))"
+    s"""WITH f AS (
+       |  SELECT CAST(user_id AS INT) AS mmsi,
+       |    epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%SZ'),
+       |                      '%Y-%m-%d %H:%M:%SZ')) AS ts_us,
+       |    value AS speed_over_ground,
+       |    CAST(event_id % 360 AS DOUBLE) AS course_over_ground,
+       |    ((value / 4.733) * (value / 4.733)) AS rot_raw,
+       |    lon AS longitude, lat AS latitude,
+       |    (${n("lat")} + 124.0) * cos(${rad("lat")}) * cos(${rad("lon")}) AS cx_raw,
+       |    (${n("lat")} + 124.0) * cos(${rad("lat")}) * sin(${rad("lon")}) AS cy_raw
+       |  FROM (SELECT user_id, ts, value, event_id,
+       |               $lon AS lon, $lat AS lat FROM events)
+       |  WHERE lat > 7 AND lat < 23 AND lon > 105 AND lon < 123),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY mmsi
+       |    ORDER BY ts_us DESC, longitude DESC, latitude DESC,
+       |             speed_over_ground DESC, course_over_ground DESC) AS rn
+       |  FROM f)
+       |SELECT mmsi, rn, ts_us, speed_over_ground,
+       |  floor(rot_raw * 1000000.0) / 1000000.0 AS rate_of_turn,
+       |  longitude, latitude,
+       |  round(cx_raw, 2) AS cartesian_x, round(cy_raw, 2) AS cartesian_y
+       |FROM r WHERE rn <= 3 ORDER BY mmsi, rn""".stripMargin
   }
 
   /** documents.parquet as a bounded stream (same symlink-dir pattern as
@@ -1568,6 +1675,7 @@ object StreamingOps extends QueryModule {
     "s6_stream_static_join" -> (streamStaticJoin _),
     "s7_foreach_batch"      -> (foreachBatchAgg _),
     "s8_ais_preprocess"     -> (streamAisPreprocess _),
+    "s34_chained_flagship"  -> (streamChainedFlagship _),
     "s9_stream_csv_sink"    -> (streamCsvSink _),
     "s10_stream_session"    -> (streamSession _),
     "s21_stream_dynamic_session" -> (streamDynamicSession _),
@@ -1725,6 +1833,7 @@ object StreamingOps extends QueryModule {
     "s6_stream_static_join" -> staticJoinSql,
     "s7_foreach_batch"      -> foreachBatchSql,
     "s8_ais_preprocess"     -> aisPreprocessSql,
+    "s34_chained_flagship"  -> chainedFlagshipSql,
     "s9_stream_csv_sink"    -> csvSinkSql,
     "s10_stream_session"    -> sessionSql,
     "s21_stream_dynamic_session" -> graft.Oracles.dynamicSession,

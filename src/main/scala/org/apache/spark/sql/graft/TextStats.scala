@@ -224,8 +224,15 @@ private[graft] object TextStatsKernel {
     val nPairs = nTok - 1
     var nBigrams = 0L
     if (nPairs > 0) {
+      // Size the table in Long then clamp: `nPairs * 2` in Int wraps
+      // negative at ≥2^30 pairs, freezing cap at 4 and making the probe
+      // loop below non-terminating past 4 distinct bigrams. The 2^30
+      // clamp still guarantees cap > nPairs (a 2 GiB UTF8String holds at
+      // most (2^31)/2 = 2^30 tokens — every pair needs a token byte plus
+      // a separator — so nPairs ≤ 2^30 − 1), keeping load factor < 1.
+      val want = math.min(nPairs.toLong * 2L, 1L << 30)
       var cap = 4
-      while (cap < nPairs * 2) cap <<= 1
+      while (cap < want) cap <<= 1
       val table = new Array[Int](cap) // 0 = empty, else pair index + 1
       var p = 0
       while (p < nPairs) {

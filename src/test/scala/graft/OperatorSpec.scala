@@ -362,6 +362,31 @@ class OperatorSpec extends SparkSpec {
     assert(!ps.contains("try_"), s"guarded twin still uses try_*:\n$ps")
   }
 
+  test("x_try_arith_guarded ≡ x_try_arith on NEGATIVE values too (magnitude guard)") {
+    // The sf corpora carry value > 0 only, so the driver gate never
+    // exercises the negative domain — but a large-NEGATIVE cube wraps
+    // exactly as silently as a positive one, and the multiply guard must
+    // be on |v|. Fixture straddles both edges of the cube bound
+    // (|v_c| = 9734 ok / 9735 over), negative ÷0 residues (v_c % 97 = 0),
+    // and deep-negative values that would wrap v³·10⁷ twice over.
+    val dir = Tbl.scratchDir("neg_events")
+    val vals = Seq(-97.34, -97.35, -9734.0, -490.02, -0.97, -1.94, -25000.01,
+                   97.34, 97.35, 0.5, -0.5, 123.45)
+    spark.range(vals.size.toLong)
+      .select($"id".as("event_id"),
+        timestamp_micros(lit(1700000000000000L) + $"id" * 1000000L).as("ts"),
+        ($"id" % 3).as("user_id"),
+        concat(lit("t"), ($"id" % 2)).as("event_type"),
+        element_at(typedLit(vals), ($"id" + 1).cast("int")).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val a = SparkEntry.queries("x_try_arith")(spark, dir)
+    val b = SparkEntry.queries("x_try_arith_guarded")(spark, dir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // the fixture must actually fire the negative-overflow path
+    assert(a.agg(sum($"n_mul_over")).head.getLong(0) > 0)
+  }
+
   test("x_salted_agg ≡ the naive single-phase aggregation (salt is invisible)") {
     val salted = SparkEntry.queries("x_salted_agg")(spark, d)
     val direct = Tbl.events(spark, d)

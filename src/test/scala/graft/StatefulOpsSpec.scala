@@ -933,6 +933,68 @@ class StatefulOpsSpec extends SparkSpec {
            "MERGE'd target diverges from the batch last-event fold")
   }
 
+  test("s34 chain e2e: envelope→preprocess→to_json→from_json→last3Feat across batches") {
+    // The full chained-flagship wire (job-1 output envelope = job-2
+    // from_json input) over a genuine MULTI-batch MemoryStream — the
+    // cross-batch state path the AvailableNow oracle run can't reach.
+    import graft.streaming.AisPipeline
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    def msg(tsS: String, mmsi: Int, lon: Double, lat: Double, sog: Double) =
+      s"""{"timestamp_utc":"2021-04-05 $tsS""" + "Z\"," +
+      s""""mmsi":$mmsi,"position":"POINT ($lon $lat)",""" +
+      s""""speed_over_ground":$sog,"course_over_ground":100.0,""" +
+      s""""rate_of_turn":2.0,"message_type":1}"""
+    val input = MemoryStream[String]
+    val features = AisPipeline.preprocess(input.toDF())
+    val feats2 = features.select(AisPipeline.toJsonEnvelope(features))
+      .selectExpr("CAST(value AS STRING) AS value")
+      .select(from_json($"value", AisPipeline.featureSchema).as("m"))
+      .select($"m.mmsi".as("mmsi"), unix_micros($"m.timestamp_utc").as("ts_us"),
+              $"m.speed_over_ground".as("speed_over_ground"),
+              $"m.course_over_ground".as("course_over_ground"),
+              $"m.rate_of_turn".as("rate_of_turn"),
+              $"m.longitude".as("longitude"), $"m.latitude".as("latitude"),
+              $"m.cartesian_x".as("cartesian_x"),
+              $"m.cartesian_y".as("cartesian_y"))
+      .as[Feat]
+    val ranked = feats2.groupByKey(_.mmsi)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        last3FeatPerKey _)
+    val q = ranked.toDF().writeStream.format("memory").queryName("t_s34")
+      .outputMode("update").start()
+    try {
+      input.addData(msg("10:00:00", 7, 110.5, 10.25, 1.0),
+                    msg("10:00:01", 7, 110.6, 10.25, 2.0))
+      q.processAllAvailable()
+      input.addData(msg("10:00:02", 7, 110.7, 10.25, 3.0),
+                    msg("10:00:03", 7, 110.8, 10.25, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("t_s34").as[RankedFeat].collect()
+      // batch-2 re-rank saw batch-1 state: sog 1.0 (oldest) evicted,
+      // rank-1 is the newest position, lon round-tripped exactly
+      val b2 = rows.filter(_.speed_over_ground >= 2.0)
+      assert(b2.map(_.speed_over_ground).toSet == Set(2.0, 3.0, 4.0))
+      val top = rows.filter(r => r.rn == 1 && r.speed_over_ground == 4.0)
+      assert(top.nonEmpty && top.head.longitude == 110.8)
+      // derived features survived the JSON hop bit-exactly
+      assert(top.head.rate_of_turn == (2.0 / 4.733) * (2.0 / 4.733))
+    } finally q.stop()
+  }
+
+  test("featDescOrdering: second-granularity ts ties break on lon/lat/sog/cog desc") {
+    def f(lon: Double, lat: Double, sog: Double, cog: Double) =
+      Feat(1, 1000000L, sog, cog, 0.0, lon, lat, 0.0, 0.0)
+    val a = f(110.5, 10.0, 1.0, 2.0)
+    val b = f(110.6, 10.0, 0.5, 1.0) // higher lon wins regardless of sog
+    val c = f(110.5, 10.1, 0.1, 0.0) // same lon as a: higher lat wins
+    assert(List(a, b, c).sorted(featDescOrdering) == List(b, c, a))
+    // fully identical rows are one equivalence class (interchangeable)
+    assert(featDescOrdering.compare(a, a.copy()) == 0)
+    // newer ts dominates every tie-break column
+    assert(featDescOrdering.compare(a.copy(ts_us = 2000000L), b) < 0)
+  }
+
   /** Minimal GroupState stub for pure-function tests. */
   private class FakeState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
     var updated: Option[S] = None
