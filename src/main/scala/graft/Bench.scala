@@ -46,6 +46,10 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def loadAvg: Double = osBean.getSystemLoadAverage // -1.0 if unsupported
     val ncpu = Runtime.getRuntime.availableProcessors
+    // Round-12 verdict item #1: loadavg alone could NOT adjudicate the
+    // driver's inflated line (j8 49.2 s at load 2.64). Per-query
+    // /proc/stat + process-CPU deltas make the thief visible
+    // IN-ARTIFACT — see [[CpuMeter]] for the field semantics.
     val loadStart = loadAvg
     // min of 2 timed runs per query: the host occasionally steals
     // 10-20s from exactly one query per pass (confirmed NOT JVM — zero
@@ -56,27 +60,37 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val l0 = loadAvg
+        val c0 = CpuMeter.snap()
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
         val t = (System.nanoTime() - t0) / 1e9
+        val cd = CpuMeter.delta(c0, CpuMeter.snap())
         // streaming queries leave memory-sink tables behind; drop them
         // so driver heap doesn't degrade later queries
         spark.catalog.clearCache()
         spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
-        (t, l0)
+        (t, l0, cd)
       }
-      // keep the load sampled at the START of the run that won the min:
-      // that is the run the reported number came from
+      // keep the load/CPU deltas sampled around the run that won the
+      // min: that is the run the reported number came from
       name -> runs.minBy(_._1)
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // sibling map, same keys as "queries": 1-min loadavg when the
-    // reported run started (existing consumers of "queries" unaffected)
-    val loads = results.map { case (k, (_, l)) =>
+    // sibling maps, same keys as "queries": 1-min loadavg when the
+    // reported run started, and the run's interference CPU-second
+    // deltas (existing consumers of "queries" unaffected)
+    val loads = results.map { case (k, (_, l, _)) =>
       s"\"" + k + "\":" + f"$l%.2f" }.mkString("{", ",", "}")
+    def cdMap(f: CpuMeter.Delta => Double) = results.map { case (k, (_, _, cd)) =>
+      s"\"" + k + "\":" + f"${f(cd)}%.1f" }.mkString("{", ",", "}")
+    val steals = cdMap(_.stealS)
+    val iowaits = cdMap(_.iowaitS)
+    val others = cdMap(_.otherS)
     val loadEnd = loadAvg
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val sumOther = results.values.map(_._3.otherS).filter(_ >= 0).sum
+    val sumSteal = results.values.map(_._3.stealS).filter(_ >= 0).sum
     // provenance on every JSONL line (round-5 VERDICT item #8): the
     // driver's stdout harvester truncates, so cross-round per-query
     // diffs read this file — each line must say WHICH round/commit it
@@ -92,7 +106,7 @@ object Bench {
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
       if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load":$loads,"load_start":${f"$loadStart%.2f"},"load_end":${f"$loadEnd%.2f"},"ncpu":$ncpu,"sf":"$sfDir","runs_per_query":2,"stat":"min","round":$round,"sha":"$sha"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load":$loads,"steal_cpu_s":$steals,"iowait_cpu_s":$iowaits,"other_cpu_s":$others,"load_start":${f"$loadStart%.2f"},"load_end":${f"$loadEnd%.2f"},"ncpu":$ncpu,"sf":"$sfDir","runs_per_query":2,"stat":"min","round":$round,"sha":"$sha"}"""
     // stdout carries a COMPACT line only (total + the 12 slowest
     // queries): the driver's stdout harvester keeps a bounded tail of
     // the sbt output, and the full 154-query line (~7 KB) has started
@@ -106,8 +120,8 @@ object Bench {
     // map's key — an unaware cross-round consumer would silently narrow
     // from 154 to 12 entries instead of failing loudly (round-8 ADVICE)
     val topQs = results.toSeq.sortBy(-_._2._1).take(12)
-      .map { case (k, (v, _)) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","top_queries":$topQs,"n_queries":${results.size},"load_start":${f"$loadStart%.2f"},"load_end":${f"$loadEnd%.2f"},"ncpu":$ncpu,"sf":"$sfDir","runs_per_query":2,"stat":"min","round":$round,"sha":"$sha","full":"$fullName"}""")
+      .map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","top_queries":$topQs,"n_queries":${results.size},"load_start":${f"$loadStart%.2f"},"load_end":${f"$loadEnd%.2f"},"other_cpu_s_sum":${f"$sumOther%.1f"},"steal_cpu_s_sum":${f"$sumSteal%.1f"},"ncpu":$ncpu,"sf":"$sfDir","runs_per_query":2,"stat":"min","round":$round,"sha":"$sha","full":"$fullName"}""")
     // ALSO land the line in a file: the driver's stdout harvester has
     // truncated the sbt tail before (BENCH_r04 kept 63/135 timings), and
     // per-query history is the regression signal — it must survive

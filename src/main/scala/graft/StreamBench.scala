@@ -61,12 +61,24 @@ object StreamBench {
     val only: Set[String] = sys.env.get("SPARK_GRAFT_STREAM_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Tbl.sparkLocalDir)
-      .getOrCreate()
+    // experiment knob (same contract as TimeOne): SPARK_GRAFT_CONF=
+    // "k=v;k2=v2" extra session confs — how the snapshot-cadence
+    // experiments below steer minDeltasForSnapshot without a rebuild
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k, v)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CONF entry '$kv' is not of the form key=value")
+        }
+      }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.streaming.StreamingOps.configureStreaming(spark)
     // state size IS the deliverable of this bench — pay the tracking cost
@@ -217,11 +229,25 @@ object StreamBench {
             .map(k => Option(m.get(k)).map(_.longValue).getOrElse(0L))
             :+ s.memoryUsedBytes).max
         }.getOrElse(0L)
+        // commit-latency breakdown (round-12 verdict item #2): commitMs
+        // spikes ~100 s on the snapshot batch — these provider metrics
+        // say WHERE inside commit the time went (memtable flush vs
+        // native checkpoint vs fsync vs writer stalls), summed across
+        // the operator's store instances for the batch
+        val cm = (k: String) => so.map { s =>
+          Option(s.customMetrics.get(k)).map(_.longValue).getOrElse(-1L)
+        }.getOrElse(-1L)
         Map(
           "batch" -> p.batchId, "rows" -> p.numInputRows,
           "totalMs" -> get("triggerExecution"), "addBatchMs" -> get("addBatch"),
           "commitMs" -> so.map(_.commitTimeMs).getOrElse(-1L),
           "updateMs" -> so.map(_.allUpdatesTimeMs).getOrElse(-1L),
+          "flushMs" -> cm("rocksdbCommitFlushLatency"),
+          "compactMs" -> cm("rocksdbCommitCompactLatency"),
+          "checkpointMs" -> cm("rocksdbCommitCheckpointLatency"),
+          "fileSyncMs" -> cm("rocksdbCommitFileSyncLatencyMs"),
+          "stallMs" -> cm("rocksdbWriterStallLatencyMs"),
+          "saveZipMs" -> cm("rocksdbSaveZipFilesLatencyMs"),
           "stateRows" -> so.map(_.numRowsTotal).getOrElse(-1L),
           "stateBytes" -> stateBytes)
       }
@@ -268,8 +294,13 @@ object StreamBench {
       val rowsTotal = batches.map(_("rows")).sum
       val batchesJson = batches.map(b => b.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")).mkString("[", ",", "]")
+      // tag: which experiment configuration produced this line (e.g.
+      // "baseline" vs "minDeltas100") — multiple runs append to one
+      // round artifact, so the line must carry its own provenance
+      val tag = sys.env.getOrElse("SPARK_GRAFT_STREAM_TAG", "default")
+      val conf = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
       val line =
-        s"""{"query":"$name","sf":"$sfDir","chunks":$chunks,"rows_total":$rowsTotal,""" +
+        s"""{"query":"$name","tag":"$tag","conf":"$conf","sf":"$sfDir","chunks":$chunks,"rows_total":$rowsTotal,""" +
         s""""wall_s":$wall,"rows_per_s":${(rowsTotal / wall).toLong},""" +
         s""""growth_last_over_first":$growthJson,""" +
         s""""growth_median":$growthMedJson,"batches":$batchesJson}"""

@@ -49,10 +49,12 @@ object TimeOne {
     for (name <- names) {
       (1 to runs).foreach { i =>
         val l0 = osBean.getSystemLoadAverage
+        val c0 = CpuMeter.snap()
         val t0 = System.nanoTime()
         Bench.materialize(SparkEntry.queries(name)(spark, dir))
+        val cd = CpuMeter.delta(c0, CpuMeter.snap())
         println(f"$name run$i ${(System.nanoTime() - t0) / 1e9}%.3f" +
-          f" load=$l0%.1f->${osBean.getSystemLoadAverage}%.1f")
+          f" load=$l0%.1f->${osBean.getSystemLoadAverage}%.1f ${cd.fmt}")
         spark.catalog.clearCache()
         spark.sqlContext.tableNames().foreach(spark.catalog.dropTempView)
       }
