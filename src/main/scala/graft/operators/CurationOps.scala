@@ -201,6 +201,66 @@ object CurationOps extends QueryModule {
       |      < CASE event_type WHEN 'click' THEN 50 WHEN 'purchase' THEN 25 ELSE 10 END
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** `TABLESAMPLE` front door (the one SQL sampling surface the engine
+    * had not exposed): `TABLESAMPLE (10 PERCENT) REPEATABLE (42)`
+    * through `spark.sql`, pinned against its oracle-safe twin — the
+    * deterministic md5-bucket sampler beside it ([[stratifiedSample]]'s
+    * scheme at a flat 10 %). Spark's Bernoulli sampler and DuckDB's
+    * draw DIFFERENT rows for the same seed (engine-private RNGs), so
+    * the sampled CONTENT can never hash-match an oracle; what IS
+    * engine-independent — and what this query emits — is the law:
+    *   - `n_det`: the md5-twin count, exact on both engines;
+    *   - `bern_ok`: the TABLESAMPLE count lands within ±5σ+10 of the
+    *     10 % binomial expectation, per type (deterministic for a fixed
+    *     seed+corpus, and the oracle states it as TRUE);
+    *   - `repeat_ok`: two separately-planned TABLESAMPLE scans with the
+    *     same REPEATABLE seed select the identical row multiset (count
+    *     AND id-sum agree) — the second scan carries an extra pushed
+    *     predicate so the two plans cannot share a reused exchange, i.e.
+    *     the sampler genuinely re-executed.
+    * Scale shape: Sample evaluates per-row ABOVE the scan and BELOW the
+    * first exchange — 10 % of 100 TB is decided without shuffling the
+    * other 90 % (PlanSpec pins Sample-under-Exchange; the pipecsv DSv2
+    * connector goes further and absorbs TABLESAMPLE into the scan via
+    * SupportsPushDownTableSample, skipping the IO itself —
+    * PipeCsvSourceSpec pins `PushedSample` with no SampleExec). */
+  private def tableSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val view = "events_tablesample"
+    Tbl.events(s, d).createOrReplaceTempView(view)
+    val bucket =
+      conv(substring(md5($"event_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    val exact = Tbl.events(s, d)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_exact"),
+           sum(when(bucket < 10, 1L).otherwise(0L)).as("n_det"))
+    val sampleA = s.sql(
+      s"""SELECT event_type, count(*) AS n_a, sum(event_id) AS ids_a
+         |FROM $view TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+         |GROUP BY event_type""".stripMargin)
+    // event_id >= 0 admits every row but makes this plan canonically
+    // different from sampleA's: no ReuseExchange, the sampler re-runs
+    val sampleB = s.sql(
+      s"""SELECT event_type, count(*) AS n_b, sum(event_id) AS ids_b
+         |FROM $view TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+         |WHERE event_id >= 0 GROUP BY event_type""".stripMargin)
+    exact.join(sampleA, Seq("event_type")).join(sampleB, Seq("event_type"))
+      .select($"event_type", $"n_exact", $"n_det",
+              (abs($"n_a" - $"n_exact" * 0.1) <=
+                 sqrt($"n_exact" * 0.09) * 5.0 + 10.0).as("bern_ok"),
+              ($"n_a" === $"n_b" && $"ids_a" === $"ids_b").as("repeat_ok"))
+      .orderBy($"event_type")
+  }
+
+  private val tableSampleSql =
+    """SELECT event_type, count(*) AS n_exact,
+      |  CAST(count(*) FILTER (WHERE
+      |    CAST(('0x' || substr(md5(event_id::VARCHAR), 1, 8)) AS BIGINT)
+      |      % 100 < 10) AS BIGINT) AS n_det,
+      |  TRUE AS bern_ok, TRUE AS repeat_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Deterministic train/val/test split assignment (90/5/5): the split
     * is a pure function of a salted md5 bucket over the doc key — no RNG
     * state, so re-runs, backfills, and different clusters assign every
@@ -599,7 +659,8 @@ object CurationOps extends QueryModule {
     "tx_pii_scrub"        -> (piiScrub _),
     "tx_seq_pack"         -> (seqPack _),
     "tx_length_hist"      -> (lengthHist _),
-    "x_stratified_sample" -> (stratifiedSample _))
+    "x_stratified_sample" -> (stratifiedSample _),
+    "x_tablesample"       -> (tableSample _))
 
   override val oracles: Map[String, String] = Map(
     "x_global_shuffle"    -> globalShuffleSql,
@@ -615,5 +676,6 @@ object CurationOps extends QueryModule {
     "tx_pii_scrub"        -> piiScrubSql,
     "tx_seq_pack"         -> seqPackSql,
     "tx_length_hist"      -> lengthHistSql,
-    "x_stratified_sample" -> stratifiedSampleSql)
+    "x_stratified_sample" -> stratifiedSampleSql,
+    "x_tablesample"       -> tableSampleSql)
 }

@@ -242,10 +242,29 @@ private[pipecsv] final class PipeCsvTable(
 private[pipecsv] final class PipeCsvScanBuilder(
     fullSchema: StructType, options: CaseInsensitiveStringMap)
   extends ScanBuilder
-  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with SupportsPushDownTableSample {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var sample: Option[PipeCsvSample] = None
+
+  /** TABLESAMPLE / df.sample pushed INTO the scan. Because frames are
+    * fixed-width, the connector can decide membership per frame INDEX
+    * and `seek` past rejected frames — IO proportional to the sample
+    * rate (a 1 % sample of 100 TB reads ~1 % of the bytes plus seek
+    * overhead), where the engine-side SampleExec must read and parse
+    * 100 % and then discard. Membership is a pure splittable hash of
+    * (seed, file, frame index): no RNG state, so any executor, any
+    * retry, any partition plan selects the same frames — the same
+    * auditability contract as the md5-bucket samplers
+    * (x_stratified_sample), honoring REPEATABLE(seed) by construction.
+    * Sampling WITH replacement cannot skip IO (a frame can be emitted
+    * twice) — declined, Spark keeps its own SampleExec. */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+                               withReplacement: Boolean, seed: Long): Boolean =
+    if (withReplacement) false
+    else { sample = Some(PipeCsvSample(lowerBound, upperBound, seed)); true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve wire order regardless of projection order; pruning only
@@ -271,18 +290,45 @@ private[pipecsv] final class PipeCsvScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new PipeCsvScan(fullSchema, required, pushed, options)
+    new PipeCsvScan(fullSchema, required, pushed, sample, options)
+}
+
+/** A pushed row sample: keep a frame iff its membership hash lands in
+  * [lower, upper) — the (lower, upper) interval form also serves
+  * `randomSplit`, whose splits are disjoint sub-intervals of one seed. */
+private[pipecsv] final case class PipeCsvSample(
+    lower: Double, upper: Double, seed: Long) {
+  /** Stafford variant-13 finalizer (SplitMix64's mixer — public domain
+    * constant set): full-avalanche 64-bit mix, so consecutive frame
+    * indices decorrelate. */
+  private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+  /** Membership of global frame `idx` of file `path` (path hashed with
+    * String.hashCode — stable across JVMs by the Java spec, so the
+    * selection is cluster-reproducible). Top 53 bits → uniform [0,1). */
+  def keep(path: String, idx: Long): Boolean = {
+    val u = (mix(seed ^ mix(path.hashCode.toLong ^ mix(idx))) >>> 11) *
+      (1.0 / (1L << 53))
+    u >= lower && u < upper
+  }
 }
 
 private[pipecsv] final class PipeCsvScan(
     fullSchema: StructType, required: StructType, pushed: Array[Filter],
+    sample: Option[PipeCsvSample],
     options: CaseInsensitiveStringMap) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"pipecsv PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
-      s"ReadSchema: ${required.catalogString}"
+      s"ReadSchema: ${required.catalogString}" +
+      sample.map(s =>
+        s", PushedSample: [${s.lower}, ${s.upper}) seed=${s.seed}").getOrElse("")
 
   override def toBatch: Batch = this
 
@@ -335,7 +381,7 @@ private[pipecsv] final class PipeCsvScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     PipeCsvReaderFactory(
-      PipeCsvDataSource.frameLen(options), fullSchema, required, pushed)
+      PipeCsvDataSource.frameLen(options), fullSchema, required, pushed, sample)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PipeCsvMicroBatchStream(
@@ -442,16 +488,18 @@ private[pipecsv] final case class PipeCsvInputPartition(
 
 private[pipecsv] final case class PipeCsvReaderFactory(
     frameLen: Int, fullSchema: StructType, required: StructType,
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter], sample: Option[PipeCsvSample] = None)
+  extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PipeCsvPartitionReader(
       p.asInstanceOf[PipeCsvInputPartition], frameLen, fullSchema, required,
-      pushed)
+      pushed, sample)
 }
 
 private[pipecsv] final class PipeCsvPartitionReader(
     part: PipeCsvInputPartition, frameLen: Int, fullSchema: StructType,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter],
+    sample: Option[PipeCsvSample] = None)
   extends PartitionReader[InternalRow] {
 
   private val stride = frameLen + 1
@@ -503,10 +551,23 @@ private[pipecsv] final class PipeCsvPartitionReader(
       s"pipecsv: cannot compare ${a.getClass} with filter literal $b")
   }
 
+  // byte position the stream is actually at — lets the pushed-sample
+  // path seek ONLY across skipped frames (sequential reads stay
+  // seek-free, and a dense sample degenerates to the plain scan)
+  private var pos: Long = part.startFrame * stride
+
   override def next(): Boolean = {
     while (remaining > 0) {
-      in.readFully(buf, 0, stride)
+      val f = part.startFrame + (part.numFrames - remaining)
       remaining -= 1
+      if (!sample.forall(_.keep(part.path, f))) {
+        // frame sampled out: never read, never parsed — the IO saving
+        // that row-level SampleExec above the scan cannot have
+      } else {
+      val target = f * stride
+      if (pos != target) { in.seek(target); pos = target }
+      in.readFully(buf, 0, stride)
+      pos += stride
       // rtrim the padding, split preserving interior empties
       var end = frameLen
       while (end > 0 && (buf(end - 1) == ' ' || buf(end - 1) == '\n')) end -= 1
@@ -519,6 +580,7 @@ private[pipecsv] final class PipeCsvPartitionReader(
           vals(i) match { case s: String => UTF8String.fromString(s); case v => v }
         }.toIndexedSeq)
         return true
+      }
       }
     }
     false

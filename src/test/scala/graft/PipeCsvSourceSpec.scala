@@ -63,6 +63,78 @@ class PipeCsvSourceSpec extends SparkSpec {
     assert(scan.execute().count() === 2)
   }
 
+  /** 2000-frame single file for the sample-pushdown statistics. */
+  private lazy val bigDir: String = {
+    val d = Files.createTempDirectory("pipecsv_sample").toString
+    val sb = new StringBuilder
+    (0 until 2000).foreach { i =>
+      val s = s"$i|k${i % 4}|${i % 10}.5|${i % 100}"
+      sb.append(s).append(" " * (frameLen - s.length)).append("\n")
+    }
+    Files.writeString(Paths.get(d, "part-0.txt"), sb.toString)
+    d
+  }
+
+  private def readBig() =
+    spark.read.format("pipecsv").schema(schema)
+      .option("frameLen", frameLen).option("framesPerSplit", 256)
+      .load(bigDir)
+
+  test("TABLESAMPLE pushes into the scan: no Sample node, seekable frame skip") {
+    readBig().createOrReplaceTempView("pcs_big")
+    val df = spark.sql(
+      "SELECT id FROM pcs_big TABLESAMPLE (20 PERCENT) REPEATABLE (7)")
+    val plan = df.queryExecution.executedPlan
+    // the Sample operator is GONE from the engine plan — the scan owns it
+    assert(plan.collectFirst {
+      case s: org.apache.spark.sql.execution.SampleExec => s }.isEmpty,
+      s"SampleExec survived above the scan:\n$plan")
+    val scan = plan.collectFirst { case s: BatchScanExec => s }.get
+    assert(scan.scan.description().contains("PushedSample"))
+    assert(scan.scan.description().contains("seed=7"))
+    // rate-accurate: 2000 Bernoulli(0.2) trials, ±5σ ≈ ±89
+    val n = df.count()
+    assert(math.abs(n - 400L) <= 89L, s"sampled $n of 2000 at 20%")
+    // REPEATABLE: same seed → identical row set, bit for bit
+    val again = spark.sql(
+      "SELECT id FROM pcs_big TABLESAMPLE (20 PERCENT) REPEATABLE (7)")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ===
+           again.collect().map(_.getLong(0)).sorted.toSeq)
+    // different seed → a different selection (P[identical] ≈ 0)
+    val other = spark.sql(
+      "SELECT id FROM pcs_big TABLESAMPLE (20 PERCENT) REPEATABLE (8)")
+    assert(other.collect().map(_.getLong(0)).sorted.toSeq !==
+           df.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("df.sample pushes when directly over the scan; engine composition pinned") {
+    import spark.implicits._
+    val df = readBig().sample(0.25, 42L).select($"id")
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collectFirst {
+      case s: org.apache.spark.sql.execution.SampleExec => s }.isEmpty)
+    val scan = plan.collectFirst { case s: BatchScanExec => s }.get
+    assert(scan.scan.description().contains("PushedSample"))
+    // 2000 frames at 25%: ±5σ ≈ ±97
+    val ids = df.collect().map(_.getLong(0))
+    assert(math.abs(ids.length - 500) <= 97, s"got ${ids.length}")
+    // engine behavior pin: Spark 4.1 pushes a sample ONLY when it sits
+    // DIRECTLY over the relation — with a filter below it, the filter
+    // pushes and SampleExec stays engine-side (correct, just not
+    // IO-skipping). If a Spark upgrade starts composing them, this pin
+    // flips and the reader's filter+sample path takes over.
+    val mixed = readBig().where($"kind" === "k1").sample(0.25, 42L).select($"id")
+    val mixedPlan = mixed.queryExecution.executedPlan
+    assert(mixedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.SampleExec => s }.nonEmpty)
+    val mixedScan = mixedPlan.collectFirst { case s: BatchScanExec => s }.get
+    assert(mixedScan.scan.description().contains("EqualTo(kind,k1)"))
+    // sampling WITH replacement is declined: Spark keeps its SampleExec
+    val rep = readBig().sample(withReplacement = true, 0.25, 42L)
+    assert(rep.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.SampleExec => s }.nonEmpty)
+  }
+
   test("column pruning reaches the scan: 2-column projection reads 2 fields") {
     import spark.implicits._
     val df = read().select($"id", $"score")

@@ -1257,6 +1257,23 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"final plan re-scans events instead of re-folding the grid:\n$p")
   }
 
+  test("tablesample: Sample sits under the first exchange — 10% decided pre-shuffle") {
+    val p = executed(SparkEntry.queries("x_tablesample")(spark, d))
+    val samples = collectWithSubqueries(p) {
+      case s: org.apache.spark.sql.execution.SampleExec => s
+    }
+    assert(samples.size >= 2, s"expected both TABLESAMPLE scans:\n$p")
+    // every Sample node's subtree is exchange-free: the sampler runs on
+    // the scan side of the shuffle, so the 90% it rejects never moves
+    samples.foreach { s =>
+      val below = collectWithSubqueries(s.child) {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(below.isEmpty, s"exchange under Sample — sampling post-shuffle:\n$p")
+      assert(scans(s.child).nonEmpty, s"Sample not over the file scan:\n$p")
+    }
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
