@@ -638,6 +638,39 @@ object StreamingOps extends QueryModule {
       .orderBy($"mmsi", $"rn")
   }
 
+  /** s35: the s34 chain's CHECKPOINT read back through Spark 4's
+    * statestore source — chained-topology introspection. Runs the full
+    * two-job chain (so the flatMapGroupsWithState store holds each
+    * vessel's ≤3-row ring at stream end), then decodes the RocksDB
+    * state files as a batch DataFrame: key = mmsi, value = the
+    * Top3FeatState encoder layout, rows array ALREADY rank-ordered
+    * (last3FeatPerKey stores the merged list sorted desc, so array
+    * position IS the rank). Emitting the decoded state through s34's
+    * own output quantization and hashing it against s34's oracle
+    * certifies the persisted state layout byte-for-byte — the "what is
+    * actually IN the store" audit (s30's pattern) applied to the
+    * chained flagship's keyed state rather than an agg buffer. Reading
+    * state is a parallel scan of store partitions; the stream is not
+    * replayed. */
+  private def chainedStateReader(s: SparkSession, d: String): DataFrame =
+    withStatePartitions(s) {
+      import s.implicits._
+      streamChainedFlagshipInner(s, d).count() // run the chain; state lands
+      val st = s.read.format("statestore")
+        .option("path", lastCheckpointDir).load()
+      st.select($"key.value".as("mmsi"),
+                posexplode($"value.groupState.rows").as(Seq("pos", "r")))
+        .select($"mmsi", ($"pos" + 1).cast("int").as("rn"),
+                $"r.ts_us".as("ts_us"),
+                $"r.speed_over_ground".as("speed_over_ground"),
+                (floor($"r.rate_of_turn" * 1000000.0) / 1000000.0)
+                  .as("rate_of_turn"),
+                $"r.longitude".as("longitude"), $"r.latitude".as("latitude"),
+                round($"r.cartesian_x", 2).as("cartesian_x"),
+                round($"r.cartesian_y", 2).as("cartesian_y"))
+        .orderBy($"mmsi", $"rn")
+    }
+
   /** Oracle for s34: job 1's feature arithmetic (shared with s8's
     * oracle) wrapped in job 2's latest-3 ranking. The rank's tie-break
     * beyond ts DESC mirrors [[StatefulOps.featDescOrdering]] — the wire
@@ -1676,6 +1709,7 @@ object StreamingOps extends QueryModule {
     "s7_foreach_batch"      -> (foreachBatchAgg _),
     "s8_ais_preprocess"     -> (streamAisPreprocess _),
     "s34_chained_flagship"  -> (streamChainedFlagship _),
+    "s35_chained_state_reader" -> (chainedStateReader _),
     "s9_stream_csv_sink"    -> (streamCsvSink _),
     "s10_stream_session"    -> (streamSession _),
     "s21_stream_dynamic_session" -> (streamDynamicSession _),
@@ -1834,6 +1868,7 @@ object StreamingOps extends QueryModule {
     "s7_foreach_batch"      -> foreachBatchSql,
     "s8_ais_preprocess"     -> aisPreprocessSql,
     "s34_chained_flagship"  -> chainedFlagshipSql,
+    "s35_chained_state_reader" -> chainedFlagshipSql, // shared: state IS the ranking
     "s9_stream_csv_sink"    -> csvSinkSql,
     "s10_stream_session"    -> sessionSql,
     "s21_stream_dynamic_session" -> graft.Oracles.dynamicSession,
