@@ -11,11 +11,19 @@
 #                  only writes its own at the very END, and the overlap
 #                  watcher needs the SQL before that
 #   resultLog      where check.py lines accumulate (one line per query)
+#
+# Optional: $5 = comma-separated query subset (resume after a crash —
+# pass the not-yet-dumped names and keep OUT in place); GATE_HEAP
+# overrides the engine heap (default 48g: 96g left no headroom for the
+# overlapped DuckDB oracle workers and the OOM killer took the engine
+# mid-gate in round 13's first attempt).
 set -u
 SF=${1:?sfDir}
 OUT=${2:?outDir}
 SEED=${3:?seed oracle_sql.json}
 LOG=${4:?result log}
+ONLY=${5:-}
+HEAP=${GATE_HEAP:-48g}
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
 mkdir -p "$OUT"
@@ -28,8 +36,8 @@ SLOW="dd_dup_clusters dd_ngram_jaccard dd_minhash_lsh tx_decontaminate j7_spatia
 
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
 SPARK_GRAFT_STREAM_SINK=files \
-  java -Xmx96g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF" "$OUT" > "$OUT/verify.log" 2>&1 &
+  java -Xmx"$HEAP" -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.Verify "$SF" "$OUT" $ONLY >> "$OUT/verify.log" 2>&1 &
 ENGINE=$!
 
 declare -A started
