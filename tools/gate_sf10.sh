@@ -32,7 +32,7 @@ cp "$SEED" "$OUT/oracle_sql.json"
 
 # oracles that take minutes at sf10 — checked as soon as each parquet
 # dump's _SUCCESS lands so DuckDB overlaps the still-running engine
-SLOW="dd_dup_clusters dd_ngram_jaccard dd_minhash_lsh tx_decontaminate j7_spatial_join sim_semantic_dedup"
+SLOW="dd_dup_clusters dd_ngram_jaccard dd_minhash_lsh tx_decontaminate j7_spatial_join sim_semantic_dedup a1_sliding_window s1_stream_window_agg"
 
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
 SPARK_GRAFT_STREAM_SINK=files \
