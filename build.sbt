@@ -14,14 +14,20 @@ run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
+// The FULL canonical 16-package list (round 13's sf10 gate died because
+// a bare-java launch lacked java.base/java.nio: lazy Kryo init on
+// memory-pressure eviction needs ByteBuffer.hb — graft.JvmOpens now
+// fail-fasts every main and prints this list for shell launchers).
 val jdk17AddOpens = Seq(
   "java.base/java.lang", "java.base/java.lang.invoke",
   "java.base/java.lang.reflect", "java.base/java.io",
   "java.base/java.net", "java.base/java.nio",
   "java.base/java.util", "java.base/java.util.concurrent",
   "java.base/java.util.concurrent.atomic",
+  "java.base/jdk.internal.ref",
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
+  "java.security.jgss/sun.security.krb5",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object Audit {
   def main(args: Array[String]): Unit = {
+    JvmOpens.check() // fail fast on a bare-java launch (see JvmOpens)
     val cmd = args.headOption.getOrElse("minhash")
     val sfDir = args.lift(1).getOrElse("/tmp/graft_sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

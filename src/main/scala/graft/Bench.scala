@@ -17,6 +17,7 @@ object Bench {
     df.write.mode("overwrite").format("noop").save()
 
   def main(args: Array[String]): Unit = {
+    JvmOpens.check() // fail fast on a bare-java launch (see JvmOpens)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -87,10 +88,18 @@ object Bench {
     val steals = cdMap(_.stealS)
     val iowaits = cdMap(_.iowaitS)
     val others = cdMap(_.otherS)
+    val gcs = cdMap(_.gcS)
     val loadEnd = loadAvg
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val sumOther = results.values.map(_._3.otherS).filter(_ >= 0).sum
-    val sumSteal = results.values.map(_._3.stealS).filter(_ >= 0).sum
+    // −1 when EVERY per-query delta is the −1 unavailable sentinel
+    // (round-13 ADVICE: a 0.0 sum on a meterless platform was
+    // indistinguishable from a genuinely interference-free run)
+    def sumOrUnavailable(f: CpuMeter.Delta => Double): Double = {
+      val vs = results.values.map(v => f(v._3)).toSeq
+      if (vs.nonEmpty && vs.forall(_ < 0)) -1.0 else vs.filter(_ >= 0).sum
+    }
+    val sumOther = sumOrUnavailable(_.otherS)
+    val sumSteal = sumOrUnavailable(_.stealS)
     // provenance on every JSONL line (round-5 VERDICT item #8): the
     // driver's stdout harvester truncates, so cross-round per-query
     // diffs read this file — each line must say WHICH round/commit it
@@ -106,7 +115,7 @@ object Bench {
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
       if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load":$loads,"steal_cpu_s":$steals,"iowait_cpu_s":$iowaits,"other_cpu_s":$others,"load_start":${f"$loadStart%.2f"},"load_end":${f"$loadEnd%.2f"},"ncpu":$ncpu,"sf":"$sfDir","runs_per_query":2,"stat":"min","round":$round,"sha":"$sha"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load":$loads,"steal_cpu_s":$steals,"iowait_cpu_s":$iowaits,"other_cpu_s":$others,"gc_cpu_s":$gcs,"load_start":${f"$loadStart%.2f"},"load_end":${f"$loadEnd%.2f"},"ncpu":$ncpu,"sf":"$sfDir","runs_per_query":2,"stat":"min","round":$round,"sha":"$sha"}"""
     // stdout carries a COMPACT line only (total + the 12 slowest
     // queries): the driver's stdout harvester keeps a bounded tail of
     // the sbt output, and the full 154-query line (~7 KB) has started

@@ -14,25 +14,30 @@ package graft
   *   iowait = cpu-seconds cores sat idle waiting on IO
   *   other  = host busy cpu-seconds minus this JVM's own process CPU —
   *            i.e. compute consumed by ANYONE else during the window
+  *   gc     = cpu-seconds this JVM's collectors spent (JMX; the one
+  *            swing class the host counters cannot see — round 13's
+  *            x_label_propagation inflated 2.35→4.27 s with
+  *            steal/iowait/other all ≈0, a JVM-internal pause)
   *
-  * A wall-time spike with other≫0 / steal≫0 is environmental; all
-  * three ≈0 beside a high wall means the regression is real. All
-  * fields report −1 when the kernel interface is unavailable (non-Linux
-  * or masked /proc), never throw.
+  * A wall-time spike with other≫0 / steal≫0 is environmental; gc≫0 is
+  * the JVM's own heap churn; all FOUR ≈0 beside a high wall means the
+  * regression is real. All fields report −1 when the underlying
+  * interface is unavailable (non-Linux or masked /proc), never throw.
   */
 object CpuMeter {
   private val osBean =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
 
   /** Cumulative host ticks (USER_HZ = 100 on linux-amd64/arm64) plus
-    * this JVM's cumulative process CPU ns. */
+    * this JVM's cumulative process CPU ns and collector ms. */
   final case class Snap(total: Long, idle: Long, iowait: Long,
-                        steal: Long, ownNs: Long)
+                        steal: Long, guest: Long, ownNs: Long, gcMs: Long)
 
   /** Interference CPU-seconds between two snapshots. */
-  final case class Delta(stealS: Double, iowaitS: Double, otherS: Double) {
+  final case class Delta(stealS: Double, iowaitS: Double, otherS: Double,
+                         gcS: Double) {
     def fmt: String =
-      f"steal=$stealS%.1f iowait=$iowaitS%.1f other=$otherS%.1f"
+      f"steal=$stealS%.1f iowait=$iowaitS%.1f other=$otherS%.1f gc=$gcS%.1f"
   }
 
   def snap(): Snap = {
@@ -47,19 +52,35 @@ object CpuMeter {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
       case _ => -1L
     }
-    if (t.length >= 8) Snap(t.sum, t(3), t(4), t(7), ownNs)
-    else Snap(-1L, -1L, -1L, -1L, ownNs)
+    val gcMs = try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+    } catch { case e if scala.util.control.NonFatal(e) => -1L }
+    // guest/guest_nice are trailing and kernel-version dependent
+    val guest = if (t.length >= 10) t(8) + t(9) else 0L
+    if (t.length >= 8) Snap(t.sum, t(3), t(4), t(7), guest, ownNs, gcMs)
+    else Snap(-1L, -1L, -1L, -1L, 0L, ownNs, gcMs)
   }
 
-  def delta(a: Snap, b: Snap): Delta =
-    if (a.total < 0 || b.total < 0) Delta(-1.0, -1.0, -1.0)
+  def delta(a: Snap, b: Snap): Delta = {
+    val gcS = if (a.gcMs < 0 || b.gcMs < 0) -1.0 else (b.gcMs - a.gcMs) / 1e3
+    if (a.total < 0 || b.total < 0) Delta(-1.0, -1.0, -1.0, gcS)
     else {
       val hz = 100.0
+      // busy = strictly non-steal, non-idle, non-iowait host compute.
+      // steal and guest/guest_nice are subtracted (round-13 ADVICE):
+      // t.sum includes steal, and user already contains guest ticks
+      // which t.sum adds again — without the subtraction a pure
+      // hypervisor-steal event showed up in BOTH stealS and otherS,
+      // reading as two separate thieves in the artifact.
       val busyS = (b.total - a.total - (b.idle - a.idle) -
-                   (b.iowait - a.iowait)) / hz
+                   (b.iowait - a.iowait) - (b.steal - a.steal) -
+                   (b.guest - a.guest)) / hz
       val ownS = if (a.ownNs < 0 || b.ownNs < 0) -1.0
                  else (b.ownNs - a.ownNs) / 1e9
       Delta((b.steal - a.steal) / hz, (b.iowait - a.iowait) / hz,
-            if (ownS < 0) -1.0 else math.max(0.0, busyS - ownS))
+            if (ownS < 0) -1.0 else math.max(0.0, busyS - ownS), gcS)
     }
+  }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.SparkSession
   * Usage: sbt "runMain graft.Explain <query> [query...] [sfDir]" */
 object Explain {
   def main(args: Array[String]): Unit = {
+    JvmOpens.check() // fail fast on a bare-java launch (see JvmOpens)
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

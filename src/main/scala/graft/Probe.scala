@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
   * per-stage cost of the documents text pipeline at a given sfDir. */
 object Probe {
   def main(args: Array[String]): Unit = {
+    JvmOpens.check() // fail fast on a bare-java launch (see JvmOpens)
     val dir = args(0)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -52,6 +52,7 @@ object StreamBench {
   final case class Ring(ids: List[Long])
 
   def main(args: Array[String]): Unit = {
+    JvmOpens.check() // fail fast on a bare-java launch (see JvmOpens)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "20").toInt
@@ -297,10 +298,22 @@ object StreamBench {
       // tag: which experiment configuration produced this line (e.g.
       // "baseline" vs "minDeltas100") — multiple runs append to one
       // round artifact, so the line must carry its own provenance
-      val tag = sys.env.getOrElse("SPARK_GRAFT_STREAM_TAG", "default")
-      val conf = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+      // JSON-escaped: a quote/backslash/control char in an env-provided
+      // tag or conf value must not corrupt the JSONL line that
+      // cross-round consumers parse (round-13 ADVICE)
+      def jesc(s: String): String = s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val tag = jesc(sys.env.getOrElse("SPARK_GRAFT_STREAM_TAG", "default"))
+      val conf = jesc(sys.env.getOrElse("SPARK_GRAFT_CONF", ""))
       val line =
-        s"""{"query":"$name","tag":"$tag","conf":"$conf","sf":"$sfDir","chunks":$chunks,"rows_total":$rowsTotal,""" +
+        s"""{"query":"$name","tag":"$tag","conf":"$conf","sf":"${jesc(sfDir)}","chunks":$chunks,"rows_total":$rowsTotal,""" +
         s""""wall_s":$wall,"rows_per_s":${(rowsTotal / wall).toLong},""" +
         s""""growth_last_over_first":$growthJson,""" +
         s""""growth_median":$growthMedJson,"batches":$batchesJson}"""

@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
   * query name rather than a path) */
 object TimeOne {
   def main(args: Array[String]): Unit = {
+    JvmOpens.check() // fail fast on a bare-java launch (see JvmOpens)
     val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       // memory-sink streams at sf10 outgrow the 1g default (see Verify)

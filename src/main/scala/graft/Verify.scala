@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    JvmOpens.check() // fail fast on a bare-java launch (see JvmOpens)
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query names (fast local iteration)
     val only: Set[String] =
@@ -23,7 +24,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", graft.Tbl.sparkLocalDir)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // INFO shows BlockManager eviction decisions (the small-heap stress
+    // repro of the round-13 gate crash reads block ids from it)
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOG_LEVEL", "WARN"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

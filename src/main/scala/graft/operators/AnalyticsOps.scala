@@ -625,9 +625,12 @@ object AnalyticsOps extends QueryModule {
     * Each overflow condition is decided by a PRE-COMPUTED range check —
     * v³·10⁷ overflows Long iff |v| > 9734 (the largest magnitude with
     * |v|³ ≤ Long.MaxValue/10⁷, computed below, not hard-coded — the
-    * guard is on MAGNITUDE, because a large-negative cube wraps just as
-    * silently as a large-positive one; the negative bound
-    * |Long.MinValue|/10⁷ shares the same integer cube root, so abs is
+    * guard is on MAGNITUDE as a TWO-SIDED compare −vMax ≤ v ≤ vMax,
+    * because a large-negative cube wraps just as silently as a
+    * large-positive one, and the compare itself must not wrap either:
+    * abs(Long.MinValue) is negative, so an abs()-based guard would
+    * wave the one value through; the negative bound |Long.MinValue|/10⁷
+    * shares the same integer cube root, so the symmetric bound is
     * exact, not merely conservative), add overflows iff v > 25000 (base
     * is Long.MaxValue−25000, so only the positive side can overflow:
     * base + v ≥ Long.MinValue for every Long v), ÷0 iff v%97 = 0 — so
@@ -645,7 +648,11 @@ object AnalyticsOps extends QueryModule {
     Tbl.events(s, d)
       .select($"event_type", Tbl.cents($"value").as("v_c"))
       .select($"event_type", $"v_c",
-              when(abs($"v_c") <= vMax,
+              // two-sided compare, NOT abs(v)<=vMax: abs(Long.MinValue)
+              // wraps negative and would pass the guard (round-13
+              // ADVICE; unreachable for cents-valued corpora but the
+              // guard must not itself rely on non-wrapping)
+              when($"v_c" <= vMax && $"v_c" >= -vMax,
                 $"v_c" * $"v_c" * $"v_c" * 10000000L).as("p"),
               when($"v_c" % 97L =!= 0L,
                 lit(1000000L).cast("double") / ($"v_c" % 97L)).as("q"),

@@ -384,8 +384,14 @@ private[pipecsv] final class PipeCsvScan(
       PipeCsvDataSource.frameLen(options), fullSchema, required, pushed, sample)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    // `sample` is threaded through (round-13 ADVICE): Spark 4 does not
+    // yet apply TableSample pushdown to streaming scans, but if a future
+    // planner does, dropping it here would silently over-read — and the
+    // frame-hash membership is (seed, file, frameIdx)-keyed, so it is
+    // retry/restart-exact in a micro-batch replay too
     new PipeCsvMicroBatchStream(
-      PipeCsvDataSource.frameLen(options), fullSchema, required, pushed, options)
+      PipeCsvDataSource.frameLen(options), fullSchema, required, pushed,
+      sample, options)
 }
 
 /** Streaming offset = cumulative frame count over the stream's file
@@ -415,7 +421,8 @@ private[pipecsv] final case class PipeCsvOffset(frames: Long) extends Offset {
   * same contract file-based offsets have in any log-replay source. */
 private[pipecsv] final class PipeCsvMicroBatchStream(
     frameLen: Int, fullSchema: StructType, required: StructType,
-    pushed: Array[Filter], options: CaseInsensitiveStringMap)
+    pushed: Array[Filter], sample: Option[PipeCsvSample],
+    options: CaseInsensitiveStringMap)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -476,7 +483,7 @@ private[pipecsv] final class PipeCsvMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    PipeCsvReaderFactory(frameLen, fullSchema, required, pushed)
+    PipeCsvReaderFactory(frameLen, fullSchema, required, pushed, sample)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

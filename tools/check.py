@@ -11,10 +11,20 @@ is a FAIL even when the values coerce equal (the driver hash-compares, so
 the local gate must be at least as strict — round-1 shipped 4 hash FAILs
 as local PASSes through pandas' silent dtype coercion).
 """
-import json, sys, glob, os, time
+import hashlib, json, sys, glob, os, time
 import duckdb
 import numpy as np
 import pandas as pd
+
+
+def corpus_fp(sf):
+    """Cheap corpus fingerprint: (name, size) of every parquet in sfDir.
+    gen_sf.py is deterministic, so byte sizes identify the corpus; a
+    regenerated corpus hits the same cache entries."""
+    h = hashlib.sha256()
+    for f in sorted(glob.glob(f"{sf}/*.parquet")):
+        h.update(f"{os.path.basename(f)}:{os.path.getsize(f)};".encode())
+    return h.hexdigest()[:16]
 
 
 def isnull(x):
@@ -72,10 +82,47 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    # CHECK_CACHE=<dir>: memoize ORACLE-side results (the expensive half
+    # of an sf10 gate — a1 25 min, dd_dup_clusters 58 min in round 13)
+    # as pandas pickles keyed by (query, sha of the oracle SQL, corpus
+    # fingerprint). Pickle, not parquet: the compare below is dtype-kind
+    # exact, and only pickle round-trips pandas dtypes bit-for-bit.
+    # The engine side is never cached — it changes with every build.
+    cache_dir = os.environ.get("CHECK_CACHE", "")
+    fp = corpus_fp(sf) if cache_dir else ""
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+    # CHECK_ORACLE_ONLY=1: compute + cache oracle results without
+    # requiring engine outputs (pre-seeds the cache while a gate or a
+    # build is still running; the oracle depends only on SQL + corpus)
+    oracle_only = os.environ.get("CHECK_ORACLE_ONLY") == "1"
+
+    def oracle_df(name):
+        """DuckDB oracle result, served from CHECK_CACHE when the
+        (query, sql, corpus) triple was already computed."""
+        key = hashlib.sha256(oracle[name].encode()).hexdigest()[:16]
+        path = os.path.join(cache_dir, f"{name}.{key}.{fp}.pkl") \
+            if cache_dir else None
+        if path and os.path.exists(path):
+            return pd.read_pickle(path), True
+        exp = con.sql(oracle[name]).df()
+        if path:
+            pd.to_pickle(exp, path + ".tmp")
+            os.replace(path + ".tmp", path)
+        return exp, False
+
     results = {}
     names = sorted(set(oracle) | {d for d in os.listdir(out)
                                   if os.path.isdir(os.path.join(out, d))})
     def one(name):
+        if oracle_only:
+            if name not in oracle:
+                return "SKIPPED(no-oracle)"
+            try:
+                exp, hit = oracle_df(name)
+            except Exception as e:
+                return f"ORACLE-ERR: {e}"
+            return f"SEEDED({len(exp)}{', cache-hit' if hit else ''})"
         if not os.path.isdir(os.path.join(out, name)):
             return "MISSING-OUTPUT"
         files = glob.glob(f"{out}/{name}/*.parquet")
@@ -86,7 +133,7 @@ def main():
         if name not in oracle:
             return f"ROWS-ONLY({len(got)})"
         try:
-            exp = con.sql(oracle[name]).df()
+            exp, cache_hit = oracle_df(name)
         except Exception as e:
             return f"ORACLE-ERR: {e}"
         exp = exp[sorted(exp.columns)]
@@ -116,7 +163,10 @@ def main():
             if neq.any():
                 i = int(neq.idxmax())
                 diffs.append(f"{c}[row {i}]: got={g[i]!r} exp={e[i]!r} (n={int(neq.sum())})")
-        return "PASS" if not diffs else "DIFF " + "; ".join(diffs[:3])
+        # the cache-hit marker is deliberately IN the result string so a
+        # gate artifact shows which oracles were served from cache
+        return ("PASS (oracle-cached)" if cache_hit else "PASS") \
+            if not diffs else "DIFF " + "; ".join(diffs[:3])
 
     skip = {s for s in os.environ.get("CHECK_SKIP", "").split(",") if s}
     for name in names:
@@ -140,7 +190,8 @@ def main():
     for n in sorted(results):
         r = results[n]
         skipped = r.startswith("SKIPPED")
-        ok = r == "PASS" or r.startswith("ROWS-ONLY")
+        ok = (r.startswith("PASS") or r.startswith("ROWS-ONLY")
+              or r.startswith("SEEDED"))
         npass += ok
         nskip += skipped
         print(f"{'~' if skipped else '✓' if ok else '✗'} {n:<{width}}  {r}")

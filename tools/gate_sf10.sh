@@ -14,21 +14,42 @@
 #
 # Optional: $5 = comma-separated query subset (resume after a crash —
 # pass the not-yet-dumped names and keep OUT in place); GATE_HEAP
-# overrides the engine heap (default 48g: 96g left no headroom for the
-# overlapped DuckDB oracle workers and the OOM killer took the engine
-# mid-gate in round 13's first attempt).
+# overrides the engine heap (default 64g, the round-13 sweet spot: 96g
+# left no headroom beside the overlapped DuckDB oracle workers and the
+# OOM killer took the engine mid-gate; smaller heaps evict under
+# pressure, which is SAFE since the JvmOpens fix below but slower).
+# CHECK_CACHE (default /tmp/graft_oracle_cache_sf10) memoizes the
+# DuckDB oracle side keyed by (query, sql-hash, corpus fingerprint) —
+# see tools/check.py; cache hits are marked in the result log.
 set -u
 SF=${1:?sfDir}
 OUT=${2:?outDir}
 SEED=${3:?seed oracle_sql.json}
 LOG=${4:?result log}
 ONLY=${5:-}
-HEAP=${GATE_HEAP:-48g}
+HEAP=${GATE_HEAP:-64g}
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
 mkdir -p "$OUT"
 cp "$SEED" "$OUT/oracle_sql.json"
 : > "$LOG"
+export CHECK_CACHE=${CHECK_CACHE:-/tmp/graft_oracle_cache_sf10}
+
+# Spark 4 on JDK 17 REQUIRES the launcher's --add-opens set: without it
+# lazy Kryo init (first touched when memory pressure evicts a cached
+# block) dies on java.nio.HeapByteBuffer and takes the SparkContext
+# with it — the round-13 three-resume gate. Derived from Spark's own
+# JavaModuleOptions via graft.JvmOpens so the list cannot drift; the
+# engine ALSO fail-fasts at startup if launched without them.
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+JVM_OPTS=$(java -cp "$CP" graft.JvmOpens)
+
+# crashed JVMs leak their blockmgr-* dirs in tmpfs (RAM): sweep any
+# whose owning pid is gone before starting a multi-hour run
+for d in /dev/shm/graft_local/blockmgr-* /dev/shm/graft_local/spark-*; do
+  [[ -e "$d" ]] || continue
+  if ! fuser -s "$d" 2>/dev/null; then rm -rf "$d"; fi
+done
 
 # oracles that take minutes at sf10 — checked as soon as each parquet
 # dump's _SUCCESS lands so DuckDB overlaps the still-running engine
@@ -36,7 +57,7 @@ SLOW="dd_dup_clusters dd_ngram_jaccard dd_minhash_lsh tx_decontaminate j7_spatia
 
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
 SPARK_GRAFT_STREAM_SINK=files \
-  java -Xmx"$HEAP" -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  java $JVM_OPTS -Xmx"$HEAP" -cp "$CP" \
   graft.Verify "$SF" "$OUT" $ONLY >> "$OUT/verify.log" 2>&1 &
 ENGINE=$!
 
