@@ -27,7 +27,10 @@ class JvmOpensSpec extends AnyFunSuite {
         org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptionArray()
           .toSeq
       else Seq.empty
-    val cmd = Seq(javaBin) ++ opens ++
+    // 512m: small enough that the evict probe's cached blocks overflow
+    // the storage pool (its sizing comment relies on this), harmless
+    // for the other modes
+    val cmd = Seq(javaBin, "-Xmx512m") ++ opens ++
       Seq("-cp", cp, "graft.KryoProbe") ++ args
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
     val p = pb.start()
@@ -58,6 +61,23 @@ class JvmOpensSpec extends AnyFunSuite {
     val (okExit, okOut) = run(addOpens = true)
     assert(okExit == 0 && okOut.contains("kryo-probe-ok"),
            s"Kryo init should survive with the launcher flags:\n${okOut.take(2000)}")
+  }
+
+  test("eviction survival: a real SparkContext under memory pressure " +
+       "dies bare, survives with the flags (the round-13 gate, end to end)") {
+    // the full production path: MemoryStore.evictBlocksToFreeSpace ->
+    // dropFromMemory -> dataSerializeStream auto-picks Kryo for the
+    // String-class-tag blocks the probe caches beyond its storage pool
+    val (badExit, badOut) = run(addOpens = false, "evict")
+    assert(badExit != 0, s"expected the bare-java eviction to fail:\n$badOut")
+    assert(badOut.contains("HeapByteBuffer"),
+           s"failed for an unexpected reason:\n${badOut.take(3000)}")
+    assert(badOut.contains("dropFromMemory") || badOut.contains("evictBlocks"),
+           s"crash not on the eviction path:\n${badOut.take(3000)}")
+
+    val (okExit, okOut) = run(addOpens = true, "evict")
+    assert(okExit == 0 && okOut.contains("kryo-probe-ok"),
+           s"eviction should survive with the launcher flags:\n${okOut.take(3000)}")
   }
 
   test("JvmOpens.check() fail-fasts a bare-java launch with the remediation") {
