@@ -44,12 +44,14 @@ export CHECK_CACHE=${CHECK_CACHE:-/tmp/graft_oracle_cache_sf10}
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 JVM_OPTS=$(java -cp "$CP" graft.JvmOpens)
 
-# crashed JVMs leak their blockmgr-* dirs in tmpfs (RAM): sweep any
-# whose owning pid is gone before starting a multi-hour run
-for d in /dev/shm/graft_local/blockmgr-* /dev/shm/graft_local/spark-*; do
-  [[ -e "$d" ]] || continue
-  if ! fuser -s "$d" 2>/dev/null; then rm -rf "$d"; fi
-done
+# crashed JVMs leak their blockmgr-* dirs in tmpfs (RAM): sweep them
+# before a multi-hour run — but ONLY when no graft JVM is alive at all.
+# Never per-dir fuser: a LIVE Spark JVM holds no open handle inside its
+# blockmgr dir between shuffles, so a fuser-based sweep deleted a
+# running replay's shuffle files on first contact (round 14).
+if ! pgrep -f 'graft\.(Verify|Bench|StreamBench|TimeOne|Audit|Probe|Explain)' >/dev/null; then
+  rm -rf /dev/shm/graft_local/blockmgr-* /dev/shm/graft_local/spark-* 2>/dev/null
+fi
 
 # oracles that take minutes at sf10 — checked as soon as each parquet
 # dump's _SUCCESS lands so DuckDB overlaps the still-running engine
