@@ -264,6 +264,24 @@ object StreamBench {
         } else {
           holdBack()
           val (w1, p1) = try runPass(mk, mode, ckpt) finally release()
+          // SPARK_GRAFT_STREAM_RESTART_SETTLE=N: keep the stores loaded
+          // N seconds after the drain so the maintenance thread gets a
+          // tick to UPLOAD the snapshot the last eligible commit only
+          // CREATED locally (checkpointMs on the snapshot batch). The
+          // first run of this experiment showed why the knob matters:
+          // without it, both minDeltas=10 and =100 replayed the
+          // identical full changelog run on restart (352 files) —
+          // snapshot CADENCE is inert until an upload actually lands,
+          // which a stop right after the snapshot-eligible batch (or a
+          // kill, in production) silently prevents.
+          sys.env.get("SPARK_GRAFT_STREAM_RESTART_SETTLE")
+            .map(_.toInt).filter(_ > 0).foreach(s => Thread.sleep(s * 1000L))
+          // SPARK_GRAFT_STREAM_RESTART_FLUSH=1: run the graceful-
+          // shutdown snapshot flush (StateStoreHygiene.maintainAll)
+          // before dropping the providers — the planned-restart
+          // deployment shape, vs the kill shape without it
+          if (sys.env.get("SPARK_GRAFT_STREAM_RESTART_FLUSH").contains("1"))
+            org.apache.spark.sql.graft.StateStoreHygiene.maintainAll()
           // drop cached store instances so pass 2 pays a REAL store
           // load from checkpoint files, not a warm in-memory reuse —
           // without this the restart measures nothing (the provider
