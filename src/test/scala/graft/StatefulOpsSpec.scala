@@ -586,6 +586,76 @@ class StatefulOpsSpec extends SparkSpec {
       s"restarted spatial join must pair B against A's recovered probe state: $fin")
   }
 
+  test("restart recovery: the s34 chained two-job topology merges ring state across restart") {
+    // s34's restart differential (round-13 verdict item #7): the
+    // CHAINED flagship — job 1's full preprocess (P1,P2,W4,F1,P5,W1,
+    // F2,F3,P6,P8) → to_json envelope → job 2's from_json →
+    // last3FeatPerKey keyed state — stopped after two wire messages and
+    // restarted over a third. Run 2 reads ONLY the new file (source
+    // offset log), so its update-mode emission can rank run-1 vessels
+    // under the new arrival only if the ≤3-row ring survived the
+    // checkpoint THROUGH the whole chain: parse, filter, envelope
+    // round-trip, and the flatMapGroupsWithState store together.
+    import org.apache.spark.sql.functions.{col, from_json, unix_micros}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    graft.streaming.StreamingOps.configureStreaming(spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("chain_restart_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("chain_restart_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("chain_restart_ck").toString
+    // the raw AIS wire shape (inside the W1 bbox: lat 7-23, lon 105-123)
+    def envlp(t: String, sog: Double): String =
+      s"""{"timestamp_utc":"$t","mmsi":7,"position":"POINT (110.0 15.0)",""" +
+      s""""speed_over_ground":$sog,"course_over_ground":45.0,""" +
+      s""""rate_of_turn":2.0,"message_type":1}"""
+    def stage(rows: Seq[String]): Unit =
+      rows.toDF("value").coalesce(1).write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      val raw = spark.readStream
+        .schema(StructType(Seq(StructField("value", StringType))))
+        .parquet(srcDir)
+      // job 1 → wire → job 2, exactly the s34 plan
+      val features = graft.streaming.AisPipeline.preprocess(raw)
+      val wire = features.select(graft.streaming.AisPipeline.toJsonEnvelope(features))
+      val feats2 = wire.selectExpr("CAST(value AS STRING) AS value")
+        .select(from_json(col("value"),
+          graft.streaming.AisPipeline.featureSchema).as("message"))
+        .select(col("message.mmsi").as("mmsi"),
+                unix_micros(col("message.timestamp_utc")).as("ts_us"),
+                col("message.speed_over_ground").as("speed_over_ground"),
+                col("message.course_over_ground").as("course_over_ground"),
+                col("message.rate_of_turn").as("rate_of_turn"),
+                col("message.longitude").as("longitude"),
+                col("message.latitude").as("latitude"),
+                col("message.cartesian_x").as("cartesian_x"),
+                col("message.cartesian_y").as("cartesian_y"))
+        .as[Feat]
+      val ranked = feats2.groupByKey(_.mmsi)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(last3FeatPerKey _)
+      val q = ranked.toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .outputMode("update").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.stop()
+    }
+    def emitted(): Set[(Int, Double)] =
+      spark.read.parquet(outDir).as[RankedFeat].collect()
+        .map(r => (r.rn, r.speed_over_ground)).toSet
+    stage(Seq(envlp("2024-01-01 00:00:01Z", 1.0),
+              envlp("2024-01-01 00:00:02Z", 2.0)))
+    run()
+    assert(emitted() == Set((1, 2.0), (2, 1.0)))
+    // the third wire message must rank the two run-1 rows beneath it —
+    // a cold ring would emit only (1 -> 3.0)
+    stage(Seq(envlp("2024-01-01 00:00:03Z", 3.0)))
+    run()
+    assert(emitted() == Set((1, 2.0), (2, 1.0), (1, 3.0), (2, 2.0), (3, 1.0)),
+      "chained-topology ring state was not recovered from the checkpoint")
+  }
+
   test("restart recovery: bitmap word state ORs across restart (s28)") {
     // the s28 claim is idempotent OR-merge: a restart (or a replayed
     // batch) must never double-count, and a later emission is always a
