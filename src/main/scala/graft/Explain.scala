@@ -18,10 +18,16 @@ object Explain {
         (args.init.toSeq, args.last)
       else (args.toSeq, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
         "/root/testdata/sf0.001"))
+    // SPARK_GRAFT_EXPLAIN_MODE=formatted prints the numbered-operator
+    // form (PushedFilters/ReadSchema per scan) the optimization-round
+    // plan artifacts use; default stays the compact tree.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_MODE", "simple")
     for (name <- names) {
       println(s"===== $name =====")
-      println(SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString)
+      val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+      if (mode == "formatted")
+        println(qe.explainString(org.apache.spark.sql.execution.FormattedMode))
+      else println(qe.executedPlan.toString)
     }
     spark.stop()
   }

@@ -336,10 +336,34 @@ object WindowOps extends QueryModule {
     * x_approx_distinct. */
   private def windowDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tbl.events(s, d)
-      .groupBy(window($"ts", "2 minutes", "1 minute"))
-      .agg(count_distinct($"user_id").as("users"),
-           count(lit(1)).as("n"),
+    // Two-level aggregate instead of count_distinct+approx in ONE agg:
+    // Spark's single-distinct rewrite groups phase 1 by (window,
+    // user_id) and computes the non-distinct aggregates there — so the
+    // approx_count_distinct partial, a FIXED 1639-long HLL++ register
+    // buffer (~13 KB at rsd 0.01), was materialized and shuffled PER
+    // (window, user) PAIR: millions of 13 KB rows through the first
+    // exchange (plan audit r15: partial-agg Results list 1642 cols).
+    // HLL register updates are idempotent in duplicates, so inserting
+    // each (window, user) pair once yields bit-identical registers —
+    // dedup first (count per pair), then aggregate per window:
+    // users = one row per non-null user, n = sum of pair counts,
+    // approx over the deduped pairs. Repartitioning by window FIRST
+    // collapses the plan to ONE exchange: hash(window) satisfies the
+    // clustered distribution of BOTH the (window, user) dedup and the
+    // per-window aggregate, so the pair counts never re-shuffle, and
+    // the phase-2 partial map holds each task's OWN windows' registers
+    // (~windows/tasks × 13 KB), not every window seen in a
+    // pair-partitioned input (guide §2.3/§2.4/§5; 2 Exchange → 1,
+    // measured 8.3→2.9 s at sf0.1).
+    val perUser = Tbl.events(s, d)
+      .select(window($"ts", "2 minutes", "1 minute").as("window"), $"user_id")
+      .repartition($"window")
+      .groupBy($"window", $"user_id")
+      .agg(count(lit(1)).as("c"))
+    perUser
+      .groupBy($"window")
+      .agg(count($"user_id").as("users"),
+           sum($"c").as("n"),
            approx_count_distinct($"user_id", 0.01).as("approx"))
       .select(unix_micros($"window.start").as("ws_us"),
               unix_micros($"window.end").as("we_us"),
@@ -372,10 +396,20 @@ object WindowOps extends QueryModule {
     * DuckDB states the exact count and literal TRUE. */
   private def approxDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tbl.events(s, d)
+    // Same two-level shape as windowDistinct (see the note there): the
+    // single-distinct rewrite was shuffling a 13 KB HLL++ register
+    // buffer per (event_type, user_id) pair; dedup the pairs first,
+    // then sketch once per pair — registers are bit-identical because
+    // HLL inserts are duplicate-idempotent. No repartition needed:
+    // only |event_type| = 5 groups, so the phase-2 partial map holds
+    // at most 5 register buffers per task (measured 3.9→0.7 s sf0.1).
+    val perUser = Tbl.events(s, d)
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("c"))
+    perUser
       .groupBy($"event_type")
-      .agg(count_distinct($"user_id").as("exact_users"),
-           count(lit(1)).as("n"),
+      .agg(count($"user_id").as("exact_users"),
+           sum($"c").as("n"),
            approx_count_distinct($"user_id", 0.01).as("approx"))
       .select($"event_type", $"exact_users", $"n",
               (abs($"approx" - $"exact_users") <=
