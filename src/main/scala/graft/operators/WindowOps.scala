@@ -40,20 +40,37 @@ object WindowOps extends QueryModule {
       .withColumn("ly", round(ecefY(col("lon"), col("lat")), 2))
 
   /** Total order for the `last()` rebuild: (event time, event_id) as one
-    * fixed-width zero-padded string — deterministic even if two events of
-    * one key share a timestamp (DuckDB's arg_max can't take a struct key,
-    * so the composite is encoded the same way on both engines).
+    * composite key — deterministic even if two events of one key share a
+    * timestamp (DuckDB's arg_max can't take a struct key, so a scalar
+    * composite is encoded on both engines).
     *
-    * The epoch is biased by 2⁶² before formatting: '%020d' of a NEGATIVE
-    * long sorts inverted ('-…005' < '-…123' lexicographically), so
-    * pre-1970 event times would silently pick the OLDEST event as
-    * "last" — on both engines identically, invisible to the oracle gate.
-    * The bias keeps the field non-negative for any timestamp Spark can
-    * represent (±2⁶² µs ≈ ±146k years). event_id gets the full 19-digit
-    * non-negative long width. */
+    * The ORACLE side (Oracles.slidingWindow) encodes the composite as a
+    * fixed-width zero-padded string, '%020d|%019d' of (epoch_us + 2⁶²,
+    * event_id). The ENGINE side used the identical format_string until
+    * round 15, when the plan audit showed the string key was what forced
+    * the whole 7-agg kinematic aggregate into SortAggregate: a varlen
+    * string in the max_by buffer makes the buffer non-fixed-width, which
+    * disqualifies HashAggregate (UnsafeFixedWidthAggregationMap needs
+    * mutable fixed-size fields), so every expanded row paid a full
+    * (window, user_id) SORT — and the streaming sibling (s1) stored five
+    * 40-char ordering strings per state row. The engine now encodes the
+    * SAME total order as one DECIMAL(38,0): (epoch_us + 2⁶²)·10¹⁹ +
+    * event_id. Order-isomorphism with the oracle's string on the data
+    * domain: both fields are non-negative (the 2⁶² bias covers ±146k
+    * years of timestamps; event_id ≥ 0 per TESTDATA and every generator
+    * here), each fits its 19/20-digit width, so zero-padded-string
+    * lexicographic order ≡ (ts, event_id) lexicographic order ≡ the
+    * decimal's numeric order (event_id < 10¹⁹ can never borrow into the
+    * ts digits; max value ≈ 9.2·10³⁷ < 10³⁸, no decimal overflow).
+    * Decimals ARE UnsafeRow-mutable, so the aggregate plans as
+    * HashAggregate again (guide §1.2 "per-task work" + §2.3 narrower
+    * types: a1 SortAggregate → HashAggregate, s1 state rows shed the
+    * 5 × ~40 B ordering strings for 5 × 16 B decimals). */
   private[graft] val TieBias = 4611686018427387904L // 2^62
   private[graft] val lastTieKey: Column =
-    format_string("%020d|%019d", unix_micros(col("ts")) + TieBias, col("event_id"))
+    (unix_micros(col("ts")) + TieBias).cast("decimal(38,0)") *
+      lit(java.math.BigDecimal.valueOf(10).pow(19)) +
+      col("event_id").cast("decimal(38,0)")
 
   /** The reference's full 7-agg shape (`preprocess.py:80-86`): 3 moving
     * averages + 4 `last()`-rebuilt-as-max_by columns. */
