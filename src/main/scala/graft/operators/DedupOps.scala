@@ -392,10 +392,13 @@ object DedupOps extends QueryModule {
       // localCheckpoint, not persist: each round's plan builds on the
       // previous round's, so a cached-but-lazy lineage grows linearly
       // with component diameter — a deep component at 100 TB blows the
-      // planner long before the 50-round guard throws. The eager local
+      // planner long before the 50-round guard throws. The local
       // checkpoint truncates lineage to the materialized RDD each round
-      // (round-4 VERDICT item #2); the cost is one tiny job over the
-      // label relation, which the convergence count was paying anyway.
+      // (round-4 VERDICT item #2). eager = false (r15): the convergence
+      // count() below materializes the checkpoint in ITS job anyway, so
+      // the eager form's separate materialization job per round was
+      // pure scheduling overhead — lazy is the same compute, one job
+      // per round instead of two.
       // the round result CARRIES the previous label, so the convergence
       // check is a filter over the already-materialized checkpoint — one
       // distributed join per round, not two (the old shape re-joined
@@ -403,7 +406,7 @@ object DedupOps extends QueryModule {
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select($"doc_id", $"cluster".as("prev"),
                 least($"cluster", coalesce($"nbr_min", $"cluster")).as("cluster"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val changed = next.where($"cluster" =!= $"prev").count()
       // no explicit unpersist: from round 2 on, `labels` is a
       // localCheckpoint'd Dataset whose blocks live at the RDD level,

@@ -143,7 +143,7 @@ object GraphOps extends QueryModule {
       rank = deg.select($"v").join(contrib, Seq("v"), "left")
         .select($"v",
                 (lit(150000L) + expr("85 * coalesce(c, 0L) div 100")).as("r"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     rank.select($"v".as("suppkey"), $"r".as("rank_micro"))
       .orderBy($"rank_micro".desc, $"suppkey")
@@ -209,14 +209,14 @@ object GraphOps extends QueryModule {
     // source = global min vertex id; with canonical a<b edges that is
     // min(a) (every vertex that only appears as b beats some a below it)
     var dist = e0.agg(min($"a").as("v")).select($"v", lit(0L).as("d"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (_ <- 1 to BfsHops) {
       val relaxed = und
         .join(dist.select($"v".as("src"), $"d"), "src")
         .select($"dst".as("v"), ($"d" + 1L).as("d"))
       dist = dist.union(relaxed)
         .groupBy($"v").agg(min($"d").as("d"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     dist.select($"v".as("suppkey"), $"d".as("dist")).orderBy($"suppkey")
   }
@@ -273,7 +273,7 @@ object GraphOps extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     val und = e0.union(e0.select($"b", $"a")).toDF("src", "dst").persist()
     var lbl = und.select($"src".as("v")).distinct()
-      .select($"v", $"v".as("lbl")).localCheckpoint()
+      .select($"v", $"v".as("lbl")).localCheckpoint(eager = false)
     val byMode = Window.partitionBy($"v").orderBy($"c".desc, $"lbl".asc)
     for (_ <- 1 to LpaRounds) {
       lbl = und.join(lbl.select($"v".as("src"), $"lbl"), "src")
@@ -281,7 +281,7 @@ object GraphOps extends QueryModule {
         .withColumn("rn", row_number().over(byMode))
         .where($"rn" === 1)
         .select($"v", $"lbl")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     lbl.select($"v".as("suppkey"), $"lbl".as("community"))
       .orderBy($"suppkey")

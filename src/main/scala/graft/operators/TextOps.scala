@@ -760,7 +760,7 @@ object TextOps extends QueryModule {
       // strings); 10 rounds × session-default partitions would be pure
       // task overhead — at 100 TB size this to vocab volume, not corpus
       .repartition(4)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var exhausted = false
@@ -784,7 +784,7 @@ object TextOps extends QueryModule {
           // symbols are [a-z0-9]+ so the inlined literals need no escaping
           words = words
             .select(expr(s"replace(s, '|$a||$b|', '|$a$b|')").as("s"), $"c")
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
       }
     }
     merges.toSeq
