@@ -203,6 +203,12 @@ object ScaleOps extends QueryModule {
     val dir = Tbl.scratchDir("events_parted")
     Tbl.events(s, d)
       .select($"event_id", $"user_id", $"event_type", Tbl.cents($"value").as("v_c"))
+      // cluster by the partition column before the partitioned write:
+      // unclustered, every one of the session's tasks opens a writer in
+      // every event_type dir (|types| x tasks tiny files; guide §6 —
+      // small files hurt twice, at write and at the read-back's
+      // listing/footer pass). One hash exchange -> |types| files.
+      .repartition($"event_type")
       .write.mode("overwrite").partitionBy("event_type").parquet(dir)
     s.read.parquet(dir)
       .where($"event_type" === "purchase")
@@ -600,6 +606,11 @@ object ScaleOps extends QueryModule {
     Tbl.events(s, d)
       .select($"event_id", $"user_id", Tbl.cents($"value").as("v_c"),
               ($"event_id" % 50).as("day"))
+      // cluster by day before the write: 50 days x 32 writer tasks was
+      // up to 1600 tiny files on the DPP fact side (guide §6); one hash
+      // exchange makes it 50, and the pruned read-back lists/opens a
+      // fraction of the footers
+      .repartition($"day")
       .write.mode("overwrite").partitionBy("day").parquet(dir)
     // read back: `day` is a partition column (inferred int) — the dim
     // side casts to int so the fact join key stays a BARE partition
