@@ -54,8 +54,12 @@ object CpuMeter {
     }
     val gcMs = try {
       import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+      // -1 when NO collector reports a valid time: a filtered-empty sum
+      // would read 0 and revive the 0-vs-unavailable ambiguity the
+      // steal/other sentinels exist to prevent (round-14 ADVICE #1)
+      val ts = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0)
+      if (ts.isEmpty) -1L else ts.sum
     } catch { case e if scala.util.control.NonFatal(e) => -1L }
     // guest/guest_nice are trailing and kernel-version dependent
     val guest = if (t.length >= 10) t(8) + t(9) else 0L

@@ -294,8 +294,14 @@ object StreamBench {
           val steady1 = b1.drop(1).map(_("totalMs")).sorted
           val med1 = if (steady1.isEmpty) -1L else steady1(steady1.length / 2)
           val first2 = b2.headOption.map(_("totalMs")).getOrElse(-1L)
+          // chunks_pass2 makes the denominators self-describing: in a
+          // restart line, wall_s/rows_total/rows_per_s/growth cover
+          // pass 2 ONLY (chunks - restart_at chunks), so a consumer
+          // comparing against non-restart lines at the same "chunks"
+          // value must not misread throughput (round-14 ADVICE #5)
           val extra =
-            s""""restart_at":$restartAt,"pass1_wall_s":$w1,""" +
+            s""""restart_at":$restartAt,"chunks_pass2":${chunks - restartAt},""" +
+            s""""pass1_wall_s":$w1,""" +
             s""""pass1_batches":${b1.length},""" +
             s""""median_pass1_batch_ms":$med1,""" +
             s""""first_batch_after_restart_ms":$first2,""" +

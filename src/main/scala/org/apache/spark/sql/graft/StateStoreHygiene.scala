@@ -30,6 +30,14 @@ object StateStoreHygiene {
     * partial changelog) instead of O(everything since the last lucky
     * upload). `loadedProviders` is object-private, hence reflection;
     * `doMaintenance()` itself is public API.
+    *
+    * CONSTRAINT (round-14 ADVICE #4): call ONLY after `query.stop()`
+    * and before `unloadAll()`. This runs `doMaintenance()` on the
+    * caller thread without coordinating with StateStore's background
+    * maintenance pool (which serializes maintenance per provider); on
+    * a LIVE query a concurrently firing maintenance tick could attempt
+    * a duplicate snapshot upload of the same version. Post-stop the
+    * tick is deactivated for these providers, so the window is closed.
     */
   def maintainAll(): Unit = {
     val f = StateStore.getClass.getDeclaredField("loadedProviders")

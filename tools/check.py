@@ -18,12 +18,23 @@ import pandas as pd
 
 
 def corpus_fp(sf):
-    """Cheap corpus fingerprint: (name, size) of every parquet in sfDir.
-    gen_sf.py is deterministic, so byte sizes identify the corpus; a
-    regenerated corpus hits the same cache entries."""
+    """Cheap corpus fingerprint: (name, size, head+tail bytes) of every
+    parquet in sfDir. Size alone is not enough — a regenerated corpus
+    with size-preserving content changes (plausible for fixed-width
+    deterministic generators) must MISS the cache, not serve a stale
+    oracle (round-14 ADVICE #2) — so the first and last 64 KiB of each
+    file (covering the parquet footer metadata) join the key. mtime is
+    deliberately excluded: byte-identical regeneration should still
+    hit."""
     h = hashlib.sha256()
     for f in sorted(glob.glob(f"{sf}/*.parquet")):
-        h.update(f"{os.path.basename(f)}:{os.path.getsize(f)};".encode())
+        size = os.path.getsize(f)
+        h.update(f"{os.path.basename(f)}:{size};".encode())
+        with open(f, "rb") as fh:
+            h.update(fh.read(65536))
+            if size > 65536:
+                fh.seek(max(65536, size - 65536))
+                h.update(fh.read(65536))
     return h.hexdigest()[:16]
 
 

@@ -48,9 +48,21 @@ JVM_OPTS=$(java -cp "$CP" graft.JvmOpens)
 # before a multi-hour run — but ONLY when no graft JVM is alive at all.
 # Never per-dir fuser: a LIVE Spark JVM holds no open handle inside its
 # blockmgr dir between shuffles, so a fuser-based sweep deleted a
-# running replay's shuffle files on first contact (round 14).
+# running replay's shuffle files on first contact (round 14). The pgrep
+# guard alone has two holes (round-14 ADVICE #3): a JVM launched via
+# @argfile/wrapper hides the class name from argv, and a gate started
+# in the pgrep→rm window could delete a just-launched run's dirs — so
+# additionally skip any dir younger than 2 hours (-mmin -120): a LIVE
+# run's dirs keep fresh mtimes (shuffle/temp churn), while genuinely
+# leaked dirs from a crashed JVM age past the guard and get swept on
+# the next gate.
 if ! pgrep -f 'graft\.(Verify|Bench|StreamBench|TimeOne|Audit|Probe|Explain)' >/dev/null; then
-  rm -rf /dev/shm/graft_local/blockmgr-* /dev/shm/graft_local/spark-* 2>/dev/null
+  for d in /dev/shm/graft_local/blockmgr-* /dev/shm/graft_local/spark-*; do
+    [ -e "$d" ] || continue
+    if [ -z "$(find "$d" -maxdepth 0 -mmin -120 2>/dev/null)" ]; then
+      rm -rf "$d" 2>/dev/null
+    fi
+  done
 fi
 
 # oracles that take minutes at sf10 — checked as soon as each parquet
