@@ -31,6 +31,18 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps extends QueryModule {
 
+  /** Per-round lineage truncation for the iterative loops below.
+    * Measurement-only escape hatch (guide §1/§7.2): with
+    * SPARK_GRAFT_UNROLL_PLANS=1 the checkpoint is elided so
+    * `graft.Explain` can print the full UNROLLED plan — otherwise every
+    * round's explain collapses to `Scan ExistingRDD` at the checkpoint
+    * boundary and the per-round operator shape is invisible. Execution
+    * paths (Verify/Bench) never set it; semantics are identical either
+    * way (localCheckpoint only truncates lineage). */
+  private def roundCkpt(df: DataFrame): DataFrame =
+    if (sys.env.contains("SPARK_GRAFT_UNROLL_PLANS")) df
+    else df.localCheckpoint(eager = false)
+
   /** Undirected canonical edge list (a < b): supplier pairs sharing an
     * order among small-lot (quantity ≤ 5) line items. The quantity cut
     * keeps per-order groups small so the pair explode is bounded (≤
@@ -128,22 +140,28 @@ object GraphOps extends QueryModule {
     import s.implicits._
     val und = e0.union(e0.select($"b", $"a")).toDF("src", "dst").persist()
     val deg = und.groupBy($"src".as("v")).agg(count(lit(1)).as("deg"))
-      .persist()
+      .persist() // read twice: undDeg build + the round-0 rank init
+    // the (edge ⋈ degree) join is LOOP-INVARIANT — r15 hoists it out of
+    // the rounds (guide §2.4: it was re-executed every iteration, one of
+    // two per-round joins) and persists the degree-annotated edge list;
+    // each round is now a single join with the rank relation
+    val undDeg = und.join(deg.select($"v".as("src"), $"deg"), "src").persist()
     var rank = deg.select($"v", lit(PrUnit).as("r"))
     for (_ <- 1 to PrIters) {
-      val contrib = und
-        .join(deg.select($"v".as("src"), $"deg"), "src")
+      // the contribution aggregate is TOTAL over the vertex set: und is
+      // bidirectional by construction, so every vertex of deg appears as
+      // a dst and receives ≥ 1 contribution — the former
+      // deg ⋈ contrib left join + coalesce re-derived the same vertex
+      // set through one more per-round join and is dropped (r15; the
+      // planted-graph specs drive this via the same bidirectional und).
+      // localCheckpoint truncates the round-on-round lineage (same
+      // rationale as dd_dup_clusters)
+      rank = undDeg
         .join(rank.select($"v".as("src"), $"r"), "src")
         .groupBy($"dst".as("v"))
         .agg(sum(expr("r div deg")).as("c"))
-      // every vertex of an undirected edge has an incoming edge, but the
-      // left join + coalesce keeps the shape total if the graph ever
-      // gains dangling orientation; localCheckpoint truncates the
-      // round-on-round lineage (same rationale as dd_dup_clusters)
-      rank = deg.select($"v").join(contrib, Seq("v"), "left")
-        .select($"v",
-                (lit(150000L) + expr("85 * coalesce(c, 0L) div 100")).as("r"))
-        .localCheckpoint(eager = false)
+        .select($"v", (lit(150000L) + expr("85 * c div 100")).as("r"))
+        .transform(roundCkpt)
     }
     rank.select($"v".as("suppkey"), $"r".as("rank_micro"))
       .orderBy($"rank_micro".desc, $"suppkey")
@@ -209,14 +227,14 @@ object GraphOps extends QueryModule {
     // source = global min vertex id; with canonical a<b edges that is
     // min(a) (every vertex that only appears as b beats some a below it)
     var dist = e0.agg(min($"a").as("v")).select($"v", lit(0L).as("d"))
-      .localCheckpoint(eager = false)
+      .transform(roundCkpt)
     for (_ <- 1 to BfsHops) {
       val relaxed = und
         .join(dist.select($"v".as("src"), $"d"), "src")
         .select($"dst".as("v"), ($"d" + 1L).as("d"))
       dist = dist.union(relaxed)
         .groupBy($"v").agg(min($"d").as("d"))
-        .localCheckpoint(eager = false)
+        .transform(roundCkpt)
     }
     dist.select($"v".as("suppkey"), $"d".as("dist")).orderBy($"suppkey")
   }
@@ -248,6 +266,9 @@ object GraphOps extends QueryModule {
   }
 
   private val LpaRounds = 4
+  // (c, −lbl) argmax key packing for the LPA rounds (see loop comment)
+  private val LpaTieScale = java.math.BigDecimal.valueOf(10).pow(19)
+  private val LpaTieMax   = new java.math.BigDecimal("9999999999999999999")
 
   /** Synchronized label propagation (community detection), fixed
     * [[LpaRounds]] rounds: every vertex simultaneously adopts the MODE
@@ -270,18 +291,29 @@ object GraphOps extends QueryModule {
   private[graft] def labelPropagationOn(e0: DataFrame): DataFrame = {
     val s = e0.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val und = e0.union(e0.select($"b", $"a")).toDF("src", "dst").persist()
     var lbl = und.select($"src".as("v")).distinct()
-      .select($"v", $"v".as("lbl")).localCheckpoint(eager = false)
-    val byMode = Window.partitionBy($"v").orderBy($"c".desc, $"lbl".asc)
+      .select($"v", $"v".as("lbl")).transform(roundCkpt)
     for (_ <- 1 to LpaRounds) {
+      // per-v argmax as a second AGGREGATE, not a ranking window (r15):
+      // row_number().over(partitionBy(v)) forced a second full exchange
+      // PLUS a per-partition sort of the (v, lbl, c) relation every
+      // round. max_by(lbl, key) with the (c, −lbl) total order packed
+      // into one DECIMAL(38,0) — key = c·10¹⁹ + (10¹⁹−1−lbl), so the
+      // numeric max is the highest count with ties to the SMALLEST
+      // label, exactly the window's (c DESC, lbl ASC) — keeps the
+      // aggregation buffer fixed-width and the whole argmax a codegen'd
+      // HashAggregate with map-side partials (a struct ordering key
+      // plans as SortAggregate — the a1/lastTieKey lesson; guide §2.3
+      // aggregate-before-shuffle + §1.2 per-task work). Labels are
+      // non-negative and < 10¹⁹ (vertex ids, see the triangle rank-key
+      // note), counts < 10¹⁹, so the decimal never overflows 10³⁸.
       lbl = und.join(lbl.select($"v".as("src"), $"lbl"), "src")
         .groupBy($"dst".as("v"), $"lbl").agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(byMode))
-        .where($"rn" === 1)
-        .select($"v", $"lbl")
-        .localCheckpoint(eager = false)
+        .groupBy($"v")
+        .agg(max_by($"lbl", $"c".cast("decimal(38,0)") * lit(LpaTieScale) +
+               (lit(LpaTieMax) - $"lbl".cast("decimal(38,0)"))).as("lbl"))
+        .transform(roundCkpt)
     }
     lbl.select($"v".as("suppkey"), $"lbl".as("community"))
       .orderBy($"suppkey")
