@@ -588,7 +588,12 @@ object DedupOps extends QueryModule {
       // same lesson ngramJaccard's `kept` records)
       .persist()
     pref.as("l")
-      .join(pref.as("r"),
+      // SHUFFLE_HASH (r15, guide §3.1): the prefix relation carries each
+      // side's full gram ARRAY through the exchange (the fused-verify
+      // design), so the SMJ alternative sorts ~1 KB rows twice; the hash
+      // build is a per-partition slice of rare-first prefix tokens
+      // (low-df by construction — no hot build bucket).
+      .join(pref.as("r").hint("shuffle_hash"),
             $"l.gram" === $"r.gram" && $"l.doc_id" < $"r.doc_id" &&
             lit(td) * least($"l.n", $"r.n") >=
               lit(tn) * greatest($"l.n", $"r.n"))
