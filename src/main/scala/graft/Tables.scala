@@ -106,6 +106,32 @@ object Tbl {
     } else System.getProperty("java.io.tmpdir")
   }
 
+  /** Fan out a compute-heavy map span over an effectively-unsplittable
+    * scan (guide §2.5 "input skew: one huge unsplittable file ...
+    * otherwise repartition immediately after the read").
+    *
+    * The driver's testdata ships every table as ONE parquet file with
+    * ONE row group, so every scan plans at most one non-empty task —
+    * byte-range splits beyond the single row group read nothing — and
+    * everything upstream of the first exchange runs on one core at any
+    * local scale factor. For queries whose pre-exchange span is heavy
+    * per-row work (to_xml/from_xml, to_json/from_json round trips,
+    * variant parsing), that single task IS the query's wall.
+    *
+    * Scale-adaptive by construction, not a local[32] constant: the
+    * round-robin repartition is added ONLY when the planned scan yields
+    * fewer splits than half the session's default parallelism — at real
+    * scale (many files / many row groups) the condition is false and
+    * the plan is untouched, so no exchange is ever added where the scan
+    * already parallelizes. The exchange it does add locally carries the
+    * narrow scan output once, orders cheaper than the serialized span. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (target > 1 && df.rdd.getNumPartitions < math.max(2, target / 2))
+      df.repartition(target)
+    else df
+  }
+
   /** Exact integer representation of a 2-decimal double (money/metric). */
   def cents(c: Column): Column = round(c * 100).cast("long")
 

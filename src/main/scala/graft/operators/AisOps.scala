@@ -270,7 +270,10 @@ object AisOps extends QueryModule {
     * per-row expression work, |types|-row exchange. */
   private def variantExtract(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tbl.events(s, d)
+    // fanOut: the whole serialize->parse_json->variant_get span is
+    // per-row heavy and sits above a single-split scan locally (see
+    // Tbl.fanOut - identity wherever the scan already parallelizes)
+    Tbl.fanOut(Tbl.events(s, d))
       .withColumn("env",
         to_json(struct($"event_id", $"event_type",
           struct($"user_id", Tbl.cents($"value").as("v_c")).as("u"),
@@ -315,7 +318,10 @@ object AisOps extends QueryModule {
       "_src STRING, event_type STRING, " +
       "u STRUCT<user_id: BIGINT, v_c: BIGINT>, " +
       "props STRING, not_there BIGINT")
-    Tbl.events(s, d)
+    // fanOut: to_xml + from_xml (StAX parse per row) is the heaviest
+    // per-row span in the registry and sits above a single-split scan
+    // locally (see Tbl.fanOut - identity at real scan parallelism)
+    Tbl.fanOut(Tbl.events(s, d))
       .withColumn("env", to_xml(struct(
         lit("ais").as("_src"),
         $"event_type",

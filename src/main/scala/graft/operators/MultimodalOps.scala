@@ -465,12 +465,29 @@ object MultimodalOps extends QueryModule {
           |  sequence(0, greatest(octet_length(content) div 64, 1) - 1),
           |  i -> cast(conv(substring(md5(substring(content, i*64+1, 64)),
           |                           1, 8), 16, 10) as bigint))""".stripMargin))
+    // Vote folds as ONE explode + codegen'd map-side-combined groupBy
+    // (r15) — the dd_simhash lesson applied to the media twin: the
+    // former 32 separate `aggregate()` HOF folds each re-walked the
+    // frame-word array INTERPRETED, per row; here each frame word
+    // leaves the scan once as (media_id, v) metadata — content still
+    // never leaves the scan — and the 32 votes are shift/mask sums in
+    // one HashAggregate (guide §1.2 per-task work, §2.3 shuffle
+    // metadata not payloads). explode_outer, not explode: the inferred
+    // size(..)>0 filter of an inner explode would re-evaluate the whole
+    // frame/md5 transform once more per row (the minhashLsh note); vs
+    // is never null/empty (sequence always emits i = 0).
+    val voteCols = (0 until PhashBits).map { b =>
+      sum(expr(s"(v div ${1L << b}) % 2")).as(s"c_$b")
+    }
     val phashExpr = (0 until PhashBits).map { b =>
-      s"(CASE WHEN 2 * aggregate(vs, 0L, (a, v) -> a + (v div ${1L << b}) % 2)" +
-      s" >= size(vs) THEN ${1L << b} ELSE 0 END)"
+      s"(CASE WHEN 2 * c_$b >= nf THEN ${1L << b} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+    val votes = framed
+      .select($"media_id", size($"vs").as("nf"), explode_outer($"vs").as("v"))
+      .groupBy($"media_id")
+      .agg(max($"nf").as("nf"), voteCols: _*)
     // persisted: both sides of the candidate self-join read it
-    val sig = framed.select($"media_id", expr(phashExpr).as("phash")).persist()
+    val sig = votes.select($"media_id", expr(phashExpr).as("phash")).persist()
     val bands = sig.select($"media_id", $"phash", explode(array(
         struct(lit(0).as("band"), expr("phash div 65536").as("bv")),
         struct(lit(1).as("band"), expr("phash % 65536").as("bv")))).as("bd"))

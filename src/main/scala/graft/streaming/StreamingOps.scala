@@ -540,9 +540,26 @@ object StreamingOps extends QueryModule {
     * `preprocess.py:20`, rebuilt deterministically from the events
     * table) — job #1's input for both the single-job flagship (s8) and
     * the chained two-job topology (s34). */
+  /** Streaming twin of [[graft.Tbl.fanOut]] (guide §2.5 unsplittable
+    * input): a streaming DF's per-batch partition count can't be
+    * inspected at plan time, but the file-stream source splits files
+    * with the SAME split logic as a batch scan of the same files — so
+    * probe the batch plan of the source parquet and fan the stream out
+    * only when that scan is effectively unsplittable (the driver's
+    * single-row-group testdata). At deployment scale (many files /
+    * row groups, or a partitioned Kafka source) the probe sees real
+    * parallelism and the stream plan is untouched — no per-batch
+    * exchange is ever added where the source already parallelizes. */
+  private def fanOutStream(s: SparkSession, d: String, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    val parts = graft.Tbl.events(s, d).rdd.getNumPartitions
+    if (target > 1 && parts < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
+
   private def syntheticAisEnvelope(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    eventStream(s, d).select(
+    fanOutStream(s, d, eventStream(s, d)).select(
       to_json(struct(
         date_format($"ts", "yyyy-MM-dd HH:mm:ss'Z'").as("timestamp_utc"),
         $"user_id".cast("int").as("mmsi"),
