@@ -76,7 +76,12 @@ object RelationalOps extends QueryModule {
   private def starRevenue(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val rev = Tbl.cents($"l_extendedprice") * (lit(100) - Tbl.cents($"l_discount"))
-    Tbl.lineitem(s, d)
+    // fanOut: AQE both broadcasts the dim chain into the scan stage and
+    // coalesces byte-light exchanges, so the whole 600k-row join+agg
+    // span otherwise runs inside the single-split lineitem scan task
+    // (see Tbl.fanOut - identity at real scan parallelism); what
+    // repartitions is the pruned 3-column fact projection
+    Tbl.fanOut(Tbl.lineitem(s, d))
       .join(Tbl.orders(s, d), $"l_orderkey" === $"o_orderkey")
       .join(broadcast(Tbl.customer(s, d)), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tbl.nation(s, d)), $"c_nationkey" === $"n_nationkey")

@@ -267,7 +267,8 @@ object WindowOps extends QueryModule {
   private def rollupRevenue(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val rev = Tbl.cents($"l_extendedprice") * (lit(100) - Tbl.cents($"l_discount"))
-    Tbl.lineitem(s, d)
+    // fanOut: same single-task star-span rationale as j2_star_revenue
+    Tbl.fanOut(Tbl.lineitem(s, d))
       .join(Tbl.orders(s, d), $"l_orderkey" === $"o_orderkey")
       .join(broadcast(Tbl.customer(s, d)), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tbl.nation(s, d)), $"c_nationkey" === $"n_nationkey")
@@ -372,9 +373,19 @@ object WindowOps extends QueryModule {
     // (~windows/tasks × 13 KB), not every window seen in a
     // pair-partitioned input (guide §2.3/§2.4/§5; 2 Exchange → 1,
     // measured 8.3→2.9 s at sf0.1).
+    // EXPLICIT partition count (r15 follow-up to the one-exchange
+    // rewrite): a bare repartition($"window") is REPARTITION_BY_COL,
+    // which AQE freely coalesces by BYTES — and this exchange is
+    // byte-light (6 MB at sf0.1) but CPU-heavy above it (one 13 KB HLL
+    // register set per window, ~560 MB of buffers at sf0.1), so AQE
+    // collapsed the whole two-level aggregate onto 2 tasks (event-log
+    // profiled: 4.2 s + 2.5 s two-task stages). REPARTITION_BY_NUM is
+    // honored by AQE; defaultParallelism scales with the session/
+    // cluster, not a local constant (guide §2.5 synthetic-keys note /
+    // §1.2 measure-first).
     val perUser = Tbl.events(s, d)
       .select(window($"ts", "2 minutes", "1 minute").as("window"), $"user_id")
-      .repartition($"window")
+      .repartition(s.sparkContext.defaultParallelism, $"window")
       .groupBy($"window", $"user_id")
       .agg(count(lit(1)).as("c"))
     perUser
