@@ -588,12 +588,14 @@ object DedupOps extends QueryModule {
       // same lesson ngramJaccard's `kept` records)
       .persist()
     pref.as("l")
-      // SHUFFLE_HASH (r15, guide §3.1): the prefix relation carries each
-      // side's full gram ARRAY through the exchange (the fused-verify
-      // design), so the SMJ alternative sorts ~1 KB rows twice; the hash
-      // build is a per-partition slice of rare-first prefix tokens
-      // (low-df by construction — no hot build bucket).
-      .join(pref.as("r").hint("shuffle_hash"),
+      // SMJ kept, MEASURED (r15): a SHUFFLE_HASH hint was tried — the
+      // theory said the SMJ pays two sorts of the ~1 KB array-carrying
+      // rows — and LOST on the only near-quiet bench line (2.39 → 3.77 s
+      // at sf0.1, steal 0.3): Tungsten's sort moves pointers+prefixes,
+      // not the 1 KB payloads, while the hash build materializes and
+      // copies every build row into the map. The j8/j9 hint stands
+      // because THEIR pathology was a mis-estimated broadcast, not SMJ.
+      .join(pref.as("r"),
             $"l.gram" === $"r.gram" && $"l.doc_id" < $"r.doc_id" &&
             lit(td) * least($"l.n", $"r.n") >=
               lit(tn) * greatest($"l.n", $"r.n"))
